@@ -1,0 +1,53 @@
+"""SparkSession bootstrap tuned for both local testing and cluster scale.
+
+The reference engine is single-threaded pull iterators (SURVEY §4); on Spark the
+same logical plans execute distributed, so the session config concentrates on
+the things that matter at 100 TB: AQE (runtime re-planning, skew-join
+splitting, partition coalescing), sane shuffle partition counts, Arrow for any
+pandas-UDF exchange, and ANSI-ish timestamp behaviour pinned to UTC so results
+are reproducible against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At local[N] a shuffle partition count near the core count avoids tiny-task
+# overhead; on a real cluster AQE coalesces from this initial value, so a
+# larger initial number is safe (it is an upper bound, not a fixed fanout).
+_DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "incresql_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    All settings below are equally valid on a 1000-executor cluster: AQE and
+    broadcast thresholds are scale-adaptive, and nothing here pins data to the
+    driver.
+    """
+    cpus = cpus or _DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    if SparkSession.getActiveSession() is None:
+        # Only force a master when nothing is running — when the driver hands
+        # us a session (cluster mode) we must not override it.
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,261 @@
+"""TPC-H benchmark queries Q1/Q3/Q5/Q6/Q10 — the reference's benchmark set
+(/root/reference/benchmarking/_tpch/incresql_runner.rs:355-497), adapted to the
+driver's TESTDATA schema (no partsupp; narrower column set; DATE columns stored
+as timestamps; money stored as DOUBLE).
+
+Correctness strategy (oracle hash-match): every aggregated money expression is
+cast to DECIMAL before summation in BOTH the Spark plan and the DuckDB oracle
+SQL.  Decimal addition is exact and associative, so distributed (any-order)
+summation produces the identical value the oracle computes single-threaded;
+the final result is cast to DOUBLE for a stable, engine-neutral schema.
+Averages are computed as exact-decimal sum ÷ bigint count, both cast to DOUBLE
+first so the division is a single deterministic IEEE-754 op in both engines.
+
+Scale notes (the plans Catalyst produces, verified via .explain in tests):
+- Q1/Q6: pure scan→partial-agg→final-agg; filter + column pruning reach the
+  parquet reader (PushedFilters / ReadSchema).
+- Q3/Q5/Q10: the dimension sides (region/nation/customer/supplier) are tiny
+  relative to lineitem at every scale factor, and fall under the broadcast
+  threshold → broadcast hash joins, no shuffle of the fact table until the
+  final group-by.  orders↔lineitem is the only big-big join and shuffles on
+  the join key, which is also the natural partitioning for the downstream
+  group-by (no second shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+
+# Exact-decimal casts (money fits DECIMAL(12,2) at every TPC-H scale factor;
+# rates (discount/tax) fit DECIMAL(4,2)).
+_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_ONE_MINUS_DISC = "CAST(1.0 - l_discount AS DECIMAL(4,2))"
+_ONE_PLUS_TAX = "CAST(1.0 + l_tax AS DECIMAL(4,2))"
+_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+
+# sum(l_extendedprice * (1 - l_discount)) — the workhorse "revenue" expression.
+REVENUE_EXPR = f"{_PRICE} * {_ONE_MINUS_DISC}"
+
+
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (incresql_runner.rs:355-380)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr(_QTY)).cast("double").alias("sum_qty"),
+            F.sum(F.expr(_PRICE)).cast("double").alias("sum_base_price"),
+            F.sum(F.expr(REVENUE_EXPR)).cast("double").alias("sum_disc_price"),
+            F.sum(F.expr(f"{_PRICE} * {_ONE_MINUS_DISC} * {_ONE_PLUS_TAX}"))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(F.expr(_QTY)).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_qty"
+            ),
+            (F.sum(F.expr(_PRICE)).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_price"
+            ),
+            (F.sum(F.expr(_DISC)).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM({_QTY}) AS DOUBLE)                                        AS sum_qty,
+       CAST(SUM({_PRICE}) AS DOUBLE)                                      AS sum_base_price,
+       CAST(SUM({REVENUE_EXPR}) AS DOUBLE)                                AS sum_disc_price,
+       CAST(SUM({_PRICE} * {_ONE_MINUS_DISC} * {_ONE_PLUS_TAX}) AS DOUBLE) AS sum_charge,
+       CAST(SUM({_QTY}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)             AS avg_qty,
+       CAST(SUM({_PRICE}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)           AS avg_price,
+       CAST(SUM({_DISC}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)            AS avg_disc,
+       COUNT(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority: top-10 unshipped orders by revenue
+    (incresql_runner.rs:382-407; o_shippriority not in TESTDATA → omitted)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem.filter(F.col("l_shipdate") > cutoff), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.expr(REVENUE_EXPR)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey,
+       o_orderdate,
+       CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume: revenue by nation within one region/year
+    (incresql_runner.rs:409-437)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(supplier, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            lineitem,
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(F.expr(REVENUE_EXPR)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN supplier ON s_nationkey = n_nationkey
+JOIN lineitem ON l_suppkey = s_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change: scan + filter + global agg
+    (incresql_runner.rs:439-452)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(F.sum(F.expr(f"{_PRICE} * {_DISC}")).cast("double").alias("revenue"))
+    )
+
+
+Q6_SQL = f"""
+SELECT CAST(SUM({_PRICE} * {_DISC}) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned item reporting: top-20 customers by lost revenue
+    (incresql_runner.rs:454-497; address/phone/comment not in TESTDATA)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            lineitem.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(F.expr(REVENUE_EXPR)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey,
+       c_name,
+       c_acctbal,
+       n_name,
+       CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "tpch_q1": q1,
+    "tpch_q3": q3,
+    "tpch_q5": q5,
+    "tpch_q6": q6,
+    "tpch_q10": q10,
+}
+
+ORACLE = {
+    "tpch_q1": Q1_SQL,
+    "tpch_q3": Q3_SQL,
+    "tpch_q5": Q5_SQL,
+    "tpch_q6": Q6_SQL,
+    "tpch_q10": Q10_SQL,
+}

@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, column names,
+and an order-insensitive value hash.  Usage::
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm_cell(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # repr roundtrips float64 exactly; equal doubles → equal strings
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(_norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from incresql_spark.session import get_spark
+
+    spark = get_spark("check_oracle", cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:28s} rows={len(srows):6d} (no oracle — rows-only) {spark_s:5.1f}s")
+            continue
+        t0 = time.time()
+        rel = con.sql(oracles[name])
+        orows = [tuple(r) for r in rel.fetchall()]
+        ocols = list(rel.columns)
+        duck_s = time.time() - t0
+        ok_cols = sorted(scols) == sorted(ocols)
+        ok_rows = len(srows) == len(orows)
+        sh = value_hash(scols, srows)
+        oh = value_hash(ocols, orows) if ok_cols else "-"
+        ok = ok_cols and ok_rows and sh == oh
+        status = "OK " if ok else "FAIL"
+        print(
+            f"  {name:28s} {status} rows={len(srows)}/{len(orows)} "
+            f"hash={sh}/{oh} spark={spark_s:.1f}s duck={duck_s:.2f}s"
+        )
+        if not ok:
+            failures.append(name)
+            if not ok_cols:
+                print(f"    cols spark={scols} duck={ocols}")
+            else:
+                # show first differing normalized row
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                a = sorted("|".join(_norm_cell(r[i]) for i in order_s) for r in srows)
+                b = sorted("|".join(_norm_cell(r[i]) for i in order_o) for r in orows)
+                for x, y in zip(a, b):
+                    if x != y:
+                        print(f"    spark: {x}\n    duck : {y}")
+                        break
+                if len(a) != len(b):
+                    print(f"    row-count mismatch {len(a)} vs {len(b)}")
+    print("FAILURES:", failures if failures else "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
