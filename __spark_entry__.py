@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from incresql_spark import tpch
+from incresql_spark.operators import relational
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -24,10 +25,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(tpch.QUERIES)
+    out.update(relational.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(tpch.ORACLE)
+    out.update(relational.ORACLE)
     return out

@@ -30,7 +30,21 @@ ALL_TABLES = TPCH_TABLES + EXTRA_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan for one of the TESTDATA tables."""
+    """Lazy parquet scan for one of the TESTDATA tables.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
+    reader rejects; read it as a long (legacy conf, runtime-settable) and
+    rebuild a µs-precision timestamp with integer division (a double division
+    would lose precision: epoch-nanos ≈ 1.7e18 > 2^53).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,602 @@
+"""Relational operator inventory — one driver-checkable query per operator of
+the reference engine (SURVEY.md §2.2), plus the "free in Spark" upgrades the
+reference lacks (window functions, HAVING, semi/anti joins, set ops, rollup —
+SURVEY §2.2 "Missing vs. classical engines").
+
+Every query is expressed with the DataFrame API so Catalyst owns the physical
+strategy; the paired ORACLE SQL computes the same values in DuckDB.  Numeric
+outputs follow the exact-decimal rule (see tpch.py docstring): DECIMAL-cast
+before SUM, cast to DOUBLE at the end; divisions happen on DOUBLE in both
+engines (single deterministic IEEE-754 op).
+
+Cross-engine formatting rules baked into these queries:
+- double→bigint: Spark truncates, DuckDB rounds → always FLOOR() first.
+- ORDER BY: NULLS FIRST/LAST always explicit (engine defaults differ).
+- timestamps are emitted at ms precision or cast to DATE (events.ts is ns in
+  parquet; DuckDB keeps ns, Spark truncates to µs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+# --- Single / Values / constant folding ------------------------------------
+# Reference: single.rs:4-45, values.rs:4-35, fold_constants.rs:6-70.
+def op_values_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT over no table: literal arithmetic, decimal folding, casts.
+
+    Parity: tests/optimize/constant_folding.rs:4-43 (`1+2*3-4 → 3`,
+    `1.0+2.0*3.0-4.0 → 3.00`), casts fixture F4 (`cast('2010-10-23' as
+    date)`).  Catalyst folds all of this to a single Project over a
+    one-row relation — same as the reference's Single operator.
+    """
+    return spark.range(1).select(
+        (F.lit(1) + F.lit(2) * F.lit(3) - F.lit(4)).alias("folded_int"),
+        (F.lit(1.0) + F.lit(2.0) * F.lit(3.0) - F.lit(4.0)).cast("double").alias("folded_dec"),
+        F.lit("2010-10-23").cast("date").alias("lit_date"),
+        F.lit("2010-10-23 12:30:00").cast("timestamp").alias("lit_ts"),
+        F.concat(F.lit("in"), F.lit("cresql")).alias("lit_text"),
+        F.lit(None).cast("int").alias("lit_null"),
+        (F.lit(True) & ~F.lit(False)).alias("lit_bool"),
+    )
+
+
+OP_VALUES_LITERALS_SQL = """
+SELECT 1 + 2 * 3 - 4                                  AS folded_int,
+       CAST(1.0 + 2.0 * 3.0 - 4.0 AS DOUBLE)          AS folded_dec,
+       CAST('2010-10-23' AS DATE)                     AS lit_date,
+       CAST('2010-10-23 12:30:00' AS TIMESTAMP)       AS lit_ts,
+       'in' || 'cresql'                               AS lit_text,
+       CAST(NULL AS INTEGER)                          AS lit_null,
+       TRUE AND NOT FALSE                             AS lit_bool
+"""
+
+
+# --- Project ---------------------------------------------------------------
+# Reference: project.rs, scalar_expression.rs:5-76; divide.rs:64-85 (int/int
+# division yields DECIMAL, never integer division).
+def op_project_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_orderkey") + F.col("l_linenumber")).alias("add_bi"),
+            (F.col("l_orderkey") * F.lit(2)).alias("mul_bi"),
+            (F.col("l_orderkey") - F.col("l_linenumber")).alias("sub_bi"),
+            # reference `/` semantics: never integer division (divide.rs:64-85)
+            (F.col("l_quantity").cast("double") / F.col("l_linenumber").cast("double")).alias(
+                "div_dec"
+            ),
+            (F.col("l_extendedprice") * F.col("l_discount")).alias("mul_double"),
+            (-F.col("l_quantity")).alias("neg_qty"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+OP_PROJECT_ARITHMETIC_SQL = """
+SELECT l_orderkey,
+       l_linenumber,
+       l_orderkey + l_linenumber                                   AS add_bi,
+       l_orderkey * 2                                              AS mul_bi,
+       l_orderkey - l_linenumber                                   AS sub_bi,
+       CAST(l_quantity AS DOUBLE) / CAST(l_linenumber AS DOUBLE)   AS div_dec,
+       l_extendedprice * l_discount                                AS mul_double,
+       -l_quantity                                                 AS neg_qty
+FROM lineitem
+WHERE l_orderkey <= 1000
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --- Filter ----------------------------------------------------------------
+# Reference: filter.rs:8-42 (predicate must eval to exactly TRUE; NULL drops),
+# bool/{and,or,not,eq..lte}.rs, is_true.rs.
+def op_filter_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (
+                (F.col("o_orderstatus") == "F") | (F.col("o_totalprice") > 200000.0)
+            )
+            & ~(F.col("o_orderpriority") == "1-URGENT")
+            & F.col("o_custkey").isNotNull()
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+OP_FILTER_BOOL_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE (o_orderstatus = 'F' OR o_totalprice > 200000.0)
+  AND NOT (o_orderpriority = '1-URGENT')
+  AND o_custkey IS NOT NULL
+ORDER BY o_orderkey
+"""
+
+
+# --- BETWEEN ---------------------------------------------------------------
+# Reference: bool/between.rs:8-38 (NULL if any arg NULL; works on text too).
+def op_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(
+            F.col("c_acctbal").between(1000.0, 5000.0)
+            & F.col("c_mktsegment").between("AUTOMOBILE", "FURNITURE")
+        )
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+OP_BETWEEN_SQL = """
+SELECT c_custkey, c_acctbal, c_mktsegment
+FROM customer
+WHERE c_acctbal BETWEEN 1000.0 AND 5000.0
+  AND c_mktsegment BETWEEN 'AUTOMOBILE' AND 'FURNITURE'
+ORDER BY c_custkey
+"""
+
+
+# --- Sort + Limit + Offset -------------------------------------------------
+# Reference: sort.rs:12-207 (ASC/DESC per key, NULLS FIRST), limit.rs:6-65
+# (offset+limit).  Spark fuses orderBy().limit() into TakeOrderedAndProject —
+# the TopK the reference never implemented (SURVEY §2.2).
+def op_sort_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey").asc_nulls_first(),
+        )
+        .offset(10)
+        .limit(25)
+    )
+
+
+OP_SORT_LIMIT_OFFSET_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
+LIMIT 25 OFFSET 10
+"""
+
+
+# --- Inner join with non-equi residual -------------------------------------
+# Reference: hash_join.rs:17-393 — equi keys split out, residual condition
+# evaluated inside the join (:36-38,:84,:139); NULL keys never match (:98-102).
+def op_inner_join_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_totalprice") > F.col("c_acctbal")),
+        )
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+OP_INNER_JOIN_RESIDUAL_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice
+FROM customer
+JOIN orders ON c_custkey = o_custkey AND o_totalprice > c_acctbal
+ORDER BY c_custkey, o_orderkey
+"""
+
+
+# --- Left outer join -------------------------------------------------------
+# Reference: hash_join.rs:147-160 (NULL padding on no-match); join condition
+# stays in the join, not a post-filter (LEFT OUTER correctness).
+def op_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        n.join(
+            s,
+            (F.col("s_nationkey") == F.col("n_nationkey")) & (F.col("s_acctbal") > 5000.0),
+            "left",
+        )
+        .select("n_nationkey", "n_name", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy(
+            F.col("n_nationkey").asc(),
+            F.col("s_suppkey").asc_nulls_first(),
+        )
+    )
+
+
+OP_LEFT_JOIN_SQL = """
+SELECT n_nationkey, n_name, s_suppkey, s_name, s_acctbal
+FROM nation
+LEFT JOIN supplier ON s_nationkey = n_nationkey AND s_acctbal > 5000.0
+ORDER BY n_nationkey ASC, s_suppkey ASC NULLS FIRST
+"""
+
+
+# --- Cross join (comma-FROM) ----------------------------------------------
+# Reference: select.rs:126-139 — comma-join = Inner with ON TRUE.
+def op_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey")
+    )
+
+
+OP_CROSS_JOIN_SQL = """
+SELECT r_regionkey, r_name, n_nationkey, n_name
+FROM region, nation
+ORDER BY r_regionkey, n_nationkey
+"""
+
+
+# --- UNION ALL -------------------------------------------------------------
+# Reference: union_all.rs:6-50 (positional concat, duplicates preserved).
+def op_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    hi = c.filter(F.col("c_acctbal") > 9000.0).select(
+        "c_custkey", F.lit("high").alias("bucket")
+    )
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_custkey", F.lit("auto").alias("bucket")
+    )
+    return hi.union(auto).orderBy("c_custkey", "bucket")
+
+
+OP_UNION_ALL_SQL = """
+SELECT c_custkey, 'high' AS bucket FROM customer WHERE c_acctbal > 9000.0
+UNION ALL
+SELECT c_custkey, 'auto' AS bucket FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+ORDER BY c_custkey, bucket
+"""
+
+
+# --- Hash aggregation with NULL semantics ----------------------------------
+# Reference: hash_group.rs:15-107; count.rs:6-55 (count(*) vs count(x)),
+# sum.rs, avg.rs (empty group → NULL).
+def op_group_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    withnulls = e.withColumn(
+        "v", F.when(F.col("value") > 100.0, F.lit(None).cast("double")).otherwise(F.col("value"))
+    )
+    return (
+        withnulls.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_all"),
+            F.count("v").alias("cnt_v"),
+            F.sum(F.expr("CAST(v AS DECIMAL(18,4))")).cast("double").alias("sum_v"),
+            (
+                F.sum(F.expr("CAST(v AS DECIMAL(18,4))")).cast("double")
+                / F.count("v").cast("double")
+            ).alias("avg_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+OP_GROUP_NULLS_SQL = """
+SELECT event_type,
+       COUNT(*)                                                        AS cnt_all,
+       COUNT(v)                                                        AS cnt_v,
+       CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE)                   AS sum_v,
+       CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(v) AS DOUBLE) AS avg_v,
+       MIN(v)                                                          AS min_v,
+       MAX(v)                                                          AS max_v
+FROM (
+  SELECT event_type, CASE WHEN value > 100.0 THEN NULL ELSE value END AS v
+  FROM events
+) t
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- Global aggregate over zero rows ---------------------------------------
+# Reference: sorted_group.rs:69-84 — key_len=0 emits exactly one row on empty
+# input (count=0, sum=NULL); golden test tests/group/mod.rs:19-25.
+def op_global_agg_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(F.lit(False)).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.avg("l_quantity").alias("avg_qty"),
+    )
+
+
+OP_GLOBAL_AGG_EMPTY_SQL = """
+SELECT COUNT(*) AS cnt, SUM(l_quantity) AS sum_qty, AVG(l_quantity) AS avg_qty
+FROM lineitem
+WHERE FALSE
+"""
+
+
+# --- DISTINCT (freq-collapse) ----------------------------------------------
+# Reference models dedup as groupBy-all-columns with freq merge
+# (SURVEY §1.1 "all columns are the pk"); SQL DISTINCT itself was dead code
+# (p4_pit_planning/mod.rs:38) — implemented here the Spark way.
+def op_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_nationkey", "c_mktsegment").distinct().orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+OP_DISTINCT_SQL = """
+SELECT DISTINCT c_nationkey, c_mktsegment
+FROM customer
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+# --- JSON extraction -------------------------------------------------------
+# Reference: json_extract.rs:11-47 (`->`), json_extract_unquote.rs:10-23
+# (`->>` = json_unquote(json_extract(..)) — the TPC-H CSV-load workhorse,
+# incresql_runner.rs:189-199).
+def op_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        )
+        .filter(F.col("k_val").isNotNull() & (F.col("k_val") % 7 == 0))
+        .orderBy("event_id")
+    )
+
+
+OP_JSON_EXTRACT_SQL = """
+SELECT event_id,
+       CAST(props->>'$.k' AS BIGINT) AS k_val
+FROM events
+WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+  AND CAST(props->>'$.k' AS BIGINT) % 7 = 0
+ORDER BY event_id
+"""
+
+
+# --- Casts (to_int / to_bigint / to_text / to_date / if / coalesce) --------
+# Reference: casts/* (SURVEY §2.3), misc/if_fn.rs:30-68, misc/coalesce.rs.
+# double→bigint: Spark truncates, DuckDB rounds → FLOOR first on both sides.
+def op_casts_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.floor("o_totalprice").cast("bigint").alias("price_bi"),
+            F.col("o_orderkey").cast("string").alias("key_txt"),
+            F.col("o_orderdate").cast("date").alias("odate"),
+            F.when(F.col("o_totalprice") > 150000.0, F.lit("big"))
+            .otherwise(F.lit("small"))
+            .alias("size_if"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("none")).alias("prio"),
+            F.date_sub(F.col("o_orderdate").cast("date"), 30).alias("date_minus_30"),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+OP_CASTS_CONDITIONALS_SQL = """
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice) AS BIGINT)                       AS price_bi,
+       CAST(o_orderkey AS VARCHAR)                               AS key_txt,
+       CAST(o_orderdate AS DATE)                                 AS odate,
+       CASE WHEN o_totalprice > 150000.0 THEN 'big' ELSE 'small' END AS size_if,
+       COALESCE(o_orderpriority, 'none')                         AS prio,
+       CAST(o_orderdate AS DATE) - 30                            AS date_minus_30
+FROM orders
+ORDER BY o_orderkey
+LIMIT 500
+"""
+
+
+# === Beyond-reference upgrades (free in Spark SQL, SURVEY §2.2 note) =======
+
+
+def op_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / lag / running sum per user over the events stream.
+
+    The reference has no window functions; Spark's WindowExec provides them.
+    Partition by user_id (parallel across users at scale), order by the
+    unique event_id (deterministic; ts is ns-precision and engine-variant).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.lag("value", 1).over(w).alias("prev_value"),
+            F.sum(F.expr("CAST(value AS DECIMAL(18,4))"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+            .alias("running_value"),
+        )
+        .filter(F.col("user_id") <= 20)
+        .orderBy("user_id", "event_id")
+    )
+
+
+OP_WINDOW_FUNCTIONS_SQL = """
+SELECT user_id,
+       event_id,
+       ROW_NUMBER() OVER w AS rn,
+       LAG(value, 1) OVER w AS prev_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+WHERE user_id <= 20
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+ORDER BY user_id, event_id
+"""
+
+
+def op_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING (reference parser has no HAVING, select.rs:39-94)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("n_customers") > 5)
+        .orderBy("c_nationkey")
+    )
+
+
+OP_HAVING_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+HAVING COUNT(*) > 5
+ORDER BY c_nationkey
+"""
+
+
+def op_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS via left_semi + left_anti (no shuffle of payload
+    columns; the anti side is how `documents without embeddings`-style
+    pipeline filters run at scale)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    with_orders = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", F.lit("has_orders").alias("status"))
+    )
+    without = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", F.lit("no_orders").alias("status"))
+    )
+    return with_orders.union(without).orderBy("c_custkey")
+
+
+OP_SEMI_ANTI_JOIN_SQL = """
+SELECT c_custkey, 'has_orders' AS status FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS status FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def op_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (absent from the reference — SURVEY §2.2)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    both = (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(s.select(F.col("s_nationkey").alias("nationkey")))
+        .withColumn("side", F.lit("both"))
+    )
+    cust_only = (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .exceptAll(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+        .withColumn("side", F.lit("customer_only"))
+    )
+    return both.union(cust_only).orderBy("nationkey", "side")
+
+
+OP_INTERSECT_EXCEPT_SQL = """
+SELECT nationkey, 'both' AS side FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT nationkey, 'customer_only' AS side FROM (
+  SELECT DISTINCT nationkey FROM (
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+  )
+)
+ORDER BY nationkey, side
+"""
+
+
+def op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (absent from the reference)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))")).cast("double").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+OP_ROLLUP_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+QUERIES = {
+    "op_values_literals": op_values_literals,
+    "op_project_arithmetic": op_project_arithmetic,
+    "op_filter_bool": op_filter_bool,
+    "op_between": op_between,
+    "op_sort_limit_offset": op_sort_limit_offset,
+    "op_inner_join_residual": op_inner_join_residual,
+    "op_left_join": op_left_join,
+    "op_cross_join": op_cross_join,
+    "op_union_all": op_union_all,
+    "op_group_nulls": op_group_nulls,
+    "op_global_agg_empty": op_global_agg_empty,
+    "op_distinct": op_distinct,
+    "op_json_extract": op_json_extract,
+    "op_casts_conditionals": op_casts_conditionals,
+    "op_window_functions": op_window_functions,
+    "op_having": op_having,
+    "op_semi_anti_join": op_semi_anti_join,
+    "op_intersect_except": op_intersect_except,
+    "op_rollup": op_rollup,
+}
+
+ORACLE = {
+    "op_values_literals": OP_VALUES_LITERALS_SQL,
+    "op_project_arithmetic": OP_PROJECT_ARITHMETIC_SQL,
+    "op_filter_bool": OP_FILTER_BOOL_SQL,
+    "op_between": OP_BETWEEN_SQL,
+    "op_sort_limit_offset": OP_SORT_LIMIT_OFFSET_SQL,
+    "op_inner_join_residual": OP_INNER_JOIN_RESIDUAL_SQL,
+    "op_left_join": OP_LEFT_JOIN_SQL,
+    "op_cross_join": OP_CROSS_JOIN_SQL,
+    "op_union_all": OP_UNION_ALL_SQL,
+    "op_group_nulls": OP_GROUP_NULLS_SQL,
+    "op_global_agg_empty": OP_GLOBAL_AGG_EMPTY_SQL,
+    "op_distinct": OP_DISTINCT_SQL,
+    "op_json_extract": OP_JSON_EXTRACT_SQL,
+    "op_casts_conditionals": OP_CASTS_CONDITIONALS_SQL,
+    "op_window_functions": OP_WINDOW_FUNCTIONS_SQL,
+    "op_having": OP_HAVING_SQL,
+    "op_semi_anti_join": OP_SEMI_ANTI_JOIN_SQL,
+    "op_intersect_except": OP_INTERSECT_EXCEPT_SQL,
+    "op_rollup": OP_ROLLUP_SQL,
+}
