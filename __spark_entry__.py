@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from incresql_spark import tpch
-from incresql_spark.operators import relational
+from incresql_spark.operators import dedup, relational, similarity, text
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -26,6 +26,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(tpch.QUERIES)
     out.update(relational.QUERIES)
+    out.update(text.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
     return out
 
 
@@ -33,4 +36,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(tpch.ORACLE)
     out.update(relational.ORACLE)
+    out.update(text.ORACLE)
+    out.update(dedup.ORACLE)
+    out.update(similarity.ORACLE)
     return out

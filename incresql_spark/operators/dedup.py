@@ -1,0 +1,503 @@
+"""Deduplication operators over ``documents`` / ``embeddings`` — the dedup
+stage of a training-data pipeline (BASELINE.json north star).
+
+Five operators, every one oracle-matched against DuckDB (no weaker rows-only
+checks) because all randomness is derived from the cross-engine hash60
+primitive (functions/hashing.py):
+
+- ``dedup_exact``          — hash-groupBy on raw content
+- ``dedup_ngram_jaccard``  — exact 3-gram-shingle Jaccard over pairs sharing
+                             a shingle (the ground-truth near-dup measure)
+- ``dedup_minhash_lsh``    — 16 MinHashes → 4 LSH bands → candidate pairs →
+                             exact-Jaccard verification (the scale path:
+                             candidates only, never all pairs)
+- ``dedup_simhash``        — 60-bit SimHash + banded Hamming-distance pairs
+- ``dedup_embedding``      — embedding-cosine near-dup pairs (exact fold)
+
+Scale design: every stage is groupBy/join on keys that Spark shuffles
+hash-partitioned; nothing collects to the driver.  MinHash signatures are 16
+min() aggregates over one explode (one shuffle); LSH banding turns the
+quadratic pair search into per-band equi-joins (shuffle on band key — skew
+from giant buckets is handled by AQE skew-join splitting).  At 100 TB the
+only change needed is a salt on degenerate shingles (empty docs) and
+persisting the signature table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import (
+    double_hash_duck,
+    double_hash_spark,
+    hash60_spark_sql,
+    hash60_sql,
+)
+from .text import TOKENS_DUCK, TOKENS_SPARK
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+JACCARD_THRESHOLD = 0.5
+
+# 3-word shingles over the token array (guarded: <3 tokens → empty).
+SHINGLES_SPARK = (
+    "CASE WHEN size(tokens) >= 3 THEN "
+    "transform(sequence(0, size(tokens) - 3), i -> "
+    "concat_ws(' ', element_at(tokens, i + 1), element_at(tokens, i + 2), "
+    "element_at(tokens, i + 3))) "
+    "ELSE array() END"
+)
+SHINGLES_DUCK = (
+    "list_transform(range(0, greatest(len(tokens) - 2, 0)), i -> "
+    "tokens[i + 1] || ' ' || tokens[i + 2] || ' ' || tokens[i + 3])"
+)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles array<string> distinct, n_shingles)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("tokens", F.expr(TOKENS_SPARK))
+        .withColumn("shingles", F.array_distinct(F.expr(SHINGLES_SPARK)))
+        .select("doc_id", "shingles", F.size("shingles").alias("n_shingles"))
+        .filter(F.col("n_shingles") > 0)
+    )
+
+
+_DOC_SHINGLES_DUCK = f"""
+  SELECT doc_id, shingles, len(shingles) AS n_shingles
+  FROM (
+    SELECT doc_id, list_distinct({SHINGLES_DUCK}) AS shingles
+    FROM (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents) tk
+  ) sh
+  WHERE len(shingles) > 0
+"""
+
+
+# --- Exact dedup -----------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min doc_id.
+
+    The reference models dedup as groupBy-all-columns with frequency merge
+    (SURVEY §1.1 'all columns are the pk', storage/src/table.rs:320-346);
+    this is the same idea keyed on a content digest so only the 16-byte key
+    shuffles, not the document bodies.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+ORDER BY keeper_doc_id
+"""
+
+
+# --- Exact n-gram Jaccard (ground truth) -----------------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All near-dup pairs with shingle-Jaccard ≥ 0.5.
+
+    Pairs are generated only for documents sharing at least one shingle
+    (inverted-index join), never a full cross product — at scale the shared-
+    shingle join is the standard candidate generator for exact verification.
+    """
+    docsh = _doc_shingles(spark, sf_dir).persist()
+    exploded = docsh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "shingle"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "shingle"
+    )
+    return (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH docsh AS ({_DOC_SHINGLES_DUCK}),
+exploded AS (
+  SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM docsh
+)
+SELECT a.doc_id AS doc_a,
+       b.doc_id AS doc_b,
+       COUNT(*) AS n_common,
+       CAST(COUNT(*) AS DOUBLE)
+         / CAST(a.n_shingles + b.n_shingles - COUNT(*) AS DOUBLE) AS jaccard
+FROM exploded a
+JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n_shingles, b.n_shingles
+HAVING CAST(COUNT(*) AS DOUBLE)
+         / CAST(a.n_shingles + b.n_shingles - COUNT(*) AS DOUBLE) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures → LSH band buckets → candidates → exact verify.
+
+    16 hash functions (seeded hash60 family), 4 bands × 4 rows — collision
+    probability ≈ 1-(1-j⁴)⁴, steep around j≈0.5.  Candidates from any band
+    are verified with exact Jaccard via array intersection, so the output is
+    deterministic (and oracle-checkable); LSH only prunes the search space.
+    """
+    # Persist the shingle table: it feeds the signature build AND the final
+    # exact-verify join (on a cluster this is the signature/shingle table
+    # you would materialize once per corpus snapshot anyway).
+    docsh = _doc_shingles(spark, sf_dir).persist()
+    h1, h2 = double_hash_spark("shingle")
+    exploded = docsh.select("doc_id", F.explode("shingles").alias("shingle")).select(
+        "doc_id", F.expr(h1).alias("h1"), F.expr(h2).alias("h2")
+    )
+    # Kirsch-Mitzenmacher family: 16 minhashes from ONE md5 per shingle
+    # (h1 + i*h2 < 2^53, overflow-free in both engines).
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    # Long-format band table: ONE explode + ONE self-join on (band_id, key)
+    # instead of N_BANDS separate joins (which would recompute the signature
+    # pipeline 2×N_BANDS times).  Shuffles once, on the band key.
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(str(j)),
+                    *[F.col(f"mh{j * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                )
+            ).alias("bk"),
+        )
+        for j in range(N_BANDS)
+    ]
+    bands_long = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band"))
+        .select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.bk").alias("bk"))
+        .persist()
+    )
+    a = bands_long.select(F.col("doc_id").alias("doc_a"), "band_id", "bk")
+    b = bands_long.select(F.col("doc_id").alias("doc_b"), "band_id", "bk")
+    candidates = (
+        a.join(b, ["band_id", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = docsh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sha"),
+        F.col("n_shingles").alias("na"),
+    )
+    sb = docsh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("shb"),
+        F.col("n_shingles").alias("nb"),
+    )
+    return (
+        candidates.join(sa, ["doc_a"])
+        .join(sb, ["doc_b"])
+        .withColumn("n_common", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_lsh_oracle() -> str:
+    dh1, dh2 = double_hash_duck("shingle")
+    mh_cols = ",\n         ".join(
+        f"MIN(h1 + {i} * h2) AS mh{i}" for i in range(N_MINHASH)
+    )
+    band_cols = ",\n         ".join(
+        "md5(concat_ws(',', '{j}', {cols})) AS band{j}".format(
+            j=j,
+            cols=", ".join(f"mh{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for j in range(N_BANDS)
+    )
+    band_joins = "\n  UNION\n".join(
+        f"  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        f"  FROM bands a JOIN bands b ON a.band{j} = b.band{j} AND a.doc_id < b.doc_id"
+        for j in range(N_BANDS)
+    )
+    return f"""
+WITH docsh AS ({_DOC_SHINGLES_DUCK}),
+exploded AS (
+  SELECT doc_id, {dh1} AS h1, {dh2} AS h2
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM docsh) e
+),
+sig AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM exploded
+  GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+         {band_cols}
+  FROM sig
+),
+candidates AS (
+{band_joins}
+)
+SELECT c.doc_a,
+       c.doc_b,
+       len(list_intersect(a.shingles, b.shingles)) AS n_common,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / CAST(a.n_shingles + b.n_shingles
+                - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jaccard
+FROM candidates c
+JOIN docsh a ON a.doc_id = c.doc_a
+JOIN docsh b ON b.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / CAST(a.n_shingles + b.n_shingles
+               - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_MINHASH_LSH_SQL = _minhash_lsh_oracle()
+
+
+# --- SimHash ---------------------------------------------------------------
+SIMHASH_BITS = 60
+HAMMING_MAX = 8
+SIMHASH_BAND_BITS = 15
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash over token multiset."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.withColumn("tokens", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.explode("tokens").alias("token"))
+        .withColumn("h", F.expr(hash60_spark_sql("token")))
+    )
+    bits = tok.select(
+        "doc_id", "h", F.explode(F.expr("sequence(0, 59)")).alias("b")
+    ).groupBy("doc_id", "b").agg(
+        F.sum(
+            F.when(F.expr("(h div shiftleft(1L, b)) % 2") == 1, 1).otherwise(-1)
+        ).alias("bitsum")
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("bitsum") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+_SIMHASH_DUCK = f"""
+  SELECT doc_id,
+         SUM(CASE WHEN bitsum > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+  FROM (
+    SELECT doc_id, b,
+           SUM(CASE WHEN (h // (CAST(1 AS BIGINT) << b)) % 2 = 1 THEN 1 ELSE -1 END) AS bitsum
+    FROM (
+      SELECT doc_id, {hash60_sql('token')} AS h
+      FROM (SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents) tk
+    ) th
+    CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits
+    GROUP BY doc_id, b
+  ) bs
+  GROUP BY doc_id
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash banding + Hamming distance ≤ 8.
+
+    4 bands of 15 bits: any pair within Hamming distance 3 shares a band for
+    sure (pigeonhole); ≤8 keeps a wider, still-banded candidate net.  The
+    emitted pairs are exactly {{(a,b) sharing a band AND hamming ≤ 8}} —
+    deterministic, so oracle-checkable.
+    """
+    sim = _simhash(spark, sf_dir)
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.expr(
+                f"(simhash div shiftleft(1L, {j * SIMHASH_BAND_BITS})) % "
+                f"shiftleft(1L, {SIMHASH_BAND_BITS})"
+            ).alias(f"sband{j}")
+            for j in range(4)
+        ],
+    )
+    pairs = None
+    for j in range(4):
+        a = banded.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("simhash").alias("ha"),
+            F.col(f"sband{j}").alias("bk"),
+        )
+        b = banded.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("simhash").alias("hb"),
+            F.col(f"sband{j}").alias("bk"),
+        )
+        p = a.join(b, ["bk"]).filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b", "ha", "hb"
+        )
+        pairs = p if pairs is None else pairs.union(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_band_sql(j: int, col: str = "simhash") -> str:
+    return (
+        f"(({col} // (CAST(1 AS BIGINT) << {j * SIMHASH_BAND_BITS}))"
+        f" % (CAST(1 AS BIGINT) << {SIMHASH_BAND_BITS}))"
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH sim AS ({_SIMHASH_DUCK}),
+banded AS (
+  SELECT doc_id, simhash,
+         {", ".join(f"{_simhash_band_sql(j)} AS sband{j}" for j in range(4))}
+  FROM sim
+),
+pairs AS (
+{"  UNION".join(
+    f'''
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS ha, b.simhash AS hb
+  FROM banded a JOIN banded b ON a.sband{j} = b.sband{j} AND a.doc_id < b.doc_id
+'''
+    for j in range(4)
+)}
+)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+FROM pairs
+WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- Embedding-cosine near-dup ---------------------------------------------
+# The synthetic embeddings are not tightly clustered (max pairwise cosine
+# ≈ 0.32), so "near-dup" here means the top ~0.1% of the cosine distribution.
+COSINE_THRESHOLD = 0.30
+_DOT_SPARK = (
+    "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0D, (acc, x) -> acc + x)"
+)
+_NORM_SPARK = (
+    "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "0D, (acc, x) -> acc + x))"
+)
+_DOT_DUCK = (
+    "list_reduce(list_transform(list_zip(ea, eb), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+_NORM_DUCK = (
+    "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(acc, x) -> acc + x))"
+)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.99 among a deterministic 1/5th
+    subsample.  Exact left-fold float math matches the oracle bit-for-bit.
+
+    Scale path: this quadratic variant is the verifier; candidate pruning at
+    100 TB comes from ``similarity.sim_ann_lsh``'s hyperplane buckets.
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    withnorm = e.select(
+        "vec_id", "embedding", F.expr(_NORM_SPARK).alias("norm")
+    )
+    a = withnorm.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("norm_a")
+    )
+    b = withnorm.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("norm").alias("norm_b")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.expr(_DOT_SPARK) / (F.col("norm_a") * F.col("norm_b")))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH sub AS (
+  SELECT vec_id, embedding, {_NORM_DUCK} AS norm
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS ea, b.embedding AS eb,
+         a.norm AS norm_a, b.norm AS norm_b
+  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       {_DOT_DUCK} / (norm_a * norm_b) AS cosine
+FROM pairs
+WHERE {_DOT_DUCK} / (norm_a * norm_b) >= {COSINE_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+}
+
+ORACLE = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+}
+
+BENCH_QUERIES = {
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_exact": dedup_exact,
+}

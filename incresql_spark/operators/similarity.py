@@ -1,0 +1,224 @@
+"""Similarity search over the ``embeddings`` table (``array<float>`` column).
+
+- ``sim_topk_cosine`` — brute-force exact top-k cosine neighbours for a query
+  set (the correctness baseline).
+- ``sim_ann_lsh``     — random-hyperplane LSH: 8 signed projections → 8-bit
+  bucket → search only the query's bucket → exact top-k within it (the scale
+  path: bucket join instead of cross product).
+
+Oracle-matching strategy: hyperplane components are deterministic pseudo-
+randoms derived from md5 (functions/hashing.unit_interval), embedded as
+DOUBLE literals in BOTH the Spark plan and the DuckDB SQL; dot products are
+strict left folds in both engines (bit-identical, verified in tests).  So
+even the ANN variant is value-hash checkable — no rows-only fallback.
+
+Scale notes: the query set is small → Spark broadcasts it (verified in
+tests); the bucket join shuffles on an 8-bit key, which is skew-prone at
+extreme scale — production would raise the bit count with the corpus size
+(buckets ≈ N / 2^bits) and let AQE split residual skew.  The brute-force
+variant's cross join is the thing LSH exists to avoid; it stays quadratic
+and is only run on bounded query sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.hashing import unit_interval
+
+N_PLANES = 8
+DIM = 64
+TOP_K = 5
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+
+# Deterministic hyperplanes: component (j, d) = md5-derived uniform in [-1, 1).
+HYPERPLANES = [
+    [unit_interval(f"plane{j}:dim{d}") * 2.0 - 1.0 for d in range(DIM)]
+    for j in range(N_PLANES)
+]
+
+
+def _dot_literal_spark(vec_col: str, plane: list[float]) -> str:
+    arr = ", ".join(f"{x!r}D" for x in plane)
+    return (
+        f"aggregate(zip_with({vec_col}, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
+    )
+
+
+def _dot_literal_duck(vec_col: str, plane: list[float]) -> str:
+    arr = ", ".join(repr(x) for x in plane)
+    return (
+        f"list_reduce(list_transform(list_zip({vec_col}, [{arr}]), "
+        f"p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, x) -> acc + x)"
+    )
+
+
+_NORM_SPARK = (
+    "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "0D, (acc, x) -> acc + x))"
+)
+_NORM_DUCK = (
+    "sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(acc, x) -> acc + x))"
+)
+_DOT_AB_SPARK = (
+    "aggregate(zip_with(qe, ne, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "0D, (acc, x) -> acc + x)"
+)
+_DOT_AB_DUCK = (
+    "list_reduce(list_transform(list_zip(qe, ne), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+
+def _bucket_expr_spark() -> str:
+    bits = [
+        f"(CASE WHEN {_dot_literal_spark('embedding', HYPERPLANES[j])} > 0D "
+        f"THEN shiftleft(1L, {j}) ELSE 0L END)"
+        for j in range(N_PLANES)
+    ]
+    return " + ".join(bits)
+
+
+def _bucket_expr_duck() -> str:
+    bits = [
+        f"(CASE WHEN {_dot_literal_duck('embedding', HYPERPLANES[j])} > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+        for j in range(N_PLANES)
+    ]
+    return " + ".join(bits)
+
+
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbours for each of the 8 query vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    withnorm = e.select("vec_id", "embedding", F.expr(_NORM_SPARK).alias("norm"))
+    q = withnorm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    n = withnorm.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("norm").alias("nnorm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.crossJoin(n)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(_DOT_AB_SPARK) / (F.col("qnorm") * F.col("nnorm")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+SIM_TOPK_COSINE_SQL = f"""
+WITH withnorm AS (
+  SELECT vec_id, embedding, {_NORM_DUCK} AS norm FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id,
+         n.vec_id AS neighbor_id,
+         {_DOT_AB_DUCK} / (q.norm * n.norm) AS cosine
+  FROM (SELECT vec_id, embedding AS qe, norm FROM withnorm WHERE vec_id < {N_QUERIES}) q
+  JOIN (SELECT vec_id, embedding AS ne, norm FROM withnorm) n
+    ON q.vec_id <> n.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: search only the query's hyperplane-LSH bucket, exact top-3 inside.
+
+    Recall vs the brute-force baseline is measured in tests; the driver gate
+    checks exact determinism (same buckets → same candidates → same ranks in
+    both engines)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM_SPARK).alias("norm"),
+        F.expr(_bucket_expr_spark()).alias("bucket"),
+    )
+    q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    )
+    n = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("norm").alias("nnorm"),
+        "bucket",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(n, ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(_DOT_AB_SPARK) / (F.col("qnorm") * F.col("nnorm")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "bucket", "neighbor_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+SIM_ANN_LSH_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         {_NORM_DUCK} AS norm,
+         {_bucket_expr_duck()} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id,
+         q.bucket AS bucket,
+         n.vec_id AS neighbor_id,
+         {_DOT_AB_DUCK} / (q.norm * n.norm) AS cosine
+  FROM (SELECT vec_id, embedding AS qe, norm, bucket FROM bucketed WHERE vec_id < {N_QUERIES}) q
+  JOIN (SELECT vec_id, embedding AS ne, norm, bucket FROM bucketed) n USING (bucket)
+  WHERE q.vec_id <> n.vec_id
+),
+ranked AS (
+  SELECT query_id, bucket, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, bucket, neighbor_id, rank, cosine
+FROM ranked
+WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
+QUERIES = {
+    "sim_topk_cosine": sim_topk_cosine,
+    "sim_ann_lsh": sim_ann_lsh,
+}
+
+ORACLE = {
+    "sim_topk_cosine": SIM_TOPK_COSINE_SQL,
+    "sim_ann_lsh": SIM_ANN_LSH_SQL,
+}
+
+BENCH_QUERIES = {"sim_topk_cosine": sim_topk_cosine}

@@ -1,0 +1,222 @@
+"""Text-analysis operators over the ``documents`` table — the language-ID /
+quality-scoring / token-counting / fingerprinting stage of a training-data
+pipeline (BASELINE.json north star; beyond the reference's own surface).
+
+All four operators are pure Column expressions (JVM-side, whole-stage
+codegen, no Python) and oracle-matched against DuckDB.  The shared token
+convention is ``regexp_extract_all(lower(text), '[a-z0-9]+')`` — identical
+semantics in both engines for ASCII input.
+
+Scale: each operator is a narrow map over documents — no shuffle at all
+except the final ORDER BY (which exists only for test determinism and would
+be dropped in production).  At 100 TB this is the ideal shape: scan →
+project → write, fully pipelined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+TOKENS_SPARK = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+TOKENS_DUCK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# Stopword list used by the quality score (count of function words is a
+# classic cheap fluency proxy).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+# Marker words per language for the n-gram/stopword language-ID heuristic.
+# The corpus is synthetic, so markers are drawn from its vocabulary; the
+# mechanism (per-language marker counting + argmax) is the real deliverable.
+LANG_MARKERS = {
+    "en": ("the", "fast", "order", "scan"),
+    "de": ("und", "der", "das", "merge"),
+    "es": ("el", "la", "los", "stream"),
+}
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / token / punctuation / stopword features and
+    a composite quality score.  Everything derives from one tokens array."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("tokens", F.expr(TOKENS_SPARK))
+        .select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("len_chars"),
+            F.size("tokens").alias("n_tokens"),
+            F.size(F.array_distinct("tokens")).alias("n_unique_tokens"),
+            (
+                F.expr("aggregate(tokens, 0L, (acc, t) -> acc + length(t))").cast("double")
+                / F.size("tokens").cast("double")
+            ).alias("avg_token_len"),
+            (
+                (
+                    F.length("text")
+                    - F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+                ).cast("double")
+                / F.length("text").cast("double")
+            ).alias("alnum_space_ratio"),
+            (
+                F.expr(
+                    f"size(filter(tokens, t -> t IN ({_sql_list(STOPWORDS)})))"
+                ).cast("double")
+                / F.size("tokens").cast("double")
+            ).alias("stopword_ratio"),
+            (
+                F.size(F.array_distinct("tokens")).cast("double")
+                / F.size("tokens").cast("double")
+            ).alias("ttr"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       lang,
+       length(text)                                               AS len_chars,
+       len(tokens)                                                AS n_tokens,
+       len(list_distinct(tokens))                                 AS n_unique_tokens,
+       CAST(list_reduce(list_transform(tokens, t -> length(t)), (a, b) -> a + b) AS DOUBLE)
+         / CAST(len(tokens) AS DOUBLE)                            AS avg_token_len,
+       CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         / CAST(length(text) AS DOUBLE)                           AS alnum_space_ratio,
+       CAST(len(list_filter(tokens, t -> t IN ({_sql_list(STOPWORDS)}))) AS DOUBLE)
+         / CAST(len(tokens) AS DOUBLE)                            AS stopword_ratio,
+       CAST(len(list_distinct(tokens)) AS DOUBLE)
+         / CAST(len(tokens) AS DOUBLE)                            AS ttr
+FROM (SELECT doc_id, lang, text, {TOKENS_DUCK} AS tokens FROM documents) t
+ORDER BY doc_id
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-word counting + deterministic argmax."""
+    d = load_table(spark, sf_dir, "documents")
+    df = d.withColumn("tokens", F.expr(TOKENS_SPARK))
+    for lang, markers in LANG_MARKERS.items():
+        df = df.withColumn(
+            f"score_{lang}",
+            F.expr(f"size(filter(tokens, t -> t IN ({_sql_list(markers)})))"),
+        )
+    predicted = (
+        F.when(
+            (F.col("score_en") >= F.col("score_de")) & (F.col("score_en") >= F.col("score_es")),
+            F.lit("en"),
+        )
+        .when(F.col("score_de") >= F.col("score_es"), F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    return (
+        df.select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.col("score_en"),
+            F.col("score_de"),
+            F.col("score_es"),
+            predicted.alias("predicted_lang"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_LANGID_SQL = f"""
+SELECT doc_id,
+       lang AS true_lang,
+       score_en,
+       score_de,
+       score_es,
+       CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+            WHEN score_de >= score_es THEN 'de'
+            ELSE 'es' END AS predicted_lang
+FROM (
+  SELECT doc_id, lang,
+         len(list_filter(tokens, t -> t IN ({_sql_list(LANG_MARKERS["en"])}))) AS score_en,
+         len(list_filter(tokens, t -> t IN ({_sql_list(LANG_MARKERS["de"])}))) AS score_de,
+         len(list_filter(tokens, t -> t IN ({_sql_list(LANG_MARKERS["es"])}))) AS score_es
+  FROM (SELECT doc_id, lang, {TOKENS_DUCK} AS tokens FROM documents) t
+) s
+ORDER BY doc_id
+"""
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword count
+    (greedy ≤4-char alnum pieces — a deterministic proxy for byte-pair
+    piece counts usable for corpus token-budget estimates)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.expr("regexp_extract_all(text, '\\\\S+', 0)")).alias("n_ws_tokens"),
+            F.size(F.expr(TOKENS_SPARK)).alias("n_word_tokens"),
+            F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]{1,4}', 0)")).alias(
+                "n_bpe_pieces"
+            ),
+            (F.length("text").cast("double") / F.size(F.expr(TOKENS_SPARK)).cast("double")).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_TOKENS_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+'))                     AS n_ws_tokens,
+       len({TOKENS_DUCK})                                        AS n_word_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]{{1,4}}'))   AS n_bpe_pieces,
+       CAST(length(text) AS DOUBLE) / CAST(len({TOKENS_DUCK}) AS DOUBLE) AS chars_per_token
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: OpenRefine-style key (md5 of sorted distinct
+    tokens — whitespace/case/order-insensitive) + raw-content md5."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.md5("text").alias("content_hash"),
+            F.md5(
+                F.concat_ws(" ", F.array_sort(F.array_distinct(F.expr(TOKENS_SPARK))))
+            ).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(text) AS content_hash,
+       md5(array_to_string(list_sort(list_distinct({TOKENS_DUCK})), ' ')) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_langid": text_langid,
+    "text_tokens": text_tokens,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLE = {
+    "text_stats": TEXT_STATS_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_tokens": TEXT_TOKENS_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}
+
+BENCH_QUERIES = {"text_stats": text_stats}

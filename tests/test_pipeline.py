@@ -1,0 +1,89 @@
+"""Training-data pipeline operators vs the DuckDB oracle, plus the
+cross-engine primitives they rest on (hash60, strict-left-fold float math)
+and algorithmic sanity checks (LSH recall vs the exact baseline)."""
+
+from __future__ import annotations
+
+import pytest
+
+from incresql_spark.operators import dedup, similarity, text
+
+from .conftest import SF_SMALL
+from .oracle import assert_matches_oracle
+
+ALL = {}
+for mod in (text, dedup, similarity):
+    for name in mod.QUERIES:
+        ALL[name] = (mod.QUERIES[name], mod.ORACLE[name])
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_pipeline_matches_oracle(spark, duck, name):
+    fn, sql = ALL[name]
+    assert_matches_oracle(spark, duck, fn, sql, SF_SMALL)
+
+
+def test_hash60_parity(spark, duck):
+    """functions/hashing: Spark conv(md5) == DuckDB 0x-cast(md5), ±seeds."""
+    from incresql_spark.functions.hashing import (
+        hash60_spark_sql,
+        hash60_sql,
+        py_hash60,
+    )
+
+    for seed in (None, 0, 7):
+        s = spark.sql(f"SELECT {hash60_spark_sql(chr(39) + 'probe' + chr(39), seed)} AS h").collect()[0].h
+        d = duck.sql(f"SELECT {hash60_sql(chr(39) + 'probe' + chr(39), seed)} AS h").fetchall()[0][0]
+        p = py_hash60("probe", seed)
+        assert s == d == p, (seed, s, d, p)
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidates must contain every exact-Jaccard pair ≥ threshold at
+    this corpus (16 hashes / 4 bands has ~99% collision prob at j=0.7)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_ngram_jaccard(spark, SF_SMALL).collect()
+        if r.jaccard >= 0.7
+    }
+    lsh = {
+        (r.doc_a, r.doc_b) for r in dedup.dedup_minhash_lsh(spark, SF_SMALL).collect()
+    }
+    assert exact, "corpus should contain near-dup pairs"
+    missed = exact - lsh
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_ann_results_subset_of_bruteforce_space(spark):
+    """Every ANN hit must carry the exact cosine the brute-force path
+    computes (same fold → identical doubles)."""
+    brute = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.sim_topk_cosine(spark, SF_SMALL).collect()
+    }
+    ann = similarity.sim_ann_lsh(spark, SF_SMALL).collect()
+    assert ann, "ANN should return hits"
+    for r in ann:
+        if (r.query_id, r.neighbor_id) in brute:
+            assert brute[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_simhash_hamming_reflects_similarity(spark):
+    """Near-dup pairs found by exact Jaccard should appear among SimHash
+    pairs with small Hamming distance (SimHash preserves cosine-ish
+    similarity of the token multiset)."""
+    jacc = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_ngram_jaccard(spark, SF_SMALL).collect()
+        if r.jaccard >= 0.9
+    }
+    sim = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.dedup_simhash(spark, SF_SMALL).collect()
+    }
+    # SimHash measures token-multiset similarity, shingle-Jaccard measures
+    # ordered-3-gram similarity — correlated but not identical, so require
+    # majority agreement rather than containment.
+    hits = [p for p in jacc if p in sim]
+    assert len(hits) >= len(jacc) * 0.5, (len(hits), len(jacc))
+    assert all(h <= dedup.HAMMING_MAX for h in sim.values())
