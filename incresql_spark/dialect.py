@@ -1,0 +1,84 @@
+"""SQL dialect shim: the reference's MySQL-flavoured SQL → Spark SQL.
+
+The reference parses its own small grammar (parser/src/*.rs, SURVEY §3.1).
+We do NOT port that parser — Spark SQL parses everything; this module only
+rewrites the handful of constructs Spark spells differently (SURVEY §7 M2):
+
+- ``expr -> "$.path"`` / ``expr ->> "$.path"``  → variant/get_json_object
+  calls (functions/json.py), with JSONPath dialect translation.
+- ``FROM DIRECTORY "path" [WITH(DELIMITER="|")]`` → a registered temp view
+  over sources/directory.read_directory.
+- ``count()``        → ``count(*)``   (zero-arg count, count.rs:6-55)
+- ``database()``     → ``current_database()`` shim (session db injected)
+- ``type_of(x)``     → ``typeof(x)``
+
+Double-quoted string literals need no rewrite (Spark accepts them outside
+ANSI-identifier mode), nor do the comparison/boolean/arith operators.
+
+Known, documented deviations (value-compatible, type-differing):
+- int/int division returns DOUBLE (Spark) instead of DECIMAL (divide.rs) —
+  same numeric value for the reference's test corpus.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from .functions.json import arrow_sql, double_arrow_sql
+
+# lhs: function call with up to one nested paren level, qualified identifier,
+# or backticked identifier.  rhs: single- or double-quoted path literal.
+_ARROW = re.compile(
+    r"""(?P<lhs>[\w.`]+\([^()]*(?:\([^()]*\)[^()]*)*\)   # fn call, 1 nested level
+              |'(?:[^'\\]|\\.)*'                         # string literal
+              |[\w.`]+)                                  # (qualified) identifier
+        \s*(?P<op>->>|->)\s*
+        (?P<q>['"])(?P<path>[^'"]*)(?P=q)""",
+    re.VERBOSE,
+)
+
+_DIRECTORY = re.compile(
+    r"""(?:FROM|JOIN)\s+DIRECTORY\s+(?P<q>['"])(?P<path>[^'"]+)(?P=q)
+        (?:\s+WITH\s*\(\s*DELIMITER\s*=\s*(?P<q2>['"])(?P<delim>[^'"]+)(?P=q2)\s*\))?""",
+    re.VERBOSE | re.IGNORECASE,
+)
+
+_COUNT0 = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
+_TYPE_OF = re.compile(r"\btype_of\s*\(", re.IGNORECASE)
+_DATABASE_FN = re.compile(r"\bdatabase\s*\(\s*\)", re.IGNORECASE)
+
+
+def rewrite(
+    sql: str,
+    current_db: str = "default",
+    register_directory: Callable[[str, str], str] | None = None,
+) -> str:
+    """Rewrite a reference-dialect statement into Spark SQL.
+
+    ``register_directory(path, delimiter) -> view_name`` is called for each
+    DIRECTORY source; the returned temp-view name is substituted.
+    """
+    out = sql
+
+    # arrow operators (innermost-first; loop handles chains like a->"$.b"->>"$.c")
+    while True:
+        m = _ARROW.search(out)
+        if m is None:
+            break
+        fn = double_arrow_sql if m.group("op") == "->>" else arrow_sql
+        out = out[: m.start()] + fn(m.group("lhs"), m.group("path")) + out[m.end() :]
+
+    # DIRECTORY sources
+    if register_directory is not None:
+        def _sub_dir(m: re.Match) -> str:
+            view = register_directory(m.group("path"), m.group("delim") or ",")
+            kw = m.group(0).lstrip().split(None, 1)[0]  # FROM or JOIN
+            return f"{kw} {view}"
+
+        out = _DIRECTORY.sub(_sub_dir, out)
+
+    out = _COUNT0.sub("count(*)", out)
+    out = _TYPE_OF.sub("typeof(", out)
+    out = _DATABASE_FN.sub(f"'{current_db}'", out)
+    return out

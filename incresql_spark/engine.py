@@ -1,0 +1,378 @@
+"""The engine front-end: ``Engine.execute_statement(sql)`` — the reference's
+``Connection::execute_statement`` (runtime/src/connection.rs:28-144)
+re-expressed over Spark SQL.
+
+Statement surface (reference ``Statement`` enum, ast/src/statement.rs:6-19):
+CREATE/DROP DATABASE, USE, CREATE TABLE, CREATE VIEW (stored as SQL text
+with its db context, inlined at plan time — catalog/src/lib.rs:42-46,
+resolve_tables.rs:34-61), DROP TABLE/VIEW, INSERT INTO (VALUES or SELECT),
+DELETE FROM (WHERE/LIMIT with freq splitting), COMPACT TABLE, EXPLAIN,
+SHOW DATABASES/TABLES/FUNCTIONS, and SELECT passthrough (dialect-rewritten,
+planned and executed entirely by Catalyst).
+
+Tables are FreqTable multisets (frequency.py); views are inlined by
+registering them as temp views built from their stored SQL in their own
+database context (recursive, cycle-guarded) — exactly the reference's
+inline-at-resolution model.  Name qualification: Spark temp views cannot
+contain dots, so ``db.table`` references are mangled to ``db__table`` and
+both spellings are registered.
+
+Scale: the engine layer is pure metadata + plan construction; all data
+movement is Catalyst-planned Spark jobs.  The warehouse directory can be
+any Hadoop-compatible filesystem path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from . import dialect
+from .frequency import FreqTable
+from .materialize import MaterializedView
+from .sources.directory import read_directory
+
+_TYPE_MAP = {
+    "BOOLEAN": "boolean",
+    "BOOL": "boolean",
+    "INT": "int",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "TEXT": "string",
+    "VARCHAR": "string",
+    "BYTEA": "binary",
+    "JSON": "string",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp_ntz",
+}
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+_QNAME = rf"(?:{_IDENT}\.)?{_IDENT}"
+
+
+def _split_name(name: str, current_db: str) -> tuple[str, str]:
+    if "." in name:
+        db, t = name.split(".", 1)
+        return db, t
+    return current_db, name
+
+
+@dataclass
+class EngineResult:
+    """(fields, rows) in the reference's result shape, plus the DataFrame."""
+
+    columns: list[str] = field(default_factory=list)
+    rows: list[tuple] = field(default_factory=list)
+    df: DataFrame | None = None
+
+    def pipes(self) -> list[str]:
+        """Reference golden format: one ``|v1|v2|`` line per row
+        (tests/runner/mod.rs:17-79)."""
+
+        def fmt(v) -> str:
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "TRUE" if v else "FALSE"
+            return str(v)
+
+        return ["|" + "|".join(fmt(v) for v in r) + "|" for r in self.rows]
+
+
+class Engine:
+    """One engine instance over a warehouse directory (≈ a server process)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.current_db = "default"
+        os.makedirs(os.path.join(warehouse, "default"), exist_ok=True)
+        self._dir_views = 0
+
+    # ---- catalog helpers ---------------------------------------------------
+    def _db_path(self, db: str) -> str:
+        return os.path.join(self.warehouse, db)
+
+    def _table(self, db: str, name: str) -> FreqTable:
+        return FreqTable(self.spark, os.path.join(self._db_path(db), name))
+
+    def _views_path(self, db: str) -> str:
+        return os.path.join(self._db_path(db), "_views.json")
+
+    def _views(self, db: str) -> dict[str, dict]:
+        p = self._views_path(db)
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return {}
+
+    def _save_views(self, db: str, views: dict[str, dict]) -> None:
+        with open(self._views_path(db), "w") as fh:
+            json.dump(views, fh)
+
+    def _mvs_path(self, db: str) -> str:
+        return os.path.join(self._db_path(db), "_mvs.json")
+
+    def _mvs(self, db: str) -> dict[str, dict]:
+        p = self._mvs_path(db)
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return {}
+
+    def _save_mvs(self, db: str, mvs: dict[str, dict]) -> None:
+        with open(self._mvs_path(db), "w") as fh:
+            json.dump(mvs, fh)
+
+    def _mv(self, db: str, name: str) -> MaterializedView:
+        meta = self._mvs(db)[name]
+        bdb, bt = meta["base"].split(".")
+        return MaterializedView(
+            self.spark,
+            name,
+            self._table(bdb, bt),
+            meta["select_list"],
+            meta.get("where"),
+            meta.get("group_by"),
+            os.path.join(self._db_path(db), f"{name}__mv"),
+        )
+
+    def databases(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.warehouse)
+            if os.path.isdir(self._db_path(d))
+        )
+
+    def tables(self, db: str) -> list[tuple[str, str]]:
+        """[(name, kind)] where kind ∈ {table, view}."""
+        out = []
+        dbp = self._db_path(db)
+        if os.path.isdir(dbp):
+            for name in sorted(os.listdir(dbp)):
+                if os.path.exists(os.path.join(dbp, name, "schema.json")):
+                    out.append((name, "table"))
+        out.extend((v, "view") for v in sorted(self._views(db)))
+        return out
+
+    # ---- registration (the resolve_tables phase) ---------------------------
+    def _register_all(self) -> None:
+        """Register every table and view as temp views (both bare and
+        db__qualified names).  Views are built from their stored SQL in
+        their own db context — the reference's inline semantics."""
+        for db in self.databases():
+            for name, kind in self.tables(db):
+                if kind != "table":
+                    continue
+                df = self._table(db, name).scan()
+                if db == self.current_db:
+                    df.createOrReplaceTempView(name)
+                df.createOrReplaceTempView(f"{db}__{name}")
+        for db in self.databases():
+            for mvname in self._mvs(db):
+                df = self._mv(db, mvname).read()
+                if db == self.current_db:
+                    df.createOrReplaceTempView(mvname)
+                df.createOrReplaceTempView(f"{db}__{mvname}")
+        seen: set[tuple[str, str]] = set()
+        for db in self.databases():
+            for vname in self._views(db):
+                self._register_view(db, vname, seen)
+
+    def _register_view(self, db: str, name: str, seen: set) -> None:
+        if (db, name) in seen:
+            return
+        seen.add((db, name))
+        meta = self._views(db)[name]
+        sql = self._qualify(meta["sql"], meta["context_db"])
+        df = self.spark.sql(dialect.rewrite(sql, meta["context_db"], self._register_dir))
+        if db == self.current_db:
+            df.createOrReplaceTempView(name)
+        df.createOrReplaceTempView(f"{db}__{name}")
+
+    def _qualify(self, sql: str, context_db: str) -> str:
+        """Mangle ``db.table`` → ``db__table`` (Spark temp views are dotless)."""
+        known = set(self.databases())
+
+        def sub(m: re.Match) -> str:
+            db, t = m.group(1), m.group(2)
+            return f"{db}__{t}" if db in known else m.group(0)
+
+        return re.sub(rf"\b({_IDENT})\.({_IDENT})\b", sub, sql)
+
+    def _register_dir(self, path: str, delim: str) -> str:
+        self._dir_views += 1
+        view = f"__dir_{self._dir_views}"
+        read_directory(self.spark, path, delim).createOrReplaceTempView(view)
+        return view
+
+    def _run_select(self, sql: str) -> DataFrame:
+        self._register_all()
+        rewritten = dialect.rewrite(
+            self._qualify(sql, self.current_db), self.current_db, self._register_dir
+        )
+        return self.spark.sql(rewritten)
+
+    # ---- statements --------------------------------------------------------
+    def execute_statement(self, sql: str) -> EngineResult:
+        s = sql.strip().rstrip(";").strip()
+        u = s.upper()
+
+        if u.startswith("CREATE DATABASE"):
+            name = s.split()[2]
+            os.makedirs(self._db_path(name), exist_ok=True)
+            return EngineResult()
+        if u.startswith("DROP DATABASE"):
+            shutil.rmtree(self._db_path(s.split()[2]), ignore_errors=True)
+            return EngineResult()
+        if u.startswith("USE "):
+            db = s.split()[1]
+            if db not in self.databases():
+                raise ValueError(f"unknown database {db}")
+            self.current_db = db
+            return EngineResult()
+
+        m = re.match(rf"CREATE TABLE ({_QNAME})\s*\((.*)\)\s*$", s, re.IGNORECASE | re.DOTALL)
+        if m:
+            db, name = _split_name(m.group(1), self.current_db)
+            fields = []
+            for coldef in re.split(r",(?![^()]*\))", m.group(2)):
+                parts = coldef.strip().split(None, 1)
+                cname, ctype = parts[0], parts[1].strip().upper()
+                dm = re.match(r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", ctype)
+                if dm:
+                    stype = f"decimal({dm.group(1)},{dm.group(2)})"
+                else:
+                    if ctype not in _TYPE_MAP:
+                        raise ValueError(f"unknown type {ctype}")
+                    stype = _TYPE_MAP[ctype]
+                fields.append(T.StructField(cname, T._parse_datatype_string(stype)))
+            tbl = self._table(db, name)
+            if tbl.exists():
+                raise ValueError(f"table {db}.{name} already exists")
+            tbl.create(T.StructType(fields))
+            return EngineResult()
+
+        m = re.match(
+            rf"CREATE MATERIALIZED VIEW ({_QNAME})\s+AS\s+"
+            rf"SELECT\s+(.*?)\s+FROM\s+({_QNAME})"
+            rf"(?:\s+WHERE\s+(.*?))?(?:\s+GROUP\s+BY\s+(.*?))?\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            db, name = _split_name(m.group(1), self.current_db)
+            bdb, bt = _split_name(m.group(3), self.current_db)
+            if not self._table(bdb, bt).exists():
+                raise ValueError(f"unknown base table {bdb}.{bt}")
+            mvs = self._mvs(db)
+            mvs[name] = {
+                "base": f"{bdb}.{bt}",
+                "select_list": m.group(2),
+                "where": m.group(4),
+                "group_by": m.group(5),
+            }
+            self._save_mvs(db, mvs)
+            self._mv(db, name).refresh()
+            return EngineResult()
+
+        m = re.match(rf"REFRESH MATERIALIZED VIEW ({_QNAME})\s*$", s, re.IGNORECASE)
+        if m:
+            db, name = _split_name(m.group(1), self.current_db)
+            n = self._mv(db, name).refresh()
+            return EngineResult(["delta_rows"], [(n,)])
+
+        m = re.match(rf"DROP MATERIALIZED VIEW ({_QNAME})\s*$", s, re.IGNORECASE)
+        if m:
+            db, name = _split_name(m.group(1), self.current_db)
+            self._mv(db, name).drop()
+            mvs = self._mvs(db)
+            mvs.pop(name, None)
+            self._save_mvs(db, mvs)
+            return EngineResult()
+
+        m = re.match(rf"CREATE VIEW ({_QNAME})\s+AS\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
+        if m:
+            db, name = _split_name(m.group(1), self.current_db)
+            self._run_select(m.group(2))  # validate now, like the reference
+            views = self._views(db)
+            views[name] = {"sql": m.group(2), "context_db": self.current_db}
+            self._save_views(db, views)
+            return EngineResult()
+
+        m = re.match(rf"DROP TABLE ({_QNAME})\s*$", s, re.IGNORECASE)
+        if m:
+            db, name = _split_name(m.group(1), self.current_db)
+            self._table(db, name).drop()
+            return EngineResult()
+
+        m = re.match(rf"DROP VIEW ({_QNAME})\s*$", s, re.IGNORECASE)
+        if m:
+            db, name = _split_name(m.group(1), self.current_db)
+            views = self._views(db)
+            views.pop(name, None)
+            self._save_views(db, views)
+            return EngineResult()
+
+        m = re.match(rf"COMPACT TABLE ({_QNAME})\s*$", s, re.IGNORECASE)
+        if m:
+            db, name = _split_name(m.group(1), self.current_db)
+            self._table(db, name).compact()
+            return EngineResult()
+
+        m = re.match(rf"INSERT INTO ({_QNAME})\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
+        if m:
+            db, name = _split_name(m.group(1), self.current_db)
+            source_df = self._run_select(
+                m.group(2) if m.group(2).upper().startswith(("SELECT", "VALUES"))
+                else "SELECT " + m.group(2)
+            )
+            self._table(db, name).insert(source_df)
+            return EngineResult()
+
+        m = re.match(
+            rf"DELETE FROM ({_QNAME})(?:\s+WHERE\s+(.*?))?(?:\s+LIMIT\s+(\d+))?\s*$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            db, name = _split_name(m.group(1), self.current_db)
+            cond = m.group(2)
+            if cond:
+                cond = dialect.rewrite(cond, self.current_db)
+                # strip table qualifiers the reference allows (t1.b = ...)
+                cond = re.sub(rf"\b{name}\.", "", cond)
+            limit = int(m.group(3)) if m.group(3) else None
+            self._table(db, name).delete_where(cond, limit)
+            return EngineResult()
+
+        if u.startswith("SHOW DATABASES"):
+            rows = [(d,) for d in self.databases()]
+            return EngineResult(["name"], rows)
+        if u.startswith("SHOW TABLES"):
+            rows = [(n, k) for n, k in self.tables(self.current_db)]
+            return EngineResult(["name", "type"], rows)
+        if u.startswith("SHOW FUNCTIONS"):
+            fns = sorted(
+                r.function for r in self.spark.sql("SHOW FUNCTIONS").collect()
+            )
+            return EngineResult(["name"], [(f,) for f in fns])
+
+        if u.startswith("EXPLAIN"):
+            df = self._run_select(s[len("EXPLAIN"):].strip())
+            plan = df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            return EngineResult(["plan"], [(line,) for line in plan.splitlines()])
+
+        # SELECT / VALUES passthrough
+        df = self._run_select(s)
+        rows = [tuple(r) for r in df.collect()]
+        return EngineResult(list(df.columns), rows, df)

@@ -1,0 +1,233 @@
+"""The ``__freq`` multiset layer — the reference's core semantic carried into
+Spark.
+
+In the reference every tuple moves with a signed i64 frequency
+(data/src/tuple_iter.rs:5-21); INSERT merges frequencies per row
+(storage/src/table.rs:320-346), DELETE is an insert of negated frequencies
+(parser/src/delete.rs:56-60, executor negate_freq.rs:7-32), zero-frequency
+rows vanish (table.rs:252-257, compaction filter storage.rs:156-167), and
+scans see a point-in-time snapshot via MVCC timestamps (table.rs:128-171).
+
+Spark-native equivalent implemented here — a log-structured parquet table:
+
+- each write appends one immutable *segment* parquet file tagged with a
+  logical timestamp (= the reference's LogicalTimestamp in ms),
+- a scan at time T unions the segments with ts ≤ T (file-level pruning —
+  pure metadata, no data read) and, only when any segment may contain
+  negative frequencies, merges on read with
+  ``groupBy(*cols).agg(sum(__freq))`` + ``freq > 0`` — exactly RocksDB's
+  ``frequency_merge`` merge-operator semantics,
+- ``COMPACT TABLE`` rewrites all segments into one merged segment
+  (reference: storage/src/table.rs:52-60 forced compaction),
+- DELETE ... LIMIT n splits a freq>k row arithmetically (reference test
+  tests/delete/mod.rs:35-43) using a cumulative-frequency window.
+
+Scale: segments are append-only parquet (no read-modify-write on ingest —
+O(delta) per insert, like an LSM); merge-on-read is a single hash shuffle on
+the row-key; compaction bounds read amplification.  On a cluster the segment
+directory lives on object storage and the same code runs unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FREQ = "__freq"
+
+
+def _type_from_str(s: str) -> T.DataType:
+    return T._parse_datatype_string(s)
+
+
+class FreqTable:
+    """One log-structured multiset table (directory of segment parquets)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- metadata ------------------------------------------------------------
+    @property
+    def _schema_path(self) -> str:
+        return os.path.join(self.path, "schema.json")
+
+    def create(self, schema: T.StructType) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        meta = {
+            "columns": [(f.name, f.dataType.simpleString()) for f in schema.fields],
+            "created_ms": int(time.time() * 1000),
+        }
+        with open(self._schema_path, "w") as fh:
+            json.dump(meta, fh)
+
+    def exists(self) -> bool:
+        return os.path.exists(self._schema_path)
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    def schema(self) -> T.StructType:
+        with open(self._schema_path) as fh:
+            meta = json.load(fh)
+        return T.StructType(
+            [T.StructField(n, _type_from_str(t)) for n, t in meta["columns"]]
+        )
+
+    def columns(self) -> list[str]:
+        return [f.name for f in self.schema().fields]
+
+    def _segments(self, as_of_ms: int | None = None) -> list[dict]:
+        segs = []
+        if not os.path.isdir(self.path):
+            return segs
+        for name in sorted(os.listdir(self.path)):
+            if not name.startswith("seg-"):
+                continue
+            with open(os.path.join(self.path, name, "_segmeta.json")) as fh:
+                meta = json.load(fh)
+            if as_of_ms is None or meta["ts_ms"] <= as_of_ms:
+                meta["dir"] = os.path.join(self.path, name)
+                segs.append(meta)
+        return segs
+
+    # -- writes --------------------------------------------------------------
+    def _write_segment(self, df: DataFrame, ts_ms: int | None = None) -> None:
+        """Append one immutable segment (df must carry __freq)."""
+        ts_ms = ts_ms if ts_ms is not None else int(time.time() * 1000)
+        # collapse duplicate tuples within the batch (reference merges per-key
+        # inside the write batch too, table.rs:320-346)
+        cols = [c for c in df.columns if c != FREQ]
+        merged = (
+            df.groupBy(*cols).agg(F.sum(FREQ).alias(FREQ)).filter(F.col(FREQ) != 0)
+        )
+        has_negative = merged.filter(F.col(FREQ) < 0).limit(1).count() > 0
+        seg = f"seg-{ts_ms}-{uuid.uuid4().hex[:8]}"
+        seg_dir = os.path.join(self.path, seg)
+        merged.write.mode("overwrite").parquet(seg_dir)
+        with open(os.path.join(seg_dir, "_segmeta.json"), "w") as fh:
+            json.dump({"ts_ms": ts_ms, "has_negative": bool(has_negative)}, fh)
+
+    def insert(self, df: DataFrame, freq: int = 1, ts_ms: int | None = None) -> None:
+        """INSERT: rows gain +freq (aligned positionally to the schema)."""
+        target = self.schema()
+        cast = df.select(
+            *[
+                F.col(src).cast(field.dataType).alias(field.name)
+                for src, field in zip(df.columns, target.fields)
+            ]
+        )
+        self._write_segment(cast.withColumn(FREQ, F.lit(freq).cast("long")), ts_ms)
+
+    def delete_where(
+        self, condition: str | None = None, limit: int | None = None, ts_ms: int | None = None
+    ) -> int:
+        """DELETE = insert of negated frequencies (parser/src/delete.rs:12-61).
+
+        LIMIT n takes n *row instances* in deterministic whole-row order,
+        splitting a multiplicity>1 tuple if needed (tests/delete/mod.rs:35-43).
+        Returns the number of deleted row instances.
+        """
+        current = self.scan(expand=False)
+        if condition:
+            current = current.filter(condition)
+        if limit is not None:
+            cols = self.columns()
+            w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in cols])
+            current = (
+                current.withColumn("__cum", F.sum(FREQ).over(w))
+                .withColumn(
+                    FREQ,
+                    F.when(F.col("__cum") <= limit, F.col(FREQ)).otherwise(
+                        # partial split of the boundary tuple
+                        F.col(FREQ) - (F.col("__cum") - F.lit(limit))
+                    ),
+                )
+                .filter(F.col(FREQ) > 0)
+                .drop("__cum")
+            )
+        to_delete = current.withColumn(FREQ, -F.col(FREQ))
+        n = to_delete.agg(F.coalesce(-F.sum(FREQ), F.lit(0))).collect()[0][0]
+        if n:
+            self._write_segment(to_delete, ts_ms)
+        return int(n)
+
+    def compact(self) -> None:
+        """Merge all segments into one (reference COMPACT TABLE)."""
+        segs = self._segments()
+        if len(segs) <= 1:
+            return
+        merged = self.scan(expand=False)
+        ts = max(s["ts_ms"] for s in segs)
+        tmp = os.path.join(self.path, f"compact-{uuid.uuid4().hex[:8]}")
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_segmeta.json"), "w") as fh:
+            json.dump({"ts_ms": ts, "has_negative": False}, fh)
+        for s in segs:
+            shutil.rmtree(s["dir"])
+        os.rename(tmp, os.path.join(self.path, f"seg-{ts}-{uuid.uuid4().hex[:8]}"))
+
+    # -- reads ---------------------------------------------------------------
+    def scan(self, as_of_ms: int | None = None, expand: bool = True) -> DataFrame:
+        """Point-in-time scan.
+
+        ``expand=True`` renders multiset semantics as plain rows (a freq-3
+        tuple appears 3×) so downstream Spark operators need no freq
+        awareness — the scan IS the NegateFreq/merge boundary.
+        ``expand=False`` returns (tuple, __freq>0) pairs, the reference's
+        native stream shape.
+        """
+        segs = self._segments(as_of_ms)
+        schema = self.schema()
+        full = T.StructType(schema.fields + [T.StructField(FREQ, T.LongType())])
+        if not segs:
+            df = self.spark.createDataFrame([], full)
+        else:
+            df = self.spark.read.schema(full).parquet(*[s["dir"] for s in segs])
+            if any(s["has_negative"] for s in segs) or len(segs) > 1:
+                cols = [f.name for f in schema.fields]
+                df = (
+                    df.groupBy(*cols)
+                    .agg(F.sum(FREQ).alias(FREQ))
+                    .filter(F.col(FREQ) > 0)
+                )
+            else:
+                df = df.filter(F.col(FREQ) > 0)
+        if expand:
+            df = df.withColumn(
+                "__rep", F.explode(F.expr(f"sequence(1, {FREQ})"))
+            ).drop("__rep", FREQ)
+        return df
+
+    def delta(self, since_ms: int, until_ms: int | None = None) -> DataFrame:
+        """(tuple, signed freq) of changes in (since_ms, until_ms] — the feed
+        for incremental materialized-view refresh.  Free with the
+        log-structured layout: it is just the newer segments."""
+        schema = self.schema()
+        full = T.StructType(schema.fields + [T.StructField(FREQ, T.LongType())])
+        segs = [
+            s
+            for s in self._segments(until_ms)
+            if s["ts_ms"] > since_ms
+        ]
+        if not segs:
+            return self.spark.createDataFrame([], full)
+        cols = [f.name for f in schema.fields]
+        return (
+            self.spark.read.schema(full)
+            .parquet(*[s["dir"] for s in segs])
+            .groupBy(*cols)
+            .agg(F.sum(FREQ).alias(FREQ))
+            .filter(F.col(FREQ) != 0)
+        )
+
+    def last_ts(self) -> int:
+        segs = self._segments()
+        return max((s["ts_ms"] for s in segs), default=0)

@@ -1,0 +1,315 @@
+"""Incremental materialized views — the reference's unrealized goal
+(README.md:1-20 "incremental updates of materialized views"), built on the
+machinery it left behind: signed frequencies (§1.1), retractable aggregates
+(functions/src/lib.rs:112-163: apply(args, freq, state) with negative-freq
+retraction), and a changelog-capable storage layer (storage.rs:26-65 "log
+section … allows our incremental operators to keep track of where they're
+up to").
+
+Our FreqTable's log-structured segments ARE that changelog: ``delta(since)``
+returns the signed (tuple, freq) changes for free.  Refresh is classic
+delta propagation:
+
+- **Linear views** (SELECT/WHERE/project): signed deltas commute with
+  filter/project, so refresh = apply the view query to the delta and append
+  the result (with its signs) to the view's own FreqTable.  O(|delta|).
+- **Aggregate views** (GROUP BY + count/sum/avg — the reference's exact
+  aggregate trio, §2.4): maintain per-group state (freq-weighted count +
+  sums); refresh aggregates ONLY the delta, then full-outer-merges it into
+  the state (sum old+new, drop groups whose count reaches 0 — the
+  reference's zero-freq compaction).  avg is finalized as sum/count at read
+  time, exactly the reference's (sum, count) state pair (avg.rs:8-190).
+  O(|delta| + |touched groups|).
+- **Join views** (A ⋈ B equi-join): Δ(A⋈B) = ΔA ⋈ B_old ∪ A_new ⋈ ΔB with
+  output freq = freq_a × freq_b (hash_join.rs:85,137); both sides come from
+  point-in-time scans at the old/new timestamps (MVCC, table.rs:128-171).
+
+Scale: every refresh touches O(delta) base rows plus O(touched groups)
+state — never a full recompute.  State merge is one shuffle on the group
+key; on a cluster the state table would be bucketed by group key so the
+merge is shuffle-free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .frequency import FREQ, FreqTable
+
+_AGG_RE = re.compile(
+    r"^\s*(count|sum|avg)\s*\(\s*(\*|.+?)\s*\)\s+AS\s+(\w+)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_select_items(select_list: str) -> list[tuple[str, str, str]]:
+    """[(kind, arg_expr, alias)] where kind ∈ {key, count, sum, avg}."""
+    items = []
+    for raw in re.split(r",(?![^()]*\))", select_list):
+        m = _AGG_RE.match(raw)
+        if m:
+            items.append((m.group(1).lower(), m.group(2), m.group(3)))
+        else:
+            mm = re.match(r"^\s*(.+?)(?:\s+AS\s+(\w+))?\s*$", raw, re.IGNORECASE | re.DOTALL)
+            expr, alias = mm.group(1), mm.group(2) or mm.group(1).strip()
+            items.append(("key", expr, alias))
+    return items
+
+
+class AggState:
+    """Versioned parquet state table for an aggregate MV (overwrite-on-
+    refresh with version retention — the Spark-native MERGE target)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            int(d.split("-")[1]) for d in os.listdir(self.path) if d.startswith("v-")
+        )
+
+    def read(self) -> DataFrame | None:
+        vs = self._versions()
+        if not vs:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"v-{vs[-1]}"))
+
+    def write(self, df: DataFrame) -> None:
+        vs = self._versions()
+        nxt = (vs[-1] + 1) if vs else 0
+        df.write.mode("overwrite").parquet(os.path.join(self.path, f"v-{nxt}"))
+        for old in vs[:-1]:  # keep previous version for time travel / debug
+            shutil.rmtree(os.path.join(self.path, f"v-{old}"), ignore_errors=True)
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+class MaterializedView:
+    """One registered MV over a single base table (linear or aggregate)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        base: FreqTable,
+        select_list: str,
+        where: str | None,
+        group_by: str | None,
+        state_dir: str,
+    ):
+        self.spark = spark
+        self.name = name
+        self.base = base
+        self.items = _parse_select_items(select_list)
+        self.where = where
+        self.group_by = group_by
+        self.is_aggregate = any(k != "key" for k, _, _ in self.items)
+        self.state_dir = state_dir
+        self.meta_path = os.path.join(state_dir, "_mvmeta.json")
+        if self.is_aggregate:
+            self.state = AggState(spark, os.path.join(state_dir, "agg"))
+        else:
+            self.state = FreqTable(spark, os.path.join(state_dir, "rows"))
+
+    # -- metadata ------------------------------------------------------------
+    def _load_meta(self) -> dict:
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as fh:
+                return json.load(fh)
+        return {"last_refresh_ms": 0}
+
+    def _save_meta(self, meta: dict) -> None:
+        os.makedirs(self.state_dir, exist_ok=True)
+        with open(self.meta_path, "w") as fh:
+            json.dump(meta, fh)
+
+    # -- delta pipeline ------------------------------------------------------
+    def _apply_linear(self, df: DataFrame) -> DataFrame:
+        """Filter + project a signed-freq frame (linear ops commute)."""
+        if self.where:
+            df = df.filter(self.where)
+        exprs = [F.expr(arg).alias(alias) for _, arg, alias in self.items]
+        return df.select(*exprs, F.col(FREQ))
+
+    def _delta_agg(self, df: DataFrame) -> DataFrame:
+        """Aggregate a signed-freq delta into per-group state deltas."""
+        if self.where:
+            df = df.filter(self.where)
+        keys = [k.strip() for k in (self.group_by or "").split(",") if k.strip()]
+        aggs = [F.sum(F.col(FREQ)).alias("__cnt")]
+        for kind, arg, alias in self.items:
+            if kind == "key":
+                continue
+            if kind == "count" and arg.strip() == "*":
+                continue  # == __cnt
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.expr(arg).isNotNull(), F.expr(arg) * F.col(FREQ)
+                    ).otherwise(F.lit(0))
+                ).alias(f"__sum_{alias}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(F.expr(arg).isNotNull(), F.col(FREQ)).otherwise(F.lit(0))
+                ).alias(f"__cntnn_{alias}")
+            )
+        grouped = df.groupBy(*[F.expr(k) for k in keys]) if keys else df.groupBy()
+        return grouped.agg(*aggs)
+
+    # -- refresh -------------------------------------------------------------
+    def refresh(self) -> int:
+        """Incremental refresh: pull base-table deltas since the last
+        refresh, propagate, merge.  Returns number of delta rows consumed."""
+        meta = self._load_meta()
+        since = meta["last_refresh_ms"]
+        now = self.base.last_ts()
+        if now <= since:
+            return 0
+        delta = self.base.delta(since, now)
+        n = delta.count()
+        if n:
+            if self.is_aggregate:
+                self._merge_agg(self._delta_agg(delta))
+            else:
+                self.state.create(
+                    self._apply_linear(delta).drop(FREQ).schema
+                ) if not self.state.exists() else None
+                self.state._write_segment(self._apply_linear(delta), ts_ms=now)
+        meta["last_refresh_ms"] = now
+        self._save_meta(meta)
+        return n
+
+    def _merge_agg(self, delta_state: DataFrame) -> None:
+        keys = [c for c in delta_state.columns if not c.startswith("__")]
+        old = self.state.read()
+        if old is None:
+            merged = delta_state
+        else:
+            state_cols = [c for c in delta_state.columns if c.startswith("__")]
+            merged = (
+                old.select(*delta_state.columns)
+                .unionByName(delta_state)
+                .groupBy(*keys)
+                .agg(*[F.sum(c).alias(c) for c in state_cols])
+            )
+        merged = merged.filter(F.col("__cnt") != 0)
+        self.state.write(merged)
+
+    # -- read ----------------------------------------------------------------
+    def read(self) -> DataFrame:
+        """The materialized result (finalizing avg = sum/count)."""
+        if not self.is_aggregate:
+            if not self.state.exists():
+                self.refresh()
+            return self.state.scan()
+        st = self.state.read()
+        if st is None:
+            self.refresh()
+            st = self.state.read()
+        if st is None:
+            # base table empty so far: empty state with the delta-agg schema
+            empty = self._delta_agg(self.base.scan(expand=False).limit(0))
+            st = self.spark.createDataFrame([], empty.schema)
+        out = []
+        for kind, arg, alias in self.items:
+            if kind == "key":
+                out.append(F.expr(arg).alias(alias))
+            elif kind == "count":
+                col = (
+                    F.col("__cnt") if arg.strip() == "*" else F.col(f"__cntnn_{alias}")
+                )
+                out.append(col.alias(alias))
+            elif kind == "sum":
+                out.append(
+                    F.when(
+                        F.col(f"__cntnn_{alias}") > 0, F.col(f"__sum_{alias}")
+                    ).alias(alias)
+                )
+            elif kind == "avg":
+                out.append(
+                    (
+                        F.col(f"__sum_{alias}").cast("double")
+                        / F.col(f"__cntnn_{alias}").cast("double")
+                    ).alias(alias)
+                )
+        return st.select(*out)
+
+    def drop(self) -> None:
+        shutil.rmtree(self.state_dir, ignore_errors=True)
+
+
+class JoinMaterializedView:
+    """MV over an equi-join A ⋈ B with the bilinear delta rule
+    Δ(A⋈B) = ΔA ⋈ B_old ∪ A_new ⋈ ΔB; output freq = freq_a × freq_b
+    (reference hash_join.rs:85,137)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        left: FreqTable,
+        right: FreqTable,
+        on: list[str],
+        columns: list[str],
+        state_dir: str,
+    ):
+        self.spark = spark
+        self.name = name
+        self.left = left
+        self.right = right
+        self.on = on
+        self.columns = columns
+        self.state_dir = state_dir
+        self.state = FreqTable(spark, os.path.join(state_dir, "rows"))
+        self.meta_path = os.path.join(state_dir, "_mvmeta.json")
+
+    def _meta(self) -> dict:
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as fh:
+                return json.load(fh)
+        return {"left_ms": 0, "right_ms": 0}
+
+    def _join(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        fa = a.withColumnRenamed(FREQ, "__fa")
+        fb = b.withColumnRenamed(FREQ, "__fb")
+        joined = fa.join(fb, self.on)
+        return joined.select(
+            *self.columns, (F.col("__fa") * F.col("__fb")).alias(FREQ)
+        )
+
+    def refresh(self) -> None:
+        meta = self._meta()
+        l_old, r_old = meta["left_ms"], meta["right_ms"]
+        l_new, r_new = self.left.last_ts(), self.right.last_ts()
+        da = self.left.delta(l_old, l_new)
+        db = self.right.delta(r_old, r_new)
+        b_old = self.right.scan(as_of_ms=r_old, expand=False)
+        a_new = self.left.scan(as_of_ms=l_new, expand=False)
+        delta_view = self._join(da, b_old).unionByName(self._join(a_new, db))
+        if not self.state.exists():
+            self.state.create(delta_view.drop(FREQ).schema)
+        # merged within _write_segment; empty deltas produce no segment
+        if delta_view.limit(1).count() > 0:
+            self.state._write_segment(delta_view, ts_ms=max(l_new, r_new))
+        os.makedirs(self.state_dir, exist_ok=True)
+        with open(self.meta_path, "w") as fh:
+            json.dump({"left_ms": l_new, "right_ms": r_new}, fh)
+
+    def read(self) -> DataFrame:
+        if not self.state.exists():
+            self.refresh()
+        return self.state.scan()
+
+    def drop(self) -> None:
+        shutil.rmtree(self.state_dir, ignore_errors=True)

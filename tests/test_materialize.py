@@ -1,0 +1,122 @@
+"""Incremental materialized-view refresh: delta propagation must equal a
+full recompute after arbitrary insert/delete histories (the reference's
+retractable-aggregate contract, functions/src/lib.rs:112-163)."""
+
+from __future__ import annotations
+
+import pytest
+
+from incresql_spark.engine import Engine
+from incresql_spark.frequency import FreqTable
+from incresql_spark.materialize import JoinMaterializedView
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "wh"))
+
+
+def rows(e, sql):
+    return sorted(e.execute_statement(sql).rows)
+
+
+def test_aggregate_mv_incremental(engine):
+    engine.execute_statement("CREATE TABLE sales (region TEXT, amount INT)")
+    engine.execute_statement("INSERT INTO sales VALUES ('n', 10), ('n', 20), ('s', 5)")
+    engine.execute_statement(
+        "CREATE MATERIALIZED VIEW mv_sales AS "
+        "SELECT region, count(*) AS cnt, sum(amount) AS total, avg(amount) AS mean "
+        "FROM sales GROUP BY region"
+    )
+    assert rows(engine, "SELECT * FROM mv_sales ORDER BY region") == [
+        ("n", 2, 30, 15.0),
+        ("s", 1, 5, 5.0),
+    ]
+    # Incremental: new inserts only propagate the delta
+    engine.execute_statement("INSERT INTO sales VALUES ('n', 30), ('e', 1)")
+    r = engine.execute_statement("REFRESH MATERIALIZED VIEW mv_sales")
+    assert r.rows[0][0] > 0
+    assert rows(engine, "SELECT * FROM mv_sales") == [
+        ("e", 1, 1, 1.0),
+        ("n", 3, 60, 20.0),
+        ("s", 1, 5, 5.0),
+    ]
+    # Retraction: deletes shrink counts; group vanishing at cnt=0
+    engine.execute_statement("DELETE FROM sales WHERE region = 's'")
+    engine.execute_statement("DELETE FROM sales WHERE amount = 30")
+    engine.execute_statement("REFRESH MATERIALIZED VIEW mv_sales")
+    assert rows(engine, "SELECT * FROM mv_sales") == [
+        ("e", 1, 1, 1.0),
+        ("n", 2, 30, 15.0),
+    ]
+
+
+def test_aggregate_mv_matches_full_recompute(engine):
+    engine.execute_statement("CREATE TABLE ev (k TEXT, v INT)")
+    engine.execute_statement(
+        "CREATE MATERIALIZED VIEW mv_ev AS "
+        "SELECT k, count(*) AS cnt, sum(v) AS sv FROM ev GROUP BY k"
+    )
+    import random
+
+    rng = random.Random(7)
+    live = []
+    for step in range(5):
+        batch = [(rng.choice("abc"), rng.randint(1, 9)) for _ in range(4)]
+        live.extend(batch)
+        vals = ", ".join(f"('{k}', {v})" for k, v in batch)
+        engine.execute_statement(f"INSERT INTO ev VALUES {vals}")
+        if step % 2 == 1 and live:
+            victim = live[0][0]
+            live = [r for r in live if r[0] != victim]
+            engine.execute_statement(f"DELETE FROM ev WHERE k = '{victim}'")
+        engine.execute_statement("REFRESH MATERIALIZED VIEW mv_ev")
+        expect = rows(engine, "SELECT k, count(*) AS cnt, sum(v) AS sv FROM ev GROUP BY k")
+        assert rows(engine, "SELECT * FROM mv_ev") == expect, f"diverged at step {step}"
+
+
+def test_linear_mv(engine):
+    engine.execute_statement("CREATE TABLE logs (lvl TEXT, msg TEXT)")
+    engine.execute_statement(
+        "INSERT INTO logs VALUES ('E','boom'),('I','ok'),('E','bad')"
+    )
+    engine.execute_statement(
+        "CREATE MATERIALIZED VIEW mv_err AS SELECT msg FROM logs WHERE lvl = 'E'"
+    )
+    assert rows(engine, "SELECT * FROM mv_err") == [("bad",), ("boom",)]
+    engine.execute_statement("INSERT INTO logs VALUES ('E','again'),('I','fine')")
+    engine.execute_statement("DELETE FROM logs WHERE msg = 'boom'")
+    engine.execute_statement("REFRESH MATERIALIZED VIEW mv_err")
+    assert rows(engine, "SELECT * FROM mv_err") == [("again",), ("bad",)]
+
+
+def test_join_mv_bilinear_delta(spark, tmp_path):
+    a = FreqTable(spark, str(tmp_path / "a"))
+    b = FreqTable(spark, str(tmp_path / "b"))
+    from pyspark.sql import types as T
+
+    a.create(T.StructType([T.StructField("k", T.IntegerType()), T.StructField("av", T.StringType())]))
+    b.create(T.StructType([T.StructField("k", T.IntegerType()), T.StructField("bv", T.StringType())]))
+    a.insert(spark.createDataFrame([(1, "a1"), (2, "a2")], "k int, av string"))
+    b.insert(spark.createDataFrame([(1, "b1")], "k int, bv string"))
+    mv = JoinMaterializedView(
+        spark, "mv_j", a, b, ["k"], ["k", "av", "bv"], str(tmp_path / "mvj")
+    )
+    mv.refresh()
+    assert sorted(tuple(r) for r in mv.read().collect()) == [(1, "a1", "b1")]
+    # delta on both sides, including a match for pre-existing a-row 2
+    a.insert(spark.createDataFrame([(3, "a3")], "k int, av string"))
+    b.insert(spark.createDataFrame([(2, "b2"), (3, "b3")], "k int, bv string"))
+    mv.refresh()
+    assert sorted(tuple(r) for r in mv.read().collect()) == [
+        (1, "a1", "b1"),
+        (2, "a2", "b2"),
+        (3, "a3", "b3"),
+    ]
+    # retraction through the join
+    b.delete_where("bv = 'b1'")
+    mv.refresh()
+    assert sorted(tuple(r) for r in mv.read().collect()) == [
+        (2, "a2", "b2"),
+        (3, "a3", "b3"),
+    ]
