@@ -12,7 +12,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from incresql_spark import tpch
-from incresql_spark.operators import dedup, relational, similarity, text
+from incresql_spark.operators import dedup, multimodal, relational, similarity, text
+from incresql_spark.streaming import sessionize
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -29,6 +30,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(text.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
+    out.update(multimodal.QUERIES)
+    out.update(sessionize.QUERIES)
     return out
 
 
@@ -39,4 +42,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(text.ORACLE)
     out.update(dedup.ORACLE)
     out.update(similarity.ORACLE)
+    out.update(multimodal.ORACLE)
+    out.update(sessionize.ORACLE)
     return out

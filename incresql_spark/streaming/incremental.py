@@ -1,0 +1,80 @@
+"""Micro-batch incremental maintenance with Structured Streaming.
+
+The reference's unfinished continuous mode was going to tail the storage
+log sections and push deltas through operators (storage/src/storage.rs:26-65).
+Structured Streaming IS that machinery on Spark: a file-source stream tails
+a directory of appended files (≈ log sections), and ``foreachBatch`` applies
+each micro-batch as a signed-frequency delta to downstream state.
+
+Two maintenance patterns:
+
+- ``stream_into_table``  — continuous ingestion into a FreqTable: each
+  micro-batch becomes one segment (append-only, O(batch)); a downstream
+  MaterializedView.refresh() then consumes those segments as deltas.  This
+  chains file-stream → multiset table → incremental MV end-to-end.
+- ``windowed_counts``    — native watermarked tumbling-window aggregation in
+  update mode (late data handled by Spark state store), the idiomatic
+  replacement for hand-rolled retractable window state.
+
+Scale: file-source streaming distributes file splits across executors;
+state-store aggregations shard by key.  Nothing below collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..frequency import FreqTable
+
+
+def stream_into_table(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    table: FreqTable,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+) -> StreamingQuery:
+    """Tail ``source_dir`` and append each micro-batch to ``table`` as one
+    freq segment.  availableNow trigger → drains what exists, then stops
+    (deterministic for tests; drop the trigger for true continuous mode)."""
+    stream = spark.readStream.schema(schema).format(fmt).load(source_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not table.exists():
+            table.create(batch_df.schema)
+        table.insert(batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (streaming or
+    batch input — the same declarative plan works for both)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

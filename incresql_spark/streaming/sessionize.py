@@ -1,0 +1,168 @@
+"""Gap-based sessionization over the events stream — a training-data /
+clickstream operator the reference lacks entirely.
+
+Batch form (``sessionize``): pure window functions — a session starts when
+the gap to the previous event of the same user exceeds the threshold; the
+session id is a running count of session starts.  One shuffle (partition by
+user), fully Catalyst-planned, oracle-checkable in DuckDB with identical
+SQL semantics.
+
+Streaming form (``sessionize_stream``): the same semantics as a custom
+stateful operator via ``applyInPandasWithState`` — per-user session state
+(start, last-seen, count, value sum) kept in the state store, sessions
+emitted when the gap timeout fires.  This is the pattern for operators
+Spark's built-ins can't express incrementally.
+
+Scale: both forms shard by user_id; state size is O(active users).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+GAP_MINUTES = 30
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup: (user_id, session_id) → bounds + counts + value.
+
+    Driver-checkable: deterministic, and expressible in ANSI SQL.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    # ms-truncated epoch on BOTH engines (unix_millis / epoch_ms): second-
+    # level truncation would disagree with DuckDB's fractional epoch().
+    gap_ms = GAP_MINUTES * 60 * 1000
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_millis("ts") - F.unix_millis("prev_ts") > gap_ms),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(value AS DECIMAL(18,4))")).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {GAP_MINUTES * 60 * 1000}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       MIN(event_id) AS first_event,
+       MAX(event_id) AS last_event,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+_STATE_SCHEMA = (
+    "session_start BIGINT, last_event BIGINT, n_events BIGINT, sum_value DOUBLE, "
+    "last_ts_ms BIGINT"
+)
+_OUTPUT_SCHEMA = (
+    "user_id BIGINT, first_event BIGINT, last_event BIGINT, n_events BIGINT, "
+    "sum_value DOUBLE"
+)
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState UDF: emit a session when the gap exceeds the
+    threshold; keep the open session in the state store."""
+    gap_ms = GAP_MINUTES * 60 * 1000
+    (user_id,) = key
+    if state.exists:
+        start, last_ev, n, sval, last_ms = state.get
+    else:
+        start = last_ev = None
+        n, sval, last_ms = 0, 0.0, None
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("event_id")
+        for ev, ts_ms, val in zip(
+            pdf["event_id"], pdf["ts_ms"], pdf["value"]
+        ):
+            if last_ms is not None and ts_ms - last_ms > gap_ms:
+                out.append((user_id, start, last_ev, n, sval))
+                start, n, sval = None, 0, 0.0
+            if start is None:
+                start = int(ev)
+            last_ev, last_ms = int(ev), int(ts_ms)
+            n += 1
+            sval += float(val)
+    if state.hasTimedOut:
+        if start is not None:
+            out.append((user_id, start, last_ev, n, sval))
+        state.remove()
+    else:
+        state.update((start, last_ev, n, sval, last_ms))
+        state.setTimeoutDuration(gap_ms)
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "first_event", "last_event", "n_events", "sum_value"]
+        )
+
+
+def sessionize_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming sessionization via applyInPandasWithState (expects columns
+    user_id, event_id, ts, value on a *streaming* DataFrame)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepared = events_stream.select(
+        "user_id",
+        "event_id",
+        (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+        "value",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+QUERIES = {"events_sessionize": sessionize}
+ORACLE = {"events_sessionize": SESSIONIZE_SQL}
