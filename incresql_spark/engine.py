@@ -94,6 +94,9 @@ class Engine:
         self.current_db = "default"
         os.makedirs(os.path.join(warehouse, "default"), exist_ok=True)
         self._dir_views = 0
+        from .functions.registry import register_all
+
+        register_all(spark)
 
     # ---- catalog helpers ---------------------------------------------------
     def _db_path(self, db: str) -> str:

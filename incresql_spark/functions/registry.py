@@ -1,0 +1,66 @@
+"""The engine function registry — SQL-defined scalar functions registered on
+the session (the reference's compiled-in ``Registry``,
+functions/src/registry.rs:11-13; listed by SHOW FUNCTIONS,
+runtime/src/connection.rs:36-49).
+
+All functions are Spark SQL scalar UDFs (``CREATE TEMPORARY FUNCTION ...
+RETURN expr``) — Catalyst inlines the body into the calling plan (verified:
+a constant call folds to a literal), so these cost nothing at runtime and
+work at any scale.  No Python UDFs anywhere.
+
+Coverage vs the reference's scalar library (SURVEY §2.3): and/or/not,
+comparisons, between, is-ops, arithmetic are native Spark operators; the
+``to_*`` cast family, json trio, and date_sub map below; ``database()`` and
+``type_of`` are dialect rewrites (they need session/any-type context).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# name → (args, return type, body) — reference file in the comment
+_FUNCTIONS: list[tuple[str, str, str, str]] = [
+    # casts/to_bool.rs — text/int accepted like MySQL
+    ("incre_to_bool", "x STRING", "BOOLEAN", "CAST(x AS BOOLEAN)"),
+    # casts/to_int.rs
+    ("incre_to_int", "x STRING", "INT", "CAST(x AS INT)"),
+    # casts/to_bigint.rs
+    ("incre_to_bigint", "x STRING", "BIGINT", "CAST(x AS BIGINT)"),
+    # casts/to_decimal.rs — DECIMAL_MAX_PRECISION=28, MAX_SCALE=14
+    ("incre_to_decimal", "x STRING", "DECIMAL(28,14)", "CAST(x AS DECIMAL(28,14))"),
+    # casts/to_text.rs
+    ("incre_to_text", "x STRING", "STRING", "CAST(x AS STRING)"),
+    # casts/to_date.rs — ISO YYYY-MM-DD
+    ("incre_to_date", "x STRING", "DATE", "CAST(x AS DATE)"),
+    # casts/to_timestamp.rs
+    ("incre_to_timestamp", "x STRING", "TIMESTAMP_NTZ", "CAST(x AS TIMESTAMP_NTZ)"),
+    # json/json_unquote.rs:32 — strings unquote, json-null → 'null' text,
+    # SQL NULL → NULL
+    (
+        "json_unquote",
+        "x STRING",
+        "STRING",
+        "CASE WHEN x RLIKE '^\".*\"$' "
+        "THEN CAST(try_variant_get(parse_json(x), '$', 'string') AS STRING) "
+        "ELSE x END",
+    ),
+    # json/json_extract.rs:11-47 — JSON-typed extraction (quotes kept)
+    (
+        "json_extract",
+        "x STRING, p STRING",
+        "STRING",
+        "to_json(try_variant_get(parse_json(x), p, 'variant'))",
+    ),
+]
+
+
+def register_all(spark: SparkSession) -> list[str]:
+    """Install the function library on the session; returns the names."""
+    names = []
+    for name, args, ret, body in _FUNCTIONS:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) "
+            f"RETURNS {ret} RETURN {body}"
+        )
+        names.append(name)
+    return names

@@ -1,0 +1,53 @@
+"""Data layout: bucketing and partition sizing.
+
+Bucketing pre-shuffles a table by key at WRITE time so every future join or
+aggregation on that key is shuffle-free — the Spark-native analog of the
+reference's "primary key = sort order" RocksDB layout (storage/src/
+table.rs:18-24).  At 100 TB, bucketing the fact tables on their join keys
+(lineitem.l_orderkey ⋈ orders.o_orderkey) turns the biggest shuffle in the
+TPC-H suite into a local zip of co-located buckets.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: str | list[str],
+    num_buckets: int,
+    path: str | None = None,
+    sort_cols: str | list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (optionally sorted) managed table.  Joins
+    between two tables bucketed identically on the join key skip the
+    exchange entirely (verify with .explain: no Exchange under SortMergeJoin)."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode("overwrite").format("parquet")
+    if path:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(num_buckets, *cols)
+    if sort_cols:
+        sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*sc)
+    writer.saveAsTable(table_name)
+
+
+def partitions_for_bytes(
+    total_bytes: int, target_partition_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Partition count that lands ~128 MB per partition (the sweet spot for
+    parquet scans and shuffle spills alike)."""
+    return max(1, math.ceil(total_bytes / target_partition_bytes))
+
+
+def repartition_for_output(
+    df: DataFrame, approx_rows: int, rows_per_file: int = 1_000_000
+) -> DataFrame:
+    """Coalesce to sensible output file counts (avoids the classic
+    32-shuffle-partitions → 32 tiny files problem)."""
+    return df.repartition(max(1, approx_rows // rows_per_file))
