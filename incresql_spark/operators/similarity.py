@@ -211,14 +211,135 @@ ORDER BY query_id, rank
 """
 
 
+N_CENTROIDS = 8  # deterministic seed vectors: vec_id 100..107
+N_PROBE = 2  # clusters searched per query
+
+
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantization + multi-probe search.
+
+    Centroids are a deterministic seed subset of the corpus (vec_id
+    100..100+K — a stand-in for k-means centroids that keeps the operator
+    oracle-checkable; swap in KMeans output at production scale).  Every
+    vector is assigned to its max-dot-product centroid (the inverted file);
+    a query probes its N_PROBE closest centroids' lists and ranks exact
+    cosine inside them.
+
+    Scale: assignment is a broadcast join against K centroids + argmax (one
+    narrow pass); the probe search shuffles only the probed lists.  Recall
+    rises with N_PROBE; the brute-force twin measures it in tests.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    withnorm = e.select("vec_id", "embedding", F.expr(_NORM_SPARK).alias("norm"))
+    cents = withnorm.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    # assignment: rank centroids per vector by cosine, keep argmax / top-probe
+    scored = (
+        withnorm.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "ccos",
+            F.expr(
+                "aggregate(zip_with(embedding, ce, (x, y) -> CAST(x AS DOUBLE) * "
+                "CAST(y AS DOUBLE)), 0D, (acc, x) -> acc + x)"
+            )
+            / (F.col("norm") * F.col("cnorm")),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cent_id").asc()
+    )
+    ranked_cent = scored.withColumn("crank", F.row_number().over(w_assign))
+    inverted = ranked_cent.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("norm").alias("nnorm"),
+        "cent_id",
+    )
+    probes = (
+        ranked_cent.filter((F.col("vec_id") < N_QUERIES) & (F.col("crank") <= N_PROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("norm").alias("qnorm"),
+            "cent_id",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probes.join(inverted, ["cent_id"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(_DOT_AB_SPARK) / (F.col("qnorm") * F.col("nnorm")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+_CDOT_DUCK = (
+    "list_reduce(list_transform(list_zip(v.embedding, c.ce), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+
+SIM_ANN_IVF_SQL = f"""
+WITH withnorm AS (
+  SELECT vec_id, embedding, {_NORM_DUCK} AS norm FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS ce, norm AS cnorm
+  FROM withnorm WHERE vec_id >= 100 AND vec_id < {100 + N_CENTROIDS}
+),
+scored AS (
+  SELECT v.vec_id, v.embedding, v.norm, c.cent_id,
+         {_CDOT_DUCK} / (v.norm * c.cnorm) AS ccos
+  FROM withnorm v CROSS JOIN cents c
+),
+ranked_cent AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS crank
+  FROM scored
+),
+inverted AS (
+  SELECT vec_id AS neighbor_id, embedding AS ne, norm AS nnorm, cent_id
+  FROM ranked_cent WHERE crank = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qe, norm AS qnorm, cent_id
+  FROM ranked_cent WHERE vec_id < {N_QUERIES} AND crank <= {N_PROBE}
+),
+hits AS (
+  SELECT p.query_id, i.neighbor_id,
+         {_DOT_AB_DUCK} / (p.qnorm * i.nnorm) AS cosine
+  FROM probes p JOIN inverted i USING (cent_id)
+  WHERE p.query_id <> i.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM hits
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_ann_ivf": sim_ann_ivf,
 }
 
 ORACLE = {
     "sim_topk_cosine": SIM_TOPK_COSINE_SQL,
     "sim_ann_lsh": SIM_ANN_LSH_SQL,
+    "sim_ann_ivf": SIM_ANN_IVF_SQL,
 }
 
 BENCH_QUERIES = {"sim_topk_cosine": sim_topk_cosine}
