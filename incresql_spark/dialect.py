@@ -10,7 +10,10 @@ rewrites the handful of constructs Spark spells differently (SURVEY §7 M2):
   over sources/directory.read_directory.
 - ``count()``        → ``count(*)``   (zero-arg count, count.rs:6-55)
 - ``database()``     → ``current_database()`` shim (session db injected)
-- ``type_of(x)``     → ``typeof(x)``
+- ``type_of(x)``     → ``incre_type_name(typeof(x))`` — reference type
+  spellings (INTEGER/BIGINT/TEXT/..., casts/type_of.rs:20)
+- ``LIMIT o, n``     → ``LIMIT n OFFSET o`` (MySQL offset form,
+  parser/src/select.rs:76-89)
 
 Double-quoted string literals need no rewrite (Spark accepts them outside
 ANSI-identifier mode), nor do the comparison/boolean/arith operators.
@@ -47,6 +50,25 @@ _DIRECTORY = re.compile(
 _COUNT0 = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
 _TYPE_OF = re.compile(r"\btype_of\s*\(", re.IGNORECASE)
 _DATABASE_FN = re.compile(r"\bdatabase\s*\(\s*\)", re.IGNORECASE)
+_LIMIT_COMMA = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE)
+
+
+def _rewrite_type_of(sql: str) -> str:
+    """``type_of(expr)`` → ``incre_type_name(typeof(expr))`` with balanced
+    parens (the argument may itself contain calls)."""
+    while True:
+        m = _TYPE_OF.search(sql)
+        if m is None:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        arg = sql[m.end() : i - 1]
+        sql = sql[: m.start()] + f"incre_type_name(typeof({arg}))" + sql[i:]
 
 
 def rewrite(
@@ -79,6 +101,7 @@ def rewrite(
         out = _DIRECTORY.sub(_sub_dir, out)
 
     out = _COUNT0.sub("count(*)", out)
-    out = _TYPE_OF.sub("typeof(", out)
+    out = _rewrite_type_of(out)
     out = _DATABASE_FN.sub(f"'{current_db}'", out)
+    out = _LIMIT_COMMA.sub(r"LIMIT \2 OFFSET \1", out)
     return out

@@ -146,14 +146,21 @@ class Engine:
             os.path.join(self._db_path(db), f"{name}__mv"),
         )
 
+    #: bootstrap system tables (catalog/src/bootstrap.rs:22-66): ids 0/2/4
+    _SYSTEM_TABLES = {"prefix_tables": 0, "databases": 2, "tables": 4}
+    _SYSTEM_DBS = ("incresql", "information_schema")
+
     def databases(self) -> list[str]:
-        return sorted(
+        real = {
             d for d in os.listdir(self.warehouse)
             if os.path.isdir(self._db_path(d))
-        )
+        }
+        return sorted(real | set(self._SYSTEM_DBS))
 
     def tables(self, db: str) -> list[tuple[str, str]]:
         """[(name, kind)] where kind ∈ {table, view}."""
+        if db == "incresql":
+            return [(n, "table") for n in sorted(self._SYSTEM_TABLES)]
         out = []
         dbp = self._db_path(db)
         if os.path.isdir(dbp):
@@ -168,7 +175,10 @@ class Engine:
         """Register every table and view as temp views (both bare and
         db__qualified names).  Views are built from their stored SQL in
         their own db context — the reference's inline semantics."""
+        self._register_system_tables()
         for db in self.databases():
+            if db in self._SYSTEM_DBS:
+                continue
             for name, kind in self.tables(db):
                 if kind != "table":
                     continue
@@ -187,6 +197,57 @@ class Engine:
             for vname in self._views(db):
                 self._register_view(db, vname, seen)
 
+    def _register_system_tables(self) -> None:
+        """The reference's bootstrap catalog (catalog/src/bootstrap.rs:22-66)
+        as queryable views: ``incresql.databases(name)``,
+        ``incresql.tables(database_name, name, type, sql, sql_context,
+        table_id, columns, system)``, ``incresql.prefix_tables``.  Driver-side
+        metadata only — row counts are O(catalog), never O(data)."""
+        spark = self.spark
+        dbs = [(d,) for d in self.databases()]
+        trows: list[tuple] = [
+            ("incresql", n, "table", None, None, tid, None, True)
+            for n, tid in sorted(self._SYSTEM_TABLES.items())
+        ]
+        for db in self.databases():
+            if db in self._SYSTEM_DBS:
+                continue
+            for name, kind in self.tables(db):
+                if kind == "view":
+                    meta = self._views(db)[name]
+                    trows.append(
+                        (db, name, "view", meta["sql"], meta["context_db"],
+                         None, None, False)
+                    )
+                else:
+                    cols = json.dumps(
+                        [[f.name, f.dataType.simpleString()]
+                         for f in self._table(db, name).schema().fields]
+                    )
+                    trows.append((db, name, "table", None, None, None, cols, False))
+        prows = [(tid, None, None) for _, tid in sorted(self._SYSTEM_TABLES.items())]
+        for df, name in (
+            (spark.createDataFrame(dbs, "name string"), "databases"),
+            (
+                spark.createDataFrame(
+                    trows,
+                    "database_name string, name string, type string, sql string,"
+                    " sql_context string, table_id bigint, columns string,"
+                    " system boolean",
+                ),
+                "tables",
+            ),
+            (
+                spark.createDataFrame(
+                    prows, "table_id bigint, column_len int, pk_sort string"
+                ),
+                "prefix_tables",
+            ),
+        ):
+            if self.current_db == "incresql":
+                df.createOrReplaceTempView(name)
+            df.createOrReplaceTempView(f"incresql__{name}")
+
     def _register_view(self, db: str, name: str, seen: set) -> None:
         if (db, name) in seen:
             return
@@ -198,9 +259,37 @@ class Engine:
             df.createOrReplaceTempView(name)
         df.createOrReplaceTempView(f"{db}__{name}")
 
+    #: tokens after ``FROM db.tbl`` that are clauses, not aliases
+    _NON_ALIAS = frozenset(
+        "WHERE GROUP ORDER LIMIT UNION JOIN ON LEFT RIGHT INNER CROSS FULL "
+        "HAVING SELECT USING OFFSET SEMI ANTI NATURAL".split()
+    )
+
     def _qualify(self, sql: str, context_db: str) -> str:
-        """Mangle ``db.table`` → ``db__table`` (Spark temp views are dotless)."""
+        """Mangle ``db.table`` → ``db__table`` (Spark temp views are dotless).
+
+        A ``FROM db.tbl`` without an explicit alias gains ``AS tbl`` so that
+        reference-style bare-name qualification (``SELECT databases.name FROM
+        incresql.databases``, tests/building_blocks/tables.rs) still resolves.
+        """
         known = set(self.databases())
+
+        def sub_from(m: re.Match) -> str:
+            kw, db, t = m.group(1), m.group(2), m.group(3)
+            alias_full, alias = m.group(4) or "", m.group(5)
+            if db not in known:
+                return m.group(0)
+            if alias and alias.upper() not in self._NON_ALIAS:
+                return f"{kw} {db}__{t}{alias_full}"
+            return f"{kw} {db}__{t} AS {t}{alias_full}"
+
+        sql = re.sub(
+            rf"\b(FROM|JOIN)\s+({_IDENT})\.({_IDENT})"
+            rf"(\s+(?:AS\s+)?({_IDENT}))?",
+            sub_from,
+            sql,
+            flags=re.IGNORECASE,
+        )
 
         def sub(m: re.Match) -> str:
             db, t = m.group(1), m.group(2)

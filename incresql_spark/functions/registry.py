@@ -51,6 +51,17 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
         "STRING",
         "to_json(try_variant_get(parse_json(x), p, 'variant'))",
     ),
+    # casts/type_of.rs:20 — reference type spellings over Spark typeof names
+    (
+        "incre_type_name",
+        "t STRING",
+        "STRING",
+        "CASE t WHEN 'int' THEN 'INTEGER' WHEN 'bigint' THEN 'BIGINT' "
+        "WHEN 'string' THEN 'TEXT' WHEN 'boolean' THEN 'BOOLEAN' "
+        "WHEN 'void' THEN 'NULL' WHEN 'binary' THEN 'BYTEA' "
+        "WHEN 'date' THEN 'DATE' WHEN 'timestamp_ntz' THEN 'TIMESTAMP' "
+        "ELSE upper(t) END",
+    ),
 ]
 
 
