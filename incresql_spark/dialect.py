@@ -47,6 +47,38 @@ _DIRECTORY = re.compile(
     re.VERBOSE | re.IGNORECASE,
 )
 
+#: reference type names → Spark type names inside CAST(... AS <type>)
+_CAST_TYPES = {"TEXT": "STRING", "BYTEA": "BINARY", "JSON": "STRING",
+               "TIMESTAMP": "TIMESTAMP_NTZ"}
+_CAST_AS = re.compile(
+    rf"\bAS\s+({'|'.join(_CAST_TYPES)})\s*\)", re.IGNORECASE
+)
+_CAST_OPEN = re.compile(r"\bCAST\s*\(", re.IGNORECASE)
+
+
+def _rewrite_cast_types(sql: str) -> str:
+    """Map reference type names (TEXT/BYTEA/JSON/TIMESTAMP, datatype.rs:5-20)
+    to Spark spellings, but only as the target of a CAST — a column alias
+    that happens to be named ``text`` is left alone."""
+    spans = []
+    for m in _CAST_OPEN.finditer(sql):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        spans.append((m.end(), i))
+
+    def sub(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return f"AS {_CAST_TYPES[m.group(1).upper()]})"
+        return m.group(0)
+
+    return _CAST_AS.sub(sub, sql)
+
+
 _COUNT0 = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
 _TYPE_OF = re.compile(r"\btype_of\s*\(", re.IGNORECASE)
 _DATABASE_FN = re.compile(r"\bdatabase\s*\(\s*\)", re.IGNORECASE)
@@ -100,6 +132,7 @@ def rewrite(
 
         out = _DIRECTORY.sub(_sub_dir, out)
 
+    out = _rewrite_cast_types(out)
     out = _COUNT0.sub("count(*)", out)
     out = _rewrite_type_of(out)
     out = _DATABASE_FN.sub(f"'{current_db}'", out)

