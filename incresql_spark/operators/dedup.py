@@ -481,12 +481,87 @@ ORDER BY vec_a, vec_b
 """
 
 
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the web-crawl staple: lowercase, drop the
+    query string, strip a ``www.`` prefix and any trailing slash, then group.
+
+    The corpus has no URL column, so deterministic synthetic URLs (varying
+    only in non-canonical decoration) are derived per document; groups with
+    >1 member are the dup sets.  One narrow map + one hash aggregation —
+    the same shape as dedup_exact, linear at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=x")).otherwise(
+                F.lit("")
+            ),
+        ).alias("url"),
+    )
+    canon = raw.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.split_part(F.col("url"), F.lit("?"), F.lit(1))),
+                "^https://www\\.",
+                "https://",
+            ),
+            "/$",
+            "",
+        ).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy("canonical_url")
+    )
+
+
+DEDUP_URL_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         'https://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+         source || '.example.com/' || lang || '/' ||
+         CAST(doc_id % 50 AS VARCHAR) ||
+         CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x' ELSE '' END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(lower(split_part(url, '?', 1)),
+                          '^https://www\\.', 'https://'),
+           '/$', '') AS canonical_url
+  FROM raw
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS keeper_doc_id
+FROM canon
+GROUP BY canonical_url
+HAVING count(*) > 1
+ORDER BY canonical_url
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_url": dedup_url,
 }
 
 ORACLE = {
@@ -495,6 +570,7 @@ ORACLE = {
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "dedup_url": DEDUP_URL_SQL,
 }
 
 BENCH_QUERIES = {

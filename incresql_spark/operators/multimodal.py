@@ -121,5 +121,102 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"mm_features": mm_features}
-ORACLE: dict[str, str] = {}  # rows-only: numpy decode not expressible in SQL
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize (pure numpy — deterministic, codec-free).
+    Production swaps this for PIL/cv2 resampling; the Spark-side batch
+    plumbing is identical either way."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+RESIZED_SCHEMA = "doc_id BIGINT, out_w INT, out_h INT, checksum BIGINT"
+
+
+def mm_resize(spark: SparkSession, sf_dir: str, out_hw: tuple[int, int] = (8, 8)) -> DataFrame:
+    """Decode → resize pipeline over mapInPandas (rows-only check: the
+    tensor math isn't SQL-expressible; determinism is unit-tested)."""
+    out_h, out_w = out_hw
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sums = []
+            for payload in pdf["payload"]:
+                img = decode_image(bytes(payload), "fake/raw", fake=True)
+                sums.append(int(resize_image(img, out_h, out_w).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": np.int32(out_w),
+                    "out_h": np.int32(out_h),
+                    "checksum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    media = synthesize_media(spark, sf_dir)
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA).orderBy("doc_id")
+
+
+FRAME_STRIDE = 2
+
+FRAMES_SCHEMA = "doc_id BIGINT, frame_idx INT, frame_hash STRING"
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every FRAME_STRIDE-th frame of each synthetic
+    clip (n_frames derived from doc length), one output row per kept frame.
+
+    The sampler runs in mapInPandas exactly as a real video pipeline would
+    (payload in, per-frame records out, Arrow-batched, shuffle-free); the
+    deterministic frame ids/hashes make it DuckDB-oracle-checkable.
+    """
+    from ..catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    clips = d.select(
+        "doc_id",
+        F.md5("text").alias("payload_hex"),
+        ((F.col("n_chars") % 10) + 2).cast("int").alias("n_frames"),
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, hex_, n in zip(
+                pdf["doc_id"], pdf["payload_hex"], pdf["n_frames"]
+            ):
+                for i in range(0, int(n), FRAME_STRIDE):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(f"{hex_}-{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return clips.mapInPandas(sample, schema=FRAMES_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+MM_FRAME_SAMPLE_SQL = f"""
+SELECT d.doc_id,
+       CAST(u.idx AS INT) AS frame_idx,
+       md5(md5(d.text) || '-' || CAST(u.idx AS INT)) AS frame_hash
+FROM documents d,
+     UNNEST(range(0, (d.n_chars % 10) + 2, {FRAME_STRIDE})) AS u(idx)
+ORDER BY d.doc_id, frame_idx
+"""
+
+QUERIES = {
+    "mm_features": mm_features,
+    "mm_resize": mm_resize,
+    "mm_frame_sample": mm_frame_sample,
+}
+# mm_features / mm_resize are rows-only: numpy tensor math isn't
+# SQL-expressible.  mm_frame_sample's sampler is deterministic → full oracle.
+ORACLE: dict[str, str] = {"mm_frame_sample": MM_FRAME_SAMPLE_SQL}

@@ -205,11 +205,64 @@ ORDER BY doc_id
 """
 
 
+# PII scrubbing: the corpus is synthetic (no real PII), so each doc gains a
+# deterministic injected email + phone, then the scrubber masks them.  The
+# regexes are the deliverable — identical RE2/Java-compatible subset in both
+# engines; production swaps in a fuller pattern bank.
+EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "555-[0-9]{4}"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask emails/phones, count the hits, hash the scrubbed text.  Pure
+    Column expressions: a narrow codegen'd map, no Python in the path."""
+    d = load_table(spark, sf_dir, "documents")
+    pii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("pii_text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("pii_text"), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return pii.select(
+        "doc_id",
+        F.regexp_count(F.col("pii_text"), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("pii_text"), F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    ).orderBy("doc_id")
+
+
+TEXT_PII_SCRUB_SQL = f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(pii_text, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(pii_text, '{PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(pii_text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_hash
+FROM pii
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
+    "text_pii_scrub": text_pii_scrub,
 }
 
 ORACLE = {
@@ -217,6 +270,7 @@ ORACLE = {
     "text_langid": TEXT_LANGID_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_pii_scrub": TEXT_PII_SCRUB_SQL,
 }
 
 BENCH_QUERIES = {"text_stats": text_stats}

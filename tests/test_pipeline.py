@@ -6,15 +6,16 @@ from __future__ import annotations
 
 import pytest
 
-from incresql_spark.operators import dedup, similarity, text
+from incresql_spark.operators import dedup, multimodal, similarity, text
 
 from .conftest import SF_SMALL
 from .oracle import assert_matches_oracle
 
 ALL = {}
-for mod in (text, dedup, similarity):
+for mod in (text, dedup, similarity, multimodal):
     for name in mod.QUERIES:
-        ALL[name] = (mod.QUERIES[name], mod.ORACLE[name])
+        if name in mod.ORACLE:
+            ALL[name] = (mod.QUERIES[name], mod.ORACLE[name])
 
 
 @pytest.mark.parametrize("name", sorted(ALL))
@@ -87,3 +88,37 @@ def test_simhash_hamming_reflects_similarity(spark):
     hits = [p for p in jacc if p in sim]
     assert len(hits) >= len(jacc) * 0.5, (len(hits), len(jacc))
     assert all(h <= dedup.HAMMING_MAX for h in sim.values())
+
+
+def test_mm_resize_deterministic_and_shaped(spark):
+    """The decode→resize mapInPandas path: stable checksums across runs,
+    declared output shape, one row per media item."""
+    a = multimodal.mm_resize(spark, SF_SMALL).collect()
+    b = multimodal.mm_resize(spark, SF_SMALL).collect()
+    assert a == b
+    assert all(r.out_w == 8 and r.out_h == 8 for r in a)
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert len(a) == n_docs
+
+
+def test_mm_resize_nearest_neighbour_math():
+    import numpy as np
+
+    from incresql_spark.operators.multimodal import resize_image
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    out = resize_image(img, 8, 8)
+    assert out.shape == (8, 8, 3)
+    # nearest-neighbour with integer stride == plain slicing
+    assert (out == img[::2, ::2]).all()
+
+
+def test_mm_frame_sample_counts(spark):
+    """Every clip contributes ceil(n_frames / stride) sampled frames."""
+    rows = multimodal.mm_frame_sample(spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    expect = sum(
+        -(-((d.n_chars % 10) + 2) // multimodal.FRAME_STRIDE) for d in docs
+    )
+    assert len(rows) == expect
+    assert all(r.frame_idx % multimodal.FRAME_STRIDE == 0 for r in rows)
