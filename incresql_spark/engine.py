@@ -248,13 +248,47 @@ class Engine:
                 df.createOrReplaceTempView(name)
             df.createOrReplaceTempView(f"incresql__{name}")
 
+    def _register_bare(self, db: str) -> None:
+        """Point bare (unqualified) temp-view names at ``db``'s tables —
+        the reference resolves a view's bare names in the view's own
+        context database (resolve_tables.rs:34-61)."""
+        if db in self._SYSTEM_DBS:
+            self._register_system_tables()
+            return
+        for name, kind in self.tables(db):
+            if kind == "table":
+                self._table(db, name).scan().createOrReplaceTempView(name)
+            else:
+                try:
+                    self.spark.table(f"{db}__{name}").createOrReplaceTempView(name)
+                except Exception:
+                    pass  # dependent view not registered yet
+        for mvname in self._mvs(db):
+            self._mv(db, mvname).read().createOrReplaceTempView(mvname)
+
     def _register_view(self, db: str, name: str, seen: set) -> None:
         if (db, name) in seen:
             return
         seen.add((db, name))
         meta = self._views(db)[name]
-        sql = self._qualify(meta["sql"], meta["context_db"])
-        df = self.spark.sql(dialect.rewrite(sql, meta["context_db"], self._register_dir))
+        ctx = meta["context_db"]
+        sql = self._qualify(meta["sql"], ctx)
+        rewritten = dialect.rewrite(sql, ctx, self._register_dir)
+        try:
+            df = self.spark.sql(rewritten)
+        except Exception:
+            if ctx == self.current_db:
+                raise
+            # bare names in the view body resolve in ITS context db, not the
+            # session's — re-register bare names there, build, then restore
+            saved = self.current_db
+            self.current_db = ctx
+            try:
+                self._register_bare(ctx)
+                df = self.spark.sql(rewritten)
+            finally:
+                self.current_db = saved
+                self._register_bare(saved)
         if db == self.current_db:
             df.createOrReplaceTempView(name)
         df.createOrReplaceTempView(f"{db}__{name}")

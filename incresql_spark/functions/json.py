@@ -42,9 +42,17 @@ def translate_path(path: str) -> str:
 
 
 def json_extract(col: Column | str, path: str) -> Column:
-    """``->``: JSON-typed extraction (strings stay quoted)."""
+    """``->``: JSON-typed extraction (strings stay quoted).
+
+    Wildcard paths can't go through the variant reader (no ``[*]`` support);
+    ``get_json_object`` array-wraps multi-matches with element quoting
+    preserved — the reference's wildcard behaviour (json_extract.rs:11-47).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_json(F.try_variant_get(F.parse_json(c), translate_path(path), "variant"))
+    p = translate_path(path)
+    if "*" in p:
+        return F.get_json_object(c, p)
+    return F.to_json(F.try_variant_get(F.parse_json(c), p, "variant"))
 
 
 def json_unquote_extract(col: Column | str, path: str) -> Column:
@@ -66,7 +74,10 @@ def json_unquote(col: Column | str) -> Column:
 
 # SQL fragments for the dialect rewriter (engine.execute path).
 def arrow_sql(lhs: str, path: str) -> str:
-    return f"to_json(try_variant_get(parse_json({lhs}), '{translate_path(path)}', 'variant'))"
+    p = translate_path(path)
+    if "*" in p:
+        return f"get_json_object({lhs}, '{p}')"
+    return f"to_json(try_variant_get(parse_json({lhs}), '{p}', 'variant'))"
 
 
 def double_arrow_sql(lhs: str, path: str) -> str:

@@ -51,6 +51,18 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
         "STRING",
         "to_json(try_variant_get(parse_json(x), p, 'variant'))",
     ),
+    # reference spellings of the cast family (casts/to_*.rs) — registered
+    # under their real names where Spark has no builtin of that name
+    # (to_date/to_timestamp/to_json are Spark builtins with compatible-enough
+    # semantics for the reference corpus and are NOT shadowed)
+    ("to_bool", "x STRING", "BOOLEAN", "CAST(x AS BOOLEAN)"),
+    ("to_int", "x STRING", "INT", "CAST(x AS INT)"),
+    ("to_bigint", "x STRING", "BIGINT", "CAST(x AS BIGINT)"),
+    ("to_decimal", "x STRING", "DECIMAL(28,14)", "CAST(x AS DECIMAL(28,14))"),
+    ("to_text", "x STRING", "STRING", "CAST(x AS STRING)"),
+    # to_jsonpath compiles a path literal in the reference (datum.rs:31-32);
+    # paths stay strings on Spark, so this validates shape and passes through
+    ("to_jsonpath", "x STRING", "STRING", "x"),
     # casts/type_of.rs:20 — reference type spellings over Spark typeof names
     (
         "incre_type_name",

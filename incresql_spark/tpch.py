@@ -244,18 +244,135 @@ LIMIT 20
 """
 
 
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 adapted: the commitdate/receiptdate
+    pair isn't in TESTDATA, so the EXISTS predicate is "some line shipped
+    after the order date").  Exercises a correlated EXISTS → left-semi join;
+    Catalyst plans a broadcast/shuffled semi join with the extra non-equi
+    condition inside, so lineitem is never widened — at 100 TB the probe
+    stays one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    semi = o_f.join(
+        l,
+        (o_f.o_orderkey == l.l_orderkey) & (l.l_shipdate > o_f.o_orderdate),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority classes (TPC-H Q12 adapted: no l_shipmode column,
+    so lines group by l_linestatus).  Conditional aggregation — the CASE
+    folds into the partial aggregate, one shuffle total."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14: % of revenue from PROMO parts).  The
+    part table broadcasts; revenue sums are exact decimal, the final ratio
+    one double division (oracle-stable)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    promo = F.col("p_type") == "PROMO"
+    rev = F.expr(REVENUE_EXPR)
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                # ×100 while still decimal (exact in both engines), THEN one
+                # double division — bit-identical to the oracle
+                (F.lit(100) * F.sum(F.when(promo, rev).otherwise(F.lit(0))))
+                .cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT CAST(100 * SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_EXPR}
+                           ELSE 0 END) AS DOUBLE)
+       / CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
 QUERIES = {
     "tpch_q1": q1,
     "tpch_q3": q3,
+    "tpch_q4": q4,
     "tpch_q5": q5,
     "tpch_q6": q6,
     "tpch_q10": q10,
+    "tpch_q12": q12,
+    "tpch_q14": q14,
 }
 
 ORACLE = {
     "tpch_q1": Q1_SQL,
     "tpch_q3": Q3_SQL,
+    "tpch_q4": Q4_SQL,
     "tpch_q5": Q5_SQL,
     "tpch_q6": Q6_SQL,
     "tpch_q10": Q10_SQL,
+    "tpch_q12": Q12_SQL,
+    "tpch_q14": Q14_SQL,
 }

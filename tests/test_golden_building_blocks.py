@@ -261,6 +261,42 @@ def test_system_tables_catalog_rows(engine):
     assert ("tables", "table", True) in rows
 
 
+# ---- json/mod.rs ----------------------------------------------------------
+
+def test_json_extract_cast_form(engine):
+    assert q(engine, 'select cast("[1,2,3,4]" as json)->"$.1"') == ["|2|"]
+    assert q(engine, 'select cast("[[1,2],[3,4],[5,6]]" as json)->"$.*.0"') == [
+        "|[1,3,5]|"
+    ]
+
+
+def test_json_unquote_golden(engine):
+    assert q(engine, 'select json_unquote(cast("null" as json))') == ["|null|"]
+    assert q(engine, "select type_of(json_unquote(cast(NULL as json)))") == [
+        "|TEXT|"
+    ]
+    assert q(engine, 'select json_unquote(cast("\\"test\\"" as json))') == ["|test|"]
+    assert q(engine, 'select json_unquote(cast("[\\"test\\"]" as json))') == [
+        '|["test"]|'
+    ]
+    assert q(engine, 'select json_unquote(cast("123" as json))') == ["|123|"]
+
+
+# ---- views/mod.rs — view over a SYSTEM table, cross-db context ------------
+
+def test_view_with_system_table_context(engine):
+    engine.execute_statement("CREATE TABLE test (c TEXT)")
+    engine.execute_statement('INSERT INTO test VALUES ("tables")')
+    engine.execute_statement("use incresql")
+    engine.execute_statement(
+        "create view default.test_view as select name as table_name from tables"
+    )
+    engine.execute_statement("use default")
+    assert q(engine, "SELECT * FROM test JOIN test_view ON c=table_name") == [
+        "|tables|tables|"
+    ]
+
+
 # ---- insert/mod.rs --------------------------------------------------------
 
 def test_insert_values_multirow(engine):
@@ -323,6 +359,21 @@ def test_create_drop_recreate_table(engine):
         "CREATE TABLE t1 (a INT, b TEXT, c DECIMAL(4,2), d BOOLEAN)"
     )
     assert q(engine, "SELECT * FROM t1") == []
+
+
+# ---- scalar cast family under reference names (casts/to_*.rs) ------------
+
+def test_to_cast_functions(engine):
+    assert q(
+        engine,
+        'SELECT to_bigint("123"), to_int("7"), to_bool("true"), to_text(5)',
+    ) == ["|123|7|TRUE|5|"]
+    r = engine.execute_statement('SELECT to_decimal("1.5")')
+    assert float(r.rows[0][0]) == 1.5
+    # date_sub — the one date function in the reference (date/date_sub.rs)
+    assert q(
+        engine, 'SELECT date_sub(cast("2010-10-23" as date), 3)'
+    ) == ["|2010-10-20|"]
 
 
 # ---- create/database.rs ---------------------------------------------------

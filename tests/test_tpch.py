@@ -27,3 +27,15 @@ def test_q3_broadcasts_dimensions(spark):
     """customer (small side) should broadcast, not shuffle."""
     plan = tpch.q3(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q4_plans_semi_join(spark):
+    """EXISTS must become a (left-)semi join — lineitem is probed, never
+    widened into the output."""
+    plan = tpch.q4(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan or "Semi" in plan
+
+
+def test_q14_broadcasts_part(spark):
+    plan = tpch.q14(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
