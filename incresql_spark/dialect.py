@@ -79,6 +79,10 @@ def _rewrite_cast_types(sql: str) -> str:
     return _CAST_AS.sub(sub, sql)
 
 
+#: MySQL @@magic variables the reference substitutes at validation time
+#: (p1_validation/sub_in_special_vars.rs:7-32)
+_SPECIAL_VARS = {"@@max_allowed_packet": "16777215", "@@socket": "''"}
+
 _COUNT0 = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
 _TYPE_OF = re.compile(r"\btype_of\s*\(", re.IGNORECASE)
 _DATABASE_FN = re.compile(r"\bdatabase\s*\(\s*\)", re.IGNORECASE)
@@ -137,4 +141,6 @@ def rewrite(
     out = _rewrite_type_of(out)
     out = _DATABASE_FN.sub(f"'{current_db}'", out)
     out = _LIMIT_COMMA.sub(r"LIMIT \2 OFFSET \1", out)
+    for var, const in _SPECIAL_VARS.items():
+        out = re.sub(re.escape(var) + r"\b", const, out, flags=re.IGNORECASE)
     return out

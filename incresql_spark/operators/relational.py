@@ -557,7 +557,120 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+# --- As-of join (time-series enrichment; beyond the reference) -------------
+def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's latest view at-or-before its time.
+
+    Spark has no ASOF JOIN; the scalable encoding is union-tag + one ordered
+    window scan per user: O(n log n) within each user partition, ONE shuffle
+    on user_id, no range-explosion self-join.  (A naive ts-inequality join
+    is O(clicks × views) per user and collapses at scale.)  DuckDB's native
+    ASOF LEFT JOIN is the oracle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    # one view per (user, ts): deterministic tie-break = max event_id
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("id"))
+        .select("user_id", "ts", F.lit(0).alias("src"), "id")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("src"), F.col("event_id").alias("id")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("src").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        views.unionByName(clicks)
+        .withColumn(
+            "asof_view_id",
+            F.last(F.when(F.col("src") == 0, F.col("id")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("src") == 1)
+        .select("user_id", F.col("id").alias("click_id"), "asof_view_id")
+        .orderBy("user_id", "click_id")
+    )
+
+
+OP_ASOF_JOIN_SQL = """
+WITH views AS (
+  SELECT user_id, ts, max(event_id) AS id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+clicks AS (
+  SELECT user_id, ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.click_id, v.id AS asof_view_id
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+ORDER BY c.user_id, c.click_id
+"""
+
+
+RANGE_WINDOW_S = 300  # 5 minutes
+
+
+def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views within the 5 minutes before each purchase, counted per purchase.
+
+    A naive ts-inequality join is a per-user cross product.  The scalable
+    encoding buckets time into window-sized bins and joins on
+    (user_id, bucket) with each purchase probing its own and the previous
+    bucket — every qualifying pair lands in one of the two, so the
+    inequality only filters inside small equi-join groups.  Equi-join keys
+    → Catalyst plans a plain shuffled hash/sort-merge join, no BNLJ.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("ts").cast("double") / RANGE_WINDOW_S)
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+        bucket.alias("bkt"),
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            bucket.alias("pb"),
+        )
+        .withColumn("bkt", F.explode(F.array(F.col("pb") - 1, F.col("pb"))))
+    )
+    in_window = (F.col("v_ts") <= F.col("p_ts")) & (
+        F.col("v_ts") > F.col("p_ts") - F.expr(f"INTERVAL {RANGE_WINDOW_S} SECONDS")
+    )
+    joined = purchases.join(
+        views, ["user_id", "bkt"], "left"
+    ).withColumn("hit", F.when(in_window, F.col("view_id")))
+    return (
+        joined.groupBy("user_id", "purchase_id")
+        .agg(F.count("hit").alias("n_views_5min"))
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+OP_RANGE_JOIN_SQL = f"""
+SELECT p.user_id, p.event_id AS purchase_id,
+       CAST(count(v.event_id) AS BIGINT) AS n_views_5min
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts > p.ts - INTERVAL {RANGE_WINDOW_S} SECONDS
+GROUP BY p.user_id, p.event_id
+ORDER BY p.user_id, purchase_id
+"""
+
+
 QUERIES = {
+    "op_asof_join": op_asof_join,
+    "op_range_join": op_range_join,
     "op_values_literals": op_values_literals,
     "op_project_arithmetic": op_project_arithmetic,
     "op_filter_bool": op_filter_bool,
@@ -580,6 +693,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "op_asof_join": OP_ASOF_JOIN_SQL,
+    "op_range_join": OP_RANGE_JOIN_SQL,
     "op_values_literals": OP_VALUES_LITERALS_SQL,
     "op_project_arithmetic": OP_PROJECT_ARITHMETIC_SQL,
     "op_filter_bool": OP_FILTER_BOOL_SQL,

@@ -244,6 +244,21 @@ def test_show_tables_in_incresql(engine):
     assert names == ["databases", "prefix_tables", "tables"]
 
 
+def test_show_functions_reference_registry(engine):
+    """show/functions.rs golden — the reference's full compiled-in registry,
+    every name supported here (operator, rewrite, or SQL UDF)."""
+    got = q(engine, "SHOW FUNCTIONS")
+    assert got == [
+        "|!=|", "|*|", "|+|", "|-|", "|->|", "|->>|", "|/|", "|<|", "|<=|",
+        "|=|", "|>|", "|>=|", "|and|", "|avg|", "|between|", "|coalesce|",
+        "|count|", "|database|", "|date_sub|", "|if|", "|isfalse|",
+        "|isnull|", "|istrue|", "|json_extract|", "|json_unquote|", "|not|",
+        "|or|", "|sum|", "|to_bigint|", "|to_bool|", "|to_date|",
+        "|to_decimal|", "|to_int|", "|to_json|", "|to_jsonpath|",
+        "|to_text|", "|to_timestamp|", "|type_of|",
+    ]
+
+
 def test_show_databases_bootstrap(engine):
     dbs = [r[0] for r in engine.execute_statement("SHOW DATABASES").rows]
     assert dbs == ["default", "incresql", "information_schema"]
@@ -359,6 +374,13 @@ def test_create_drop_recreate_table(engine):
         "CREATE TABLE t1 (a INT, b TEXT, c DECIMAL(4,2), d BOOLEAN)"
     )
     assert q(engine, "SELECT * FROM t1") == []
+
+
+# ---- @@special vars (p1_validation/sub_in_special_vars.rs) ----------------
+
+def test_special_vars(engine):
+    assert q(engine, "SELECT @@max_allowed_packet") == ["|16777215|"]
+    assert q(engine, "SELECT @@socket") == ["||"]
 
 
 # ---- scalar cast family under reference names (casts/to_*.rs) ------------
