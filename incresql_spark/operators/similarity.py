@@ -330,16 +330,64 @@ ORDER BY query_id, rank
 """
 
 
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding — the aggregation IVF/k-means training runs
+    every iteration.
+
+    posexplode → groupBy(label, dim) → mean reshapes the array aggregation
+    into a plain hash aggregate: one shuffle keyed (label, dim), map-side
+    partial sums, perfectly balanced regardless of label skew (every label
+    spreads over DIM keys).  Sums are exact DECIMAL so distributed
+    (any-order) addition hash-matches the single-threaded oracle; one final
+    double division per (label, dim).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    per_dim = e.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).groupBy("label", "dim").agg(
+        (
+            # float → double is exact; double → decimal rounds identically
+            # (half away from zero) in both engines
+            F.sum(F.col("x").cast("double").cast("decimal(27,7)")).cast("double")
+            / F.count("x").cast("double")
+        ).alias("mean_x"),
+        F.count("x").alias("n_vectors"),
+    )
+    return per_dim.select(
+        "label", "dim", F.round("mean_x", 6).alias("mean_x"), "n_vectors"
+    ).orderBy("label", "dim")
+
+
+SIM_LABEL_CENTROIDS_SQL = """
+WITH per_dim AS (
+  -- parallel unnest zips the value with its 0-based position
+  SELECT label,
+         unnest(range(len(embedding))) AS dim,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       round(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,7))) AS DOUBLE)
+             / CAST(COUNT(x) AS DOUBLE), 6) AS mean_x,
+       CAST(COUNT(x) AS BIGINT) AS n_vectors
+FROM per_dim
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
+    "sim_label_centroids": sim_label_centroids,
 }
 
 ORACLE = {
     "sim_topk_cosine": SIM_TOPK_COSINE_SQL,
     "sim_ann_lsh": SIM_ANN_LSH_SQL,
     "sim_ann_ivf": SIM_ANN_IVF_SQL,
+    "sim_label_centroids": SIM_LABEL_CENTROIDS_SQL,
 }
 
 BENCH_QUERIES = {"sim_topk_cosine": sim_topk_cosine}

@@ -1,0 +1,78 @@
+"""Property-based check of the signed-frequency multiset core against a
+Python Counter model — random insert / delete-with-limit / compact sequences
+must preserve exact multiset semantics (the reference's storage contract:
+freq merge on write, zero-freq elision, DELETE LIMIT splitting a freq>1
+tuple — table.rs:320-346, tests/delete/mod.rs:35-43).
+
+The reference has no property tests (SURVEY §5); this goes beyond it.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import types as T
+
+from incresql_spark.frequency import FreqTable
+
+_ROW = st.tuples(st.integers(0, 3), st.sampled_from(["x", "y"]))
+
+_OP = st.one_of(
+    st.tuples(st.just("insert"), st.lists(_ROW, min_size=1, max_size=4)),
+    st.tuples(
+        st.just("delete"),
+        st.one_of(st.none(), st.integers(0, 3)),
+        st.one_of(st.none(), st.integers(1, 4)),
+    ),
+    st.tuples(st.just("compact")),
+)
+
+_SCHEMA = T.StructType(
+    [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+)
+
+
+def _model_delete(model: Counter, cond_a, limit) -> None:
+    matching = sorted(
+        t for t in model.elements() if cond_a is None or t[0] == cond_a
+    )
+    if limit is not None:
+        matching = matching[:limit]
+    for t in matching:
+        model[t] -= 1
+    for t in [t for t, n in model.items() if n <= 0]:
+        del model[t]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_OP, min_size=1, max_size=5))
+def test_freq_table_matches_multiset_model(spark, ops):
+    tbl = FreqTable(spark, tempfile.mkdtemp(prefix="freqprop-"))
+    tbl.create(_SCHEMA)
+    model: Counter = Counter()
+    ts = 1_000_000  # strictly increasing segment timestamps
+
+    for op in ops:
+        ts += 1000
+        if op[0] == "insert":
+            rows = list(op[1])
+            tbl.insert(spark.createDataFrame(rows, _SCHEMA), ts_ms=ts)
+            model.update(rows)
+        elif op[0] == "delete":
+            _, cond_a, limit = op
+            cond = None if cond_a is None else f"a = {cond_a}"
+            tbl.delete_where(cond, limit, ts_ms=ts)
+            _model_delete(model, cond_a, limit)
+        else:
+            tbl.compact()
+
+    got = sorted(tuple(r) for r in tbl.scan().collect())
+    assert got == sorted(model.elements())
