@@ -568,12 +568,11 @@ def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASOF LEFT JOIN is the oracle.
     """
     e = load_table(spark, sf_dir, "events")
-    # one view per (user, ts): deterministic tie-break = max event_id
-    views = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("id"))
-        .select("user_id", "ts", F.lit(0).alias("src"), "id")
+    # No pre-dedup of same-(user, ts) views: the window orders by
+    # (ts, src, id) so the running last() already lands on the max event_id
+    # of a tie — one shuffle total instead of two.
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("src"), F.col("event_id").alias("id")
     )
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.lit(1).alias("src"), F.col("event_id").alias("id")

@@ -276,6 +276,22 @@ def test_system_tables_catalog_rows(engine):
     assert ("tables", "table", True) in rows
 
 
+# ---- file_sources — recursive walk + custom delimiter ---------------------
+
+def test_directory_recursive_pipe_delimiter(engine, tmp_path):
+    """file_scan.rs:8-114 walks directories recursively; delimiter is
+    configurable (the TPC-H load path uses '|')."""
+    root = tmp_path / "csv"
+    (root / "sub").mkdir(parents=True)
+    (root / "a.csv").write_text("1|x\n")
+    (root / "sub" / "b.csv").write_text("2|y\n")
+    r = engine.execute_statement(
+        f'SELECT data->>"$[0]" AS f0, data->>"$[1]" AS f1 '
+        f'FROM DIRECTORY "{root}" WITH(DELIMITER="|") ORDER BY 1'
+    )
+    assert r.rows == [("1", "x"), ("2", "y")]
+
+
 # ---- json/mod.rs ----------------------------------------------------------
 
 def test_json_extract_cast_form(engine):

@@ -97,3 +97,37 @@ def test_registry_functions_inline(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """As-of join must be one window scan: exactly one shuffle (on user_id),
+    no join node at all."""
+    from incresql_spark.operators.relational import op_asof_join
+
+    from .conftest import SF_SMALL
+
+    plan = op_asof_join(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union + window, never a join
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_equi_join(spark):
+    """Bucketed range join must plan as a hash/sort-merge equi join —
+    never BroadcastNestedLoop/cartesian."""
+    from incresql_spark.operators.relational import op_range_join
+
+    from .conftest import SF_SMALL
+
+    plan = op_range_join(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_no_shuffle_before_sort(spark):
+    """PII scrubbing is a narrow map; the only exchange is the output sort."""
+    from incresql_spark.operators.text import text_pii_scrub
+
+    from .conftest import SF_SMALL
+
+    plan = text_pii_scrub(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
