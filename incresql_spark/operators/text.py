@@ -257,8 +257,61 @@ ORDER BY doc_id
 """
 
 
+# Stratified sampling: per-language keep rates (per-10000 thresholds) — the
+# training-mix design step.  Hash-thresholding (not rand()) so the sample is
+# deterministic, reproducible, and identical on any cluster size.
+STRATA_BP = {"en": 5000, "de": 2500, "es": 1000, "fr": 1000, "zh": 500}
+DEFAULT_BP = 100
+_SAMPLE_SEED = "strat"
+
+
+def text_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each doc iff hash60(seed|doc_id) mod 10000 < its language's
+    threshold.  A narrow filter — no shuffle, no state, any scale; rates are
+    exact in expectation and the choice is stable under reruns/backfills."""
+    from ..functions.hashing import hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    h = hash60(F.concat(F.col("doc_id").cast("string")), seed=_SAMPLE_SEED)
+    threshold = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(bp))
+            for lang, bp in STRATA_BP.items()
+        ],
+        F.lit(DEFAULT_BP),
+    )
+    return (
+        d.filter((h % 10000) < threshold)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _strata_case_duck() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {bp}" for lang, bp in STRATA_BP.items()
+    )
+    return f"CASE lang {whens} ELSE {DEFAULT_BP} END"
+
+
+def _sample_sql() -> str:
+    from ..functions.hashing import hash60_sql
+
+    h = hash60_sql("CAST(doc_id AS VARCHAR)", seed=_SAMPLE_SEED)
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {h} % 10000 < {_strata_case_duck()}
+ORDER BY doc_id
+"""
+
+
+TEXT_SAMPLE_STRATIFIED_SQL = _sample_sql()
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "text_sample_stratified": text_sample_stratified,
     "text_langid": text_langid,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
@@ -267,6 +320,7 @@ QUERIES = {
 
 ORACLE = {
     "text_stats": TEXT_STATS_SQL,
+    "text_sample_stratified": TEXT_SAMPLE_STRATIFIED_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

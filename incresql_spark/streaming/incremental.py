@@ -57,6 +57,24 @@ def stream_into_table(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` arriving within the
+    watermark horizon — the ingestion-time guard a training-data feed runs
+    before anything else touches the stream.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store by the dedup
+    columns and EXPIRES entries once the watermark passes them, so state is
+    bounded by (arrival rate × watermark), not by stream history — the
+    property that keeps this viable on an unbounded 100 TB/day feed.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def windowed_counts(
     events: DataFrame,
     window: str = "1 hour",

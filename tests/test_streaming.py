@@ -60,6 +60,46 @@ def test_stream_into_table_and_mv(spark, tmp_path):
     assert sorted(tuple(r) for r in mv.read().collect()) == [("a", 2, 6), ("b", 1, 2)]
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids across micro-batch files must surface once; the
+    state store holds only keys inside the watermark horizon."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    src = tmp_path / "dedup-in"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (2, t0 + datetime.timedelta(minutes=1)),
+        (1, t0 + datetime.timedelta(minutes=2)),  # dup of 1
+        (3, t0 + datetime.timedelta(minutes=3)),
+        (2, t0 + datetime.timedelta(minutes=4)),  # dup of 2
+    ]
+    spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+        str(src / "b1.parquet")
+    )
+    stream = spark.readStream.schema(schema).format("parquet").load(str(src) + "/*")
+    q = (
+        incremental.stream_dedup(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [1, 2, 3]
+
+
 def test_windowed_counts_batch_semantics(spark):
     """The windowed-agg plan works on batch input (same declarative plan
     streams with a state store)."""
