@@ -481,6 +481,57 @@ ORDER BY vec_a, vec_b
 """
 
 
+EVAL_SET_MAX_DOC = 20  # doc_id < 20 plays the benchmark/eval set
+
+
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pass: find training docs sharing any shingle with the
+    eval set, with the overlap count as evidence.
+
+    Shape: the eval side's shingles are tiny (benchmarks are small) →
+    broadcast to every executor; the training corpus streams past it in one
+    narrow pass.  No corpus-side shuffle until the per-doc aggregate — at
+    100 TB this is the only shape that works.
+    """
+    docsh = _doc_shingles(spark, sf_dir)
+    ev = docsh.filter(F.col("doc_id") < EVAL_SET_MAX_DOC).select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.explode("shingles").alias("shingle"),
+    )
+    tr = docsh.filter(F.col("doc_id") >= EVAL_SET_MAX_DOC).select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.explode("shingles").alias("shingle"),
+    )
+    return (
+        tr.join(F.broadcast(ev), ["shingle"])
+        .groupBy("train_doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_common_shingles"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs_hit"),
+        )
+        .orderBy("train_doc_id")
+    )
+
+
+DEDUP_CONTAMINATION_SQL = f"""
+WITH docsh AS ({_DOC_SHINGLES_DUCK}),
+ev AS (
+  SELECT doc_id AS eval_doc_id, unnest(shingles) AS shingle
+  FROM docsh WHERE doc_id < {EVAL_SET_MAX_DOC}
+),
+tr AS (
+  SELECT doc_id AS train_doc_id, unnest(shingles) AS shingle
+  FROM docsh WHERE doc_id >= {EVAL_SET_MAX_DOC}
+)
+SELECT train_doc_id,
+       CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_common_shingles,
+       CAST(count(DISTINCT e.eval_doc_id) AS BIGINT) AS n_eval_docs_hit
+FROM tr t JOIN ev e USING (shingle)
+GROUP BY train_doc_id
+ORDER BY train_doc_id
+"""
+
+
 def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup — the web-crawl staple: lowercase, drop the
     query string, strip a ``www.`` prefix and any trailing slash, then group.
@@ -562,6 +613,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_url": dedup_url,
+    "dedup_contamination": dedup_contamination,
 }
 
 ORACLE = {
@@ -571,6 +623,7 @@ ORACLE = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_url": DEDUP_URL_SQL,
+    "dedup_contamination": DEDUP_CONTAMINATION_SQL,
 }
 
 BENCH_QUERIES = {
