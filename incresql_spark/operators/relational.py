@@ -714,3 +714,5 @@ ORACLE = {
     "op_intersect_except": OP_INTERSECT_EXCEPT_SQL,
     "op_rollup": OP_ROLLUP_SQL,
 }
+
+BENCH_QUERIES = {"op_asof_join": op_asof_join}
