@@ -392,6 +392,22 @@ def test_create_drop_recreate_table(engine):
     assert q(engine, "SELECT * FROM t1") == []
 
 
+# ---- session/misc functions (database.rs, if_fn.rs, coalesce.rs) ----------
+
+def test_database_if_coalesce(engine):
+    assert q(engine, "SELECT database()") == ["|default|"]
+    engine.execute_statement("CREATE DATABASE dbfn")
+    engine.execute_statement("USE dbfn")
+    assert q(engine, "SELECT database()") == ["|dbfn|"]
+    engine.execute_statement("USE default")
+    assert q(engine, "SELECT if(1 = 1, 'yes', 'no'), if(1 = 2, 'yes', 'no')") == [
+        "|yes|no|"
+    ]
+    assert q(engine, "SELECT coalesce(NULL, NULL, 3), coalesce(NULL, 'x')") == [
+        "|3|x|"
+    ]
+
+
 # ---- @@special vars (p1_validation/sub_in_special_vars.rs) ----------------
 
 def test_special_vars(engine):
