@@ -309,9 +309,46 @@ ORDER BY doc_id
 TEXT_SAMPLE_STRATIFIED_SQL = _sample_sql()
 
 
+VOCAB_TOP_K = 100
+
+
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-K tokens by frequency with document counts —
+    the input to tokenizer/BPE training and stopword discovery.
+
+    explode → hash-agg → TakeOrderedAndProject: the explode multiplies rows
+    ~100× but map-side partial aggregation collapses them before the single
+    shuffle, and the top-K never materializes the full vocabulary on one
+    node (per-partition heaps merge at the driver-bound limit only).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(VOCAB_TOP_K)
+    )
+
+
+TEXT_VOCAB_SQL = f"""
+SELECT token,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM (SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents)
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {VOCAB_TOP_K}
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_sample_stratified": text_sample_stratified,
+    "text_vocab": text_vocab,
     "text_langid": text_langid,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
@@ -321,6 +358,7 @@ QUERIES = {
 ORACLE = {
     "text_stats": TEXT_STATS_SQL,
     "text_sample_stratified": TEXT_SAMPLE_STRATIFIED_SQL,
+    "text_vocab": TEXT_VOCAB_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_tokens": TEXT_TOKENS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
