@@ -355,15 +355,117 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
 """
 
 
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (TPC-H Q7 adapted: supplier-nation ↔ customer-nation
+    trade flows by ship year, between two fixed nations).  Both nation dims
+    broadcast twice under different aliases; the only big-big join is
+    lineitem⋈orders on the key both sides already shuffle for."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(F.expr(REVENUE_EXPR)).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+Q18_QTY_THRESHOLD = 120
+
+
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18): orders whose total quantity
+    exceeds a threshold, joined back to customer detail.  The HAVING-style
+    aggregate produces a tiny key set that Catalyst/AQE broadcasts for the
+    join back — the fact table is scanned twice but shuffled once."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.expr(_QTY)).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_date,
+       o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM({_QTY}) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM({_QTY}) > {Q18_QTY_THRESHOLD}
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 QUERIES = {
     "tpch_q1": q1,
     "tpch_q3": q3,
     "tpch_q4": q4,
     "tpch_q5": q5,
     "tpch_q6": q6,
+    "tpch_q7": q7,
     "tpch_q10": q10,
     "tpch_q12": q12,
     "tpch_q14": q14,
+    "tpch_q18": q18,
 }
 
 ORACLE = {
@@ -372,7 +474,9 @@ ORACLE = {
     "tpch_q4": Q4_SQL,
     "tpch_q5": Q5_SQL,
     "tpch_q6": Q6_SQL,
+    "tpch_q7": Q7_SQL,
     "tpch_q10": Q10_SQL,
     "tpch_q12": Q12_SQL,
     "tpch_q14": Q14_SQL,
+    "tpch_q18": Q18_SQL,
 }
