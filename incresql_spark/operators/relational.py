@@ -667,9 +667,63 @@ ORDER BY p.user_id, purchase_id
 """
 
 
+def op_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: how far does each user get through
+    signup → view → purchase, requiring stage timestamps in order?
+
+    One conditional-min aggregation per user (map-side partial, single
+    shuffle) then a constant-time stage classification — no joins, no
+    windows; the shape is O(events) at any scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t_{t}")
+            for t in ("signup", "view", "purchase")
+        ]
+    )
+    stage = (
+        F.when(F.col("t_signup").isNull(), 0)
+        .when(F.col("t_view").isNull() | (F.col("t_view") < F.col("t_signup")), 1)
+        .when(
+            F.col("t_purchase").isNull() | (F.col("t_purchase") < F.col("t_view")), 2
+        )
+        .otherwise(3)
+    )
+    return (
+        firsts.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+OP_FUNNEL_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+staged AS (
+  SELECT CASE WHEN t_signup IS NULL THEN 0
+              WHEN t_view IS NULL OR t_view < t_signup THEN 1
+              WHEN t_purchase IS NULL OR t_purchase < t_view THEN 2
+              ELSE 3 END AS stage
+  FROM firsts
+)
+SELECT CAST(stage AS INT) AS stage, CAST(count(*) AS BIGINT) AS n_users
+FROM staged
+GROUP BY stage
+ORDER BY stage
+"""
+
+
 QUERIES = {
     "op_asof_join": op_asof_join,
     "op_range_join": op_range_join,
+    "op_funnel": op_funnel,
     "op_values_literals": op_values_literals,
     "op_project_arithmetic": op_project_arithmetic,
     "op_filter_bool": op_filter_bool,
@@ -694,6 +748,7 @@ QUERIES = {
 ORACLE = {
     "op_asof_join": OP_ASOF_JOIN_SQL,
     "op_range_join": OP_RANGE_JOIN_SQL,
+    "op_funnel": OP_FUNNEL_SQL,
     "op_values_literals": OP_VALUES_LITERALS_SQL,
     "op_project_arithmetic": OP_PROJECT_ARITHMETIC_SQL,
     "op_filter_bool": OP_FILTER_BOOL_SQL,
