@@ -376,11 +376,134 @@ ORDER BY label, dim
 """
 
 
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (K=4, 2 iterations, deterministic seed vectors) as
+    pure DataFrame ops — the iterative algorithm behind real IVF training,
+    oracle-checkable end to end.
+
+    Determinism across engines: distances are per-dim squared diffs rounded
+    once into DECIMAL(30,15) then summed exactly (order-free); centroid
+    updates are exact-decimal means; assignment ties break on cluster id.
+    Each iteration is a broadcast join (K×DIM centroid rows) + two hash
+    aggregations — no driver-side math, and iteration count is fixed, so
+    the whole thing is one Catalyst plan.  At 100 TB you would checkpoint
+    the small centroid frame between iterations; the dataflow is identical.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v_long = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    cent = (
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + KMEANS_K))
+        .select(
+            (F.col("vec_id") - 100).alias("cluster"),
+            F.posexplode("embedding").alias("dim", "mf"),
+        )
+        .select("cluster", "dim", F.col("mf").cast("double").alias("m"))
+    )
+    assign = None
+    for _ in range(KMEANS_ITERS):
+        d2 = (
+            v_long.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(
+                F.sum(F.expr("CAST((x - m) * (x - m) AS DECIMAL(30,15))")).alias("d2")
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("cluster").asc()
+        )
+        assign = (
+            d2.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+        cent = (
+            v_long.join(assign, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(
+                (
+                    F.sum(F.expr("CAST(x AS DECIMAL(27,7))")).cast("double")
+                    / F.count("x").cast("double")
+                ).alias("m")
+            )
+        )
+    sizes = assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        cent.join(sizes, "cluster")
+        .select("cluster", "dim", F.round("m", 6).alias("mean_x"), "n_vectors")
+        .orderBy("cluster", "dim")
+    )
+
+
+def _kmeans_sql() -> str:
+    ctes = [
+        """v_long AS (
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT vec_id - 100 AS cluster,
+         unnest(range(len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS m
+  FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + KMEANS_K}
+)""",
+    ]
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        ctes.append(f"""d{i} AS (
+  SELECT v.vec_id, c.cluster,
+         SUM(CAST((v.x - c.m) * (v.x - c.m) AS DECIMAL(30,15))) AS d2
+  FROM v_long v JOIN {prev} c USING (dim)
+  GROUP BY v.vec_id, c.cluster
+)""")
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cluster ASC) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""c{i} AS (
+  SELECT a.cluster, v.dim,
+         CAST(SUM(CAST(v.x AS DECIMAL(27,7))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS m
+  FROM v_long v JOIN a{i} a USING (vec_id)
+  GROUP BY a.cluster, v.dim
+)""")
+        prev = f"c{i}"
+    last = KMEANS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM a{last} GROUP BY cluster
+)
+SELECT c.cluster, CAST(c.dim AS INT) AS dim,
+       round(c.m, 6) AS mean_x, s.n_vectors
+FROM c{last} c JOIN sizes s USING (cluster)
+ORDER BY cluster, dim
+"""
+    )
+
+
+SIM_KMEANS_SQL = _kmeans_sql()
+
+
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_label_centroids": sim_label_centroids,
+    "sim_kmeans": sim_kmeans,
 }
 
 ORACLE = {
@@ -388,6 +511,7 @@ ORACLE = {
     "sim_ann_lsh": SIM_ANN_LSH_SQL,
     "sim_ann_ivf": SIM_ANN_IVF_SQL,
     "sim_label_centroids": SIM_LABEL_CENTROIDS_SQL,
+    "sim_kmeans": SIM_KMEANS_SQL,
 }
 
 BENCH_QUERIES = {"sim_topk_cosine": sim_topk_cosine}
