@@ -455,6 +455,92 @@ LIMIT 100
 """
 
 
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) (TPC-H Q15: suppliers whose quarterly revenue equals
+    the maximum — the reference would need a view + subquery; here a window
+    max over the aggregate avoids a second scan entirely)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.expr(REVENUE_EXPR)).alias("total_rev"))
+    )
+    # a global window would single-partition the aggregate; the scalar max
+    # broadcast back in keeps every stage distributed
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    top = rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
+    return (
+        top.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({REVENUE_EXPR}) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H Q19 adapted: OR-of-ANDs over brand, size
+    and quantity bands).  The disjunction references both join sides, so
+    only the common `p_partkey = l_partkey` key extracts; the residual OR
+    evaluates inside the broadcast join — no fact-table blowup."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(band)
+        .agg(F.sum(F.expr(REVENUE_EXPR)).cast("double").alias("revenue"))
+    )
+
+
+Q19_SQL = f"""
+SELECT CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 QUERIES = {
     "tpch_q1": q1,
     "tpch_q3": q3,
@@ -465,7 +551,9 @@ QUERIES = {
     "tpch_q10": q10,
     "tpch_q12": q12,
     "tpch_q14": q14,
+    "tpch_q15": q15,
     "tpch_q18": q18,
+    "tpch_q19": q19,
 }
 
 ORACLE = {
@@ -478,5 +566,7 @@ ORACLE = {
     "tpch_q10": Q10_SQL,
     "tpch_q12": Q12_SQL,
     "tpch_q14": Q14_SQL,
+    "tpch_q15": Q15_SQL,
     "tpch_q18": Q18_SQL,
+    "tpch_q19": Q19_SQL,
 }
