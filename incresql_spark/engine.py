@@ -104,6 +104,11 @@ class Engine:
         self.current_db = "default"
         os.makedirs(os.path.join(warehouse, "default"), exist_ok=True)
         self._dir_views = 0
+        #: catalog/temp-view registrations are stale after any DDL/DML (new
+        #: segments don't appear in an already-registered scan plan); pure
+        #: SELECT sequences skip the O(catalog) re-registration entirely
+        self._catalog_dirty = True
+        self._in_mutation = False
         from .functions.registry import register_all
 
         register_all(spark)
@@ -348,16 +353,29 @@ class Engine:
         return view
 
     def _run_select(self, sql: str) -> DataFrame:
-        self._register_all()
+        if self._catalog_dirty:
+            self._register_all()
+            # a mutating statement (INSERT ... SELECT, CREATE VIEW) may call
+            # this mid-flight; its own mutation keeps the catalog dirty
+            if not self._in_mutation:
+                self._catalog_dirty = False
         rewritten = dialect.rewrite(
             self._qualify(sql, self.current_db), self.current_db, self._register_dir
         )
         return self.spark.sql(rewritten)
 
+    #: statement prefixes that invalidate registered temp views
+    _MUTATING = (
+        "CREATE", "DROP", "USE ", "INSERT", "DELETE", "COMPACT", "REFRESH"
+    )
+
     # ---- statements --------------------------------------------------------
     def execute_statement(self, sql: str) -> EngineResult:
         s = sql.strip().rstrip(";").strip()
         u = s.upper()
+        self._in_mutation = u.startswith(self._MUTATING)
+        if self._in_mutation:
+            self._catalog_dirty = True
 
         if u.startswith("CREATE DATABASE"):
             name = s.split()[2]
