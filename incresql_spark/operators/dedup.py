@@ -481,6 +481,80 @@ ORDER BY vec_a, vec_b
 """
 
 
+LABEL_PROP_ITERS = 3
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS via min-label propagation
+    (fixed {LP} iterations) — the step that turns pairwise evidence into an
+    actual keep/drop decision set per group.
+
+    Each iteration is one shuffle (group neighbor minima) + one left join;
+    a fixed iteration count keeps the whole thing a single deterministic
+    Catalyst plan, identical to the oracle's CTE chain whether or not long
+    chains have fully converged.  Diameter>{LP} components are rare in dup
+    graphs (near-dups are cliques-ish); production raises the constant or
+    checkpoints between rounds.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    lbl = edges.select(F.col("src").alias("doc")).distinct().withColumn(
+        "lbl", F.col("doc")
+    )
+    for _ in range(LABEL_PROP_ITERS):
+        nb = (
+            edges.join(lbl, edges.src == lbl.doc)
+            .groupBy(F.col("dst").alias("doc2"))
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        lbl = lbl.join(nb, lbl.doc == nb.doc2, "left").select(
+            "doc",
+            F.least(F.col("lbl"), F.coalesce(F.col("nb_lbl"), F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+    return lbl.select(
+        F.col("lbl").alias("cluster_id"), F.col("doc").alias("doc_id")
+    ).orderBy("cluster_id", "doc_id")
+
+
+def _clusters_sql() -> str:
+    ctes = [
+        f"pairs AS (SELECT doc_a, doc_b FROM ({DEDUP_NGRAM_JACCARD_SQL}))",
+        "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "lbl0 AS (SELECT DISTINCT src AS doc, src AS lbl FROM edges)",
+    ]
+    for i in range(LABEL_PROP_ITERS):
+        ctes.append(
+            f"nb{i} AS (SELECT e.dst AS doc, MIN(l.lbl) AS nb_lbl "
+            f"FROM edges e JOIN lbl{i} l ON e.src = l.doc GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"lbl{i + 1} AS (SELECT l.doc, "
+            f"LEAST(l.lbl, COALESCE(n.nb_lbl, l.lbl)) AS lbl "
+            f"FROM lbl{i} l LEFT JOIN nb{i} n ON n.doc = l.doc)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT lbl AS cluster_id, doc AS doc_id
+FROM lbl{LABEL_PROP_ITERS}
+ORDER BY cluster_id, doc_id
+"""
+    )
+
+
+DEDUP_CLUSTERS_SQL = _clusters_sql()
+
+dedup_clusters.__doc__ = dedup_clusters.__doc__.replace(
+    "{LP}", str(LABEL_PROP_ITERS)
+)
+
+
 EVAL_SET_MAX_DOC = 20  # doc_id < 20 plays the benchmark/eval set
 
 
@@ -614,6 +688,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_url": dedup_url,
     "dedup_contamination": dedup_contamination,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLE = {
@@ -624,6 +699,7 @@ ORACLE = {
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_url": DEDUP_URL_SQL,
     "dedup_contamination": DEDUP_CONTAMINATION_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
 }
 
 BENCH_QUERIES = {

@@ -90,6 +90,18 @@ def test_simhash_hamming_reflects_similarity(spark):
     assert all(h <= dedup.HAMMING_MAX for h in sim.values())
 
 
+def test_dedup_clusters_cover_pairs(spark):
+    """Label propagation must place both endpoints of every near-dup pair in
+    one cluster, and cluster ids must be members of their own cluster."""
+    cl = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(spark, SF_SMALL).collect()}
+    pairs = dedup.dedup_ngram_jaccard(spark, SF_SMALL).collect()
+    assert pairs and cl
+    for r in pairs:
+        assert cl[r.doc_a] == cl[r.doc_b], (r.doc_a, r.doc_b)
+    for doc, label in cl.items():
+        assert cl[label] == label, (doc, label)
+
+
 def test_mm_resize_deterministic_and_shaped(spark):
     """The decode→resize mapInPandas path: stable checksums across runs,
     declared output shape, one row per media item."""
