@@ -541,6 +541,340 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 """
 
 
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 adapted to TESTDATA: p_type is a
+    single word, nations are NATION_k).  Share of NATION_1 suppliers in
+    AMERICA-region customer revenue for ECONOMY parts, by order year.
+
+    Plan shape: every dimension (part, supplier, customer, nation×2,
+    region) broadcasts; lineitem⋈orders is the only shuffle.  The share
+    division happens on two exact-decimal sums per year-group, cast to
+    double for one deterministic IEEE division — same fold as the oracle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.expr(REVENUE_EXPR)
+    zero = F.lit(0).cast("decimal(17,4)")
+    return (
+        l.join(
+            o.filter(
+                F.col("o_orderdate").between(
+                    F.lit("1995-01-01").cast("timestamp"),
+                    F.lit("1996-12-31").cast("timestamp"),
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN {REVENUE_EXPR}
+                     ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+         / CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                      AND TIMESTAMP '1996-12-31 00:00:00'
+GROUP BY EXTRACT(year FROM o_orderdate)
+ORDER BY o_year
+"""
+
+
+# TESTDATA has no partsupp → no ps_supplycost; Q9's cost model is adapted to
+# half the part's list price (decimal-exact, same expression both engines).
+_COST = "CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(2,1))"
+
+
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 adapted: supply cost proxied as
+    p_retailprice/2 since TESTDATA has no partsupp; part filter on a name
+    substring).  Profit aggregates per supplier nation × order year.
+
+    part/supplier/nation broadcast; lineitem⋈orders shuffles once on the
+    order key; the final group-by is a second small shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    amount = F.expr(f"{REVENUE_EXPR} - {_COST} * {_QTY}")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM({REVENUE_EXPR} - {_COST} * {_QTY}) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 adapted: the o_comment
+    NOT LIKE exclusion becomes an o_orderpriority exclusion — TESTDATA has
+    no comment column).  LEFT OUTER join with the exclusion INSIDE the join
+    condition (so excluded-order customers still appear with count 0),
+    then a two-level aggregation: per-customer count → histogram.
+
+    Scale: customer⋈orders shuffles on custkey, which is also the first
+    group-by key (no extra shuffle); the histogram aggregate is tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 adapted: the p_container
+    filter becomes p_brand + p_size — TESTDATA has no container column).
+    The correlated subquery `l_quantity < 0.2 * avg(l_quantity per part)`
+    decorrelates into a per-part aggregate broadcast back onto lineitem:
+    one shuffle for the 2000-group aggregate, zero for the probe.
+
+    The avg is exact-decimal sum ÷ bigint count, both cast to double, then
+    one double multiply by 0.2 — bit-identical to the oracle's fold."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10)
+    )
+    per_part = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum(F.expr(_QTY)).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity").cast("double") < 0.2 * F.col("avg_qty"))
+        .agg((F.sum(F.expr(_PRICE)).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = f"""
+SELECT CAST(SUM({_PRICE}) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+  SELECT l_partkey AS a_partkey,
+         CAST(SUM({_QTY}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+) a ON a_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND p_size < 10
+  AND CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty
+"""
+
+
+# TESTDATA has no l_commitdate/l_receiptdate; "late" is adapted to shipping
+# more than 60 days after the order date.
+_LATE_DAYS = 60
+
+
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 adapted: lateness =
+    shipped >60 days after order date; no nation filter — TESTDATA has only
+    100 suppliers).  The EXISTS / NOT-EXISTS pair decorrelates into one
+    per-(order, supplier) aggregate and one per-order rollup: a supplier
+    qualifies in an order iff it was late, the order has ≥2 suppliers, and
+    it is the ONLY late supplier.
+
+    Scale: both aggregates shuffle on l_orderkey (the same partitioning,
+    reused); supplier broadcasts; no correlated re-scan of the fact table —
+    the classic Spark decorrelation of double-EXISTS."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {_LATE_DAYS} DAYS"
+    )
+    supp_ord = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("is_late", late)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max("is_late").alias("supp_late"),
+            F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_rows"),
+        )
+    )
+    ord_stats = supp_ord.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("supp_late").cast("int")).alias("n_late_supp"),
+    )
+    return (
+        supp_ord.join(ord_stats, F.col("l_orderkey") == F.col("o_key"))
+        .filter(F.col("supp_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_rows").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+Q21_SQL = f"""
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
+# TESTDATA has no c_phone; Q22's country code is adapted to c_nationkey,
+# and "no orders in 7 years" to "no orders since 1998-01-01" (every
+# customer has *some* order in the synthetic data).
+_Q22_CODES = (0, 2, 4, 11, 13, 16, 22)
+_Q22_CUTOFF = "1998-01-01"
+_BAL = "CAST(c_acctbal AS DECIMAL(12,2))"
+
+
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22 adapted: country code =
+    c_nationkey, phone substring gone).  Rich customers (balance above the
+    positive-balance average of their code group) who never placed an
+    recent order, counted per country code.
+
+    The scalar average broadcasts (literal cross join); customers-without-
+    recent-orders is a LEFT ANTI join on o_custkey — at scale that anti
+    join shuffles both sides once on the key; everything else is tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp")
+    )
+    eligible = c.filter(
+        F.col("c_nationkey").isin(*_Q22_CODES) & (F.col("c_acctbal") > 0.0)
+    ).select(
+        "c_custkey",
+        F.col("c_nationkey").alias("cntrycode"),
+        F.expr(_BAL).alias("bal"),
+    )
+    avg_bal = eligible.agg(
+        (F.sum("bal").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_bal"
+        )
+    )
+    return (
+        eligible.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("bal").cast("double") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q22_SQL = f"""
+WITH eligible AS (
+  SELECT c_custkey, c_nationkey AS cntrycode, {_BAL} AS bal
+  FROM customer
+  WHERE c_nationkey IN {_Q22_CODES} AND c_acctbal > 0.0
+)
+SELECT cntrycode, COUNT(*) AS numcust, CAST(SUM(bal) AS DOUBLE) AS totacctbal
+FROM eligible
+WHERE CAST(bal AS DOUBLE) > (
+    SELECT CAST(SUM(bal) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) FROM eligible
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF} 00:00:00'
+  )
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 QUERIES = {
     "tpch_q1": q1,
     "tpch_q3": q3,
@@ -548,12 +882,18 @@ QUERIES = {
     "tpch_q5": q5,
     "tpch_q6": q6,
     "tpch_q7": q7,
+    "tpch_q8": q8,
+    "tpch_q9": q9,
     "tpch_q10": q10,
+    "tpch_q13": q13,
     "tpch_q12": q12,
     "tpch_q14": q14,
     "tpch_q15": q15,
+    "tpch_q17": q17,
     "tpch_q18": q18,
     "tpch_q19": q19,
+    "tpch_q21": q21,
+    "tpch_q22": q22,
 }
 
 ORACLE = {
@@ -563,10 +903,16 @@ ORACLE = {
     "tpch_q5": Q5_SQL,
     "tpch_q6": Q6_SQL,
     "tpch_q7": Q7_SQL,
+    "tpch_q8": Q8_SQL,
+    "tpch_q9": Q9_SQL,
     "tpch_q10": Q10_SQL,
+    "tpch_q13": Q13_SQL,
     "tpch_q12": Q12_SQL,
     "tpch_q14": Q14_SQL,
     "tpch_q15": Q15_SQL,
+    "tpch_q17": Q17_SQL,
     "tpch_q18": Q18_SQL,
     "tpch_q19": Q19_SQL,
+    "tpch_q21": Q21_SQL,
+    "tpch_q22": Q22_SQL,
 }
