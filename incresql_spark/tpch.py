@@ -875,8 +875,233 @@ ORDER BY cntrycode
 """
 
 
+# TESTDATA has no partsupp table.  Q2/Q11/Q16/Q20 adapt by deriving the
+# part↔supplier relation from observed lineitem shipments (DISTINCT
+# (l_partkey, l_suppkey)) — at scale one shuffle on the pair key, after
+# which each query's dimensions broadcast.
+_PAIRS_SQL = "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem"
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+
+
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 adapted: supplier cost proxied by
+    s_acctbal, part filter on size, EUROPE region; partsupp derived from
+    lineitem).  The correlated MIN decorrelates into a per-part aggregate
+    joined back on (partkey, balance) equality.
+
+    cand is small after the part filter (size=15 ≈ 2% of parts), so both
+    the MIN aggregate and the join-back broadcast."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cand = (
+        _pairs(spark, sf_dir)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("p_partkey", "p_brand", "s_acctbal", "s_name", "n_name")
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            F.broadcast(mins),
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = f"""
+WITH pairs AS ({_PAIRS_SQL}),
+cand AS (
+  SELECT p_partkey, p_brand, s_acctbal, s_name, n_name
+  FROM pairs
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_size = 15
+),
+mins AS (SELECT p_partkey AS m_partkey, MIN(s_acctbal) AS min_bal
+         FROM cand GROUP BY p_partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM cand JOIN mins ON p_partkey = m_partkey AND s_acctbal = min_bal
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+_Q11_NATIONS = ("NATION_1", "NATION_6")
+_Q11_FRACTION = 0.001
+
+
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (TPC-H Q11 adapted: per-part "value"
+    is shipped extended price from a nation group's suppliers; the HAVING
+    threshold is a fraction of the grand total).  The scalar total comes
+    back as a broadcast cross join — both aggregations share the single
+    lineitem shuffle; no global single-partition stage."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*_Q11_NATIONS))
+    val = (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.expr(_PRICE)).alias("val"))
+    )
+    total = val.agg((F.sum("val").cast("double") * _Q11_FRACTION).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select("partkey", F.col("val").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), F.col("partkey").asc())
+    )
+
+
+Q11_SQL = f"""
+WITH val AS (
+  SELECT l_partkey AS partkey, SUM({_PRICE}) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN {_Q11_NATIONS}
+  GROUP BY l_partkey
+)
+SELECT partkey, CAST(val AS DOUBLE) AS value
+FROM val
+WHERE CAST(val AS DOUBLE) >
+      (SELECT CAST(SUM(val) AS DOUBLE) * {_Q11_FRACTION} FROM val)
+ORDER BY value DESC, partkey ASC
+"""
+
+
+_Q16_SIZES = (1, 4, 9, 14, 19, 24, 29)
+
+
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 adapted: the complaint-
+    comment supplier exclusion becomes negative account balance; partsupp
+    derived from lineitem).  The NOT IN subquery is a broadcast LEFT ANTI
+    join; COUNT(DISTINCT) rides the same (brand, type, size) shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(*_Q16_SIZES)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0)
+    return (
+        _pairs(spark, sf_dir)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+Q16_SQL = f"""
+WITH pairs AS ({_PAIRS_SQL})
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM pairs
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN {_Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 adapted: "excess stock" becomes
+    shipment concentration — a (supplier, part) pair qualifies when more
+    than half its lifetime quantity of a red* part shipped during 1996;
+    suppliers are restricted to the ASIA region).  The correlated
+    subquery-of-sums decorrelates into one conditional aggregation; the
+    supplier EXISTS is a LEFT SEMI join.
+
+    Scale: one shuffle on (partkey, suppkey) for the aggregate; part and
+    the supplier⋈nation⋈region dimension both broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    in_1996 = F.col("l_shipdate").between(
+        F.lit("1996-01-01").cast("timestamp"), F.lit("1996-12-31").cast("timestamp")
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    qual = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in_1996, F.expr(_QTY)).otherwise(zero)).alias("qty_1996"),
+            F.sum(F.expr(_QTY)).alias("qty_total"),
+        )
+        .filter(
+            F.col("qty_1996").cast("double") > 0.5 * F.col("qty_total").cast("double")
+        )
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = f"""
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND EXISTS (
+    SELECT 1
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_suppkey = s_suppkey AND p_name LIKE 'red%'
+    GROUP BY l_partkey, l_suppkey
+    HAVING CAST(SUM(CASE WHEN l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                             AND TIMESTAMP '1996-12-31 00:00:00'
+                         THEN {_QTY} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           > 0.5 * CAST(SUM({_QTY}) AS DOUBLE)
+  )
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "tpch_q1": q1,
+    "tpch_q2": q2,
     "tpch_q3": q3,
     "tpch_q4": q4,
     "tpch_q5": q5,
@@ -885,19 +1110,23 @@ QUERIES = {
     "tpch_q8": q8,
     "tpch_q9": q9,
     "tpch_q10": q10,
+    "tpch_q11": q11,
     "tpch_q13": q13,
     "tpch_q12": q12,
     "tpch_q14": q14,
     "tpch_q15": q15,
+    "tpch_q16": q16,
     "tpch_q17": q17,
     "tpch_q18": q18,
     "tpch_q19": q19,
+    "tpch_q20": q20,
     "tpch_q21": q21,
     "tpch_q22": q22,
 }
 
 ORACLE = {
     "tpch_q1": Q1_SQL,
+    "tpch_q2": Q2_SQL,
     "tpch_q3": Q3_SQL,
     "tpch_q4": Q4_SQL,
     "tpch_q5": Q5_SQL,
@@ -906,13 +1135,16 @@ ORACLE = {
     "tpch_q8": Q8_SQL,
     "tpch_q9": Q9_SQL,
     "tpch_q10": Q10_SQL,
+    "tpch_q11": Q11_SQL,
     "tpch_q13": Q13_SQL,
     "tpch_q12": Q12_SQL,
     "tpch_q14": Q14_SQL,
     "tpch_q15": Q15_SQL,
+    "tpch_q16": Q16_SQL,
     "tpch_q17": Q17_SQL,
     "tpch_q18": Q18_SQL,
     "tpch_q19": Q19_SQL,
+    "tpch_q20": Q20_SQL,
     "tpch_q21": Q21_SQL,
     "tpch_q22": Q22_SQL,
 }
