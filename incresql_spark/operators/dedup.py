@@ -35,6 +35,12 @@ from ..functions.hashing import (
     hash60_spark_sql,
     hash60_sql,
 )
+from ..plans.lsh import (
+    bits_for_corpus,
+    dot_literal_duck,
+    dot_literal_spark,
+    hyperplane,
+)
 from .text import TOKENS_DUCK, TOKENS_SPARK
 
 N_MINHASH = 16
@@ -435,22 +441,146 @@ _NORM_DUCK = (
 )
 
 
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.99 among a deterministic 1/5th
-    subsample.  Exact left-fold float math matches the oracle bit-for-bit.
+N_EMBED_BANDS = 4
+# The driver's oracle gate runs at sf0.01 (500 embeddings); the static SQL
+# below is generated for that corpus size.  The Spark side derives the band
+# width from the actual corpus count, so other SFs scale the bucket space.
+_EMBED_GATE_ROWS = 500
 
-    Scale path: this quadratic variant is the verifier; candidate pruning at
-    100 TB comes from ``similarity.sim_ann_lsh``'s hyperplane buckets.
+
+def _embed_band_bits(n_rows: int) -> int:
+    """Per-band hyperplane bits, grown with the corpus (≤ 2^12 buckets/band)."""
+    return bits_for_corpus(n_rows, target_rows_per_bucket=64, lo=4, hi=12)
+
+
+def _embed_band_spark(band: int, band_bits: int) -> str:
+    bits = [
+        f"(CASE WHEN {dot_literal_spark('embedding', hyperplane(band * band_bits + j, salt='dplane'))} > 0D "
+        f"THEN shiftleft(1L, {j}) ELSE 0L END)"
+        for j in range(band_bits)
+    ]
+    return " + ".join(bits)
+
+
+def _embed_band_duck(band: int, band_bits: int) -> str:
+    bits = [
+        f"(CASE WHEN {dot_literal_duck('embedding', hyperplane(band * band_bits + j, salt='dplane'))} > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+        for j in range(band_bits)
+    ]
+    return " + ".join(bits)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: banded random-hyperplane LSH candidate
+    generation + exact cosine verification at COSINE_THRESHOLD (0.30 — the
+    synthetic corpus's top-of-distribution; see the comment above).
+
+    Candidates come from {N_EMBED_BANDS} signed-projection bands — a vector
+    pair is a candidate iff some band's full bit pattern collides — then the
+    exact strict-left-fold cosine (bit-identical in DuckDB) verifies each
+    candidate.  The oracle mirrors the banding, so the driver gate checks
+    the whole candidate-gen + verify pipeline value-exactly.
+
+    Scale: NO cross join anywhere — each band is an equi-join shuffled on
+    its band key, candidates are unioned + distinct'd, then one hash join
+    back for the verify.  Band width grows with the corpus
+    (plans.lsh.bits_for_corpus), AQE splits residual bucket skew.  Recall
+    follows the banding S-curve (more bands → higher recall, wider bands →
+    fewer candidates); production tunes both to the target threshold.
     """
-    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    withnorm = e.select(
-        "vec_id", "embedding", F.expr(_NORM_SPARK).alias("norm")
+    e = load_table(spark, sf_dir, "embeddings")
+    band_bits = _embed_band_bits(e.count())
+    banded = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM_SPARK).alias("norm"),
+        *[
+            F.expr(_embed_band_spark(b, band_bits)).alias(f"band{b}")
+            for b in range(N_EMBED_BANDS)
+        ],
     )
+    cand = None
+    for b in range(N_EMBED_BANDS):
+        lhs = banded.select(F.col("vec_id").alias("vec_a"), F.col(f"band{b}").alias("bk"))
+        rhs = banded.select(F.col("vec_id").alias("vec_b"), F.col(f"band{b}").alias("bk"))
+        pairs_b = lhs.join(rhs, "bk").filter(F.col("vec_a") < F.col("vec_b")).select(
+            "vec_a", "vec_b"
+        )
+        cand = pairs_b if cand is None else cand.union(pairs_b)
+    cand = cand.distinct()
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("norm_a"),
+    )
+    b_ = banded.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b_, "vec_b")
+        .withColumn("cosine", F.expr(_DOT_SPARK) / (F.col("norm_a") * F.col("norm_b")))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _embed_sql(band_bits: int) -> str:
+    bands_sel = ",\n         ".join(
+        f"({_embed_band_duck(b, band_bits)}) AS band{b}" for b in range(N_EMBED_BANDS)
+    )
+    union = "\n  UNION\n".join(
+        f"  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
+        f"  FROM banded a JOIN banded b ON a.band{b} = b.band{b} AND a.vec_id < b.vec_id"
+        for b in range(N_EMBED_BANDS)
+    )
+    return f"""
+WITH banded AS (
+  SELECT vec_id, embedding, {_NORM_DUCK} AS norm,
+         {bands_sel}
+  FROM embeddings
+),
+cand AS (
+{union}
+),
+pairs AS (
+  SELECT c.vec_a, c.vec_b,
+         a.embedding AS ea, b.embedding AS eb,
+         a.norm AS norm_a, b.norm AS norm_b
+  FROM cand c
+  JOIN banded a ON c.vec_a = a.vec_id
+  JOIN banded b ON c.vec_b = b.vec_id
+)
+SELECT vec_a, vec_b,
+       {_DOT_DUCK} / (norm_a * norm_b) AS cosine
+FROM pairs
+WHERE {_DOT_DUCK} / (norm_a * norm_b) >= {COSINE_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+DEDUP_EMBEDDING_SQL = _embed_sql(_embed_band_bits(_EMBED_GATE_ROWS))
+
+
+def dedup_embedding_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs exact cosine — the O(n²) oracle helper used in pytest to
+    measure the banded operator's recall.  NOT registered as a driver query
+    (a cross join does not survive 100 TB); kept as the ground truth."""
+    e = load_table(spark, sf_dir, "embeddings")
+    withnorm = e.select("vec_id", "embedding", F.expr(_NORM_SPARK).alias("norm"))
     a = withnorm.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("norm").alias("norm_a")
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("norm").alias("norm_a"),
     )
     b = withnorm.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("norm").alias("norm_b")
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("norm").alias("norm_b"),
     )
     return (
         a.crossJoin(b)
@@ -460,25 +590,6 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
     )
-
-
-DEDUP_EMBEDDING_SQL = f"""
-WITH sub AS (
-  SELECT vec_id, embedding, {_NORM_DUCK} AS norm
-  FROM embeddings WHERE vec_id % 5 = 0
-),
-pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         a.embedding AS ea, b.embedding AS eb,
-         a.norm AS norm_a, b.norm AS norm_b
-  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
-)
-SELECT vec_a, vec_b,
-       {_DOT_DUCK} / (norm_a * norm_b) AS cosine
-FROM pairs
-WHERE {_DOT_DUCK} / (norm_a * norm_b) >= {COSINE_THRESHOLD}
-ORDER BY vec_a, vec_b
-"""
 
 
 LABEL_PROP_ITERS = 3

@@ -13,11 +13,13 @@ strict left folds in both engines (bit-identical, verified in tests).  So
 even the ANN variant is value-hash checkable — no rows-only fallback.
 
 Scale notes: the query set is small → Spark broadcasts it (verified in
-tests); the bucket join shuffles on an 8-bit key, which is skew-prone at
-extreme scale — production would raise the bit count with the corpus size
-(buckets ≈ N / 2^bits) and let AQE split residual skew.  The brute-force
-variant's cross join is the thing LSH exists to avoid; it stays quadratic
-and is only run on bounded query sets.
+tests); the bucket key width is NOT a constant — ``plans.lsh.bits_for_corpus``
+derives it from the corpus row count (buckets ≈ N / target_rows_per_bucket,
+up to 2^24 buckets), so at 100 TB the bucket space grows with the data
+instead of concentrating ~400 GB per bucket, and AQE splits residual skew.
+The brute-force variant's cross join is the thing LSH exists to avoid; it
+stays quadratic and is only run on bounded query sets (N_QUERIES = 8 here;
+production callers gate it on |queries|).
 """
 
 from __future__ import annotations
@@ -26,34 +28,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.hashing import unit_interval
+from ..plans.lsh import bits_for_corpus, bucket_expr_duck, bucket_expr_spark
 
-N_PLANES = 8
 DIM = 64
 TOP_K = 5
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 
-# Deterministic hyperplanes: component (j, d) = md5-derived uniform in [-1, 1).
-HYPERPLANES = [
-    [unit_interval(f"plane{j}:dim{d}") * 2.0 - 1.0 for d in range(DIM)]
-    for j in range(N_PLANES)
-]
-
-
-def _dot_literal_spark(vec_col: str, plane: list[float]) -> str:
-    arr = ", ".join(f"{x!r}D" for x in plane)
-    return (
-        f"aggregate(zip_with({vec_col}, array({arr}), "
-        f"(x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, x) -> acc + x)"
-    )
-
-
-def _dot_literal_duck(vec_col: str, plane: list[float]) -> str:
-    arr = ", ".join(repr(x) for x in plane)
-    return (
-        f"list_reduce(list_transform(list_zip({vec_col}, [{arr}]), "
-        f"p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, x) -> acc + x)"
-    )
+# The driver's oracle gate runs at sf0.01, whose embeddings corpus has 500
+# rows; the static ORACLE SQL below must agree with what the Spark side
+# derives at runtime, so it is generated for this row count.  (The Spark
+# side counts the actual corpus, so at other SFs the bucket space scales.)
+ORACLE_GATE_ROWS = 500
 
 
 _NORM_SPARK = (
@@ -74,22 +59,6 @@ _DOT_AB_DUCK = (
 )
 
 
-def _bucket_expr_spark() -> str:
-    bits = [
-        f"(CASE WHEN {_dot_literal_spark('embedding', HYPERPLANES[j])} > 0D "
-        f"THEN shiftleft(1L, {j}) ELSE 0L END)"
-        for j in range(N_PLANES)
-    ]
-    return " + ".join(bits)
-
-
-def _bucket_expr_duck() -> str:
-    bits = [
-        f"(CASE WHEN {_dot_literal_duck('embedding', HYPERPLANES[j])} > 0 "
-        f"THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
-        for j in range(N_PLANES)
-    ]
-    return " + ".join(bits)
 
 
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,13 +118,16 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Recall vs the brute-force baseline is measured in tests; the driver gate
     checks exact determinism (same buckets → same candidates → same ranks in
-    both engines)."""
+    both engines).  Bucket width is derived from the corpus row count
+    (plans.lsh.bits_for_corpus) — the one cheap pre-pass (a parquet count)
+    buys a bucket space that scales with the data."""
     e = load_table(spark, sf_dir, "embeddings")
+    n_planes = bits_for_corpus(e.count())
     bucketed = e.select(
         "vec_id",
         "embedding",
         F.expr(_NORM_SPARK).alias("norm"),
-        F.expr(_bucket_expr_spark()).alias("bucket"),
+        F.expr(bucket_expr_spark(n_planes)).alias("bucket"),
     )
     q = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -187,7 +159,7 @@ SIM_ANN_LSH_SQL = f"""
 WITH bucketed AS (
   SELECT vec_id, embedding,
          {_NORM_DUCK} AS norm,
-         {_bucket_expr_duck()} AS bucket
+         {bucket_expr_duck(bits_for_corpus(ORACLE_GATE_ROWS))} AS bucket
   FROM embeddings
 ),
 scored AS (

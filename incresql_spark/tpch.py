@@ -704,8 +704,14 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-quantity-order revenue (TPC-H Q17 adapted: the p_container
     filter becomes p_brand + p_size — TESTDATA has no container column).
     The correlated subquery `l_quantity < 0.2 * avg(l_quantity per part)`
-    decorrelates into a per-part aggregate broadcast back onto lineitem:
-    one shuffle for the 2000-group aggregate, zero for the probe.
+    decorrelates with semi-join pushdown: the selective part filter joins
+    the fact table FIRST, so the per-part average aggregates only the
+    qualifying parts' lineitems (identical values — the filter is a pure
+    part-key predicate).  At 100 TB this keeps the aggregate bounded by the
+    filtered part count instead of every distinct partkey; no explicit
+    broadcast of the fact-derived aggregate — the probe join shuffles on
+    l_partkey (reusing the aggregate's own partitioning) and AQE demotes it
+    to broadcast when the runtime size allows.
 
     The avg is exact-decimal sum ÷ bigint count, both cast to double, then
     one double multiply by 0.2 — bit-identical to the oracle's fold."""
@@ -713,14 +719,14 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10)
     )
-    per_part = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+    lq = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = lq.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (F.sum(F.expr(_QTY)).cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "avg_qty"
         )
     )
     return (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("a_partkey"))
+        lq.join(per_part, F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity").cast("double") < 0.2 * F.col("avg_qty"))
         .agg((F.sum(F.expr(_PRICE)).cast("double") / F.lit(7.0)).alias("avg_yearly"))
     )

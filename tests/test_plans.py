@@ -131,3 +131,66 @@ def test_pii_scrub_no_shuffle_before_sort(spark):
 
     plan = text_pii_scrub(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_dedup_embedding_plan_is_bucketed(spark):
+    """The registered embedding near-dup query must be LSH-banded equi-joins
+    + exact verify — never a cross product (VERDICT round 1, fix #3)."""
+    from incresql_spark.operators.dedup import dedup_embedding
+
+    plan = dedup_embedding(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q17_no_fact_aggregate_broadcast(spark):
+    """Q17's per-part average must aggregate only qualifying parts' lineitems
+    and must NOT broadcast a fact-derived aggregate (VERDICT round 1, fix #2):
+    the only broadcast is the filtered part dim."""
+    from incresql_spark import tpch
+
+    qe = tpch.q17(spark, SF_SMALL)._jdf.queryExecution()
+    optimized = qe.optimizedPlan().toString()
+    # the per-part aggregate consumes the part-filtered join, not bare
+    # lineitem: below the avg_qty aggregate there must be the p_brand filter
+    agg_pos = optimized.find("AS avg_qty")
+    assert agg_pos >= 0, optimized
+    assert "p_brand" in optimized[agg_pos:], optimized
+    # the probe join carries no broadcast hint; the only hinted broadcasts
+    # are the two filtered part-dim joins
+    assert optimized.count("strategy=broadcast") == 2, optimized
+
+
+def test_lsh_bits_scale_with_corpus():
+    """Bucket space must grow with the corpus: the fixed-8-bit round-1
+    constant is gone (VERDICT round 1, fix #6)."""
+    from incresql_spark.plans.lsh import bits_for_corpus
+
+    assert bits_for_corpus(500) == 4  # sf0.01 gate corpus → oracle SQL width
+    assert bits_for_corpus(2_000) == 5
+    assert bits_for_corpus(1_000_000) == 14
+    assert bits_for_corpus(10**9) == 24  # clamped max
+    assert bits_for_corpus(10**12) == 24
+    # monotone non-decreasing over the whole range
+    prev = 0
+    for n in [0, 10, 100, 10**3, 10**4, 10**5, 10**6, 10**8, 10**10]:
+        b = bits_for_corpus(n)
+        assert b >= prev
+        prev = b
+
+
+def test_dedup_embedding_recall_vs_bruteforce(spark):
+    """Banded candidate-gen recall against the all-pairs ground truth; the
+    S-curve at threshold 0.30 on the synthetic corpus gives ~46%, assert a
+    floor so parameter regressions show up."""
+    from incresql_spark.operators.dedup import (
+        dedup_embedding,
+        dedup_embedding_bruteforce,
+    )
+
+    got = {(r.vec_a, r.vec_b) for r in dedup_embedding(spark, SF_SMALL).collect()}
+    truth = {
+        (r.vec_a, r.vec_b) for r in dedup_embedding_bruteforce(spark, SF_SMALL).collect()
+    }
+    assert got <= truth  # exact verify: no false positives, ever
+    assert len(got) >= 0.30 * len(truth), (len(got), len(truth))
