@@ -18,9 +18,14 @@ rewrites the handful of constructs Spark spells differently (SURVEY §7 M2):
 Double-quoted string literals need no rewrite (Spark accepts them outside
 ANSI-identifier mode), nor do the comparison/boolean/arith operators.
 
-Known, documented deviations (value-compatible, type-differing):
-- int/int division returns DOUBLE (Spark) instead of DECIMAL (divide.rs) —
-  same numeric value for the reference's test corpus.
+- integer-literal division ``5/2`` → ``CAST(5 DIV 2 AS INT)``: the
+  reference's ``/`` on (int,int) is TRUNCATING integer division returning
+  INTEGER (functions/src/scalar/maths/divide.rs:63-70 registers
+  DivideInteger; parser/src/literals.rs:70-83 types small number literals
+  as i32), where Spark's ``/`` always returns DOUBLE.  Literals wider than
+  i32 use the (bigint,bigint)→BIGINT overload (``DIV`` natively).  Only
+  decidable literal/literal cases are rewritten — column-typed operands
+  would need full expression typing, which Catalyst owns.
 """
 
 from __future__ import annotations
@@ -77,6 +82,64 @@ def _rewrite_cast_types(sql: str) -> str:
         return m.group(0)
 
     return _CAST_AS.sub(sub, sql)
+
+
+#: string literals ('..' with '' and \' escapes, ".." likewise) and
+#: backtick-quoted identifiers — spans no structural rewrite may touch
+_LITERAL = re.compile(
+    r"""'(?:[^'\\]|\\.|'')*'|"(?:[^"\\]|\\.)*"|`[^`]*`"""
+)
+_PLACEHOLDER = re.compile(r"\x00(\d+)\x00")
+
+
+def mask_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace every quoted literal/identifier with ``\\x00<i>\\x00`` so
+    regex-based structural rewrites cannot corrupt literal text (e.g. the
+    db.table mangling rewriting 'prefix default.foo suffix')."""
+    stash: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        stash.append(m.group(0))
+        return f"\x00{len(stash) - 1}\x00"
+
+    return _LITERAL.sub(repl, sql), stash
+
+
+def unmask_literals(sql: str, stash: list[str]) -> str:
+    return _PLACEHOLDER.sub(lambda m: stash[int(m.group(1))], sql)
+
+
+_I32_MAX = 2**31 - 1
+
+#: int-literal / int-literal (no leading/trailing ident, dot or placeholder
+#: chars — so 1.5/2, x1/2 and masked-literal fragments never match)
+_INT_DIV = re.compile(r"(?<![\w.\x00])(\d+)\s*/\s*(\d+)(?![\w.\x00])")
+#: chain step: an already-rewritten integer division divided again
+_INT_DIV_CHAIN = re.compile(
+    r"(CAST\(\d+ DIV \d+ AS INT\)|\(\d+ DIV \d+\))\s*/\s*(\d+)(?![\w.\x00])"
+)
+
+
+def _rewrite_int_division(sql: str) -> str:
+    """Reference ``/`` parity for integer literals (divide.rs:63-85):
+    (int,int) → truncating INTEGER division, (bigint,bigint) → BIGINT.
+    Spark's ``/`` is always DOUBLE; ``DIV`` is its truncating twin."""
+    masked, stash = mask_literals(sql)
+
+    def sub(m: re.Match) -> str:
+        a, b = m.group(1), m.group(2)
+        if int(a) <= _I32_MAX and int(b) <= _I32_MAX:
+            return f"CAST({a} DIV {b} AS INT)"
+        return f"({a} DIV {b})"
+
+    masked = _INT_DIV.sub(sub, masked)
+    # left-assoc chains: 1/2/3 → (CAST(1 DIV 2 AS INT)) DIV 3
+    while True:
+        new = _INT_DIV_CHAIN.sub(r"CAST(\1 DIV \2 AS INT)", masked)
+        if new == masked:
+            break
+        masked = new
+    return unmask_literals(masked, stash)
 
 
 #: MySQL @@magic variables the reference substitutes at validation time
@@ -137,6 +200,7 @@ def rewrite(
         out = _DIRECTORY.sub(_sub_dir, out)
 
     out = _rewrite_cast_types(out)
+    out = _rewrite_int_division(out)
     out = _COUNT0.sub("count(*)", out)
     out = _rewrite_type_of(out)
     out = _DATABASE_FN.sub(f"'{current_db}'", out)

@@ -320,8 +320,12 @@ class Engine:
         A ``FROM db.tbl`` without an explicit alias gains ``AS tbl`` so that
         reference-style bare-name qualification (``SELECT databases.name FROM
         incresql.databases``, tests/building_blocks/tables.rs) still resolves.
+
+        String literals and backticked identifiers are masked first so a
+        literal like 'prefix default.foo suffix' is never mangled.
         """
         known = set(self.databases())
+        sql, stash = dialect.mask_literals(sql)
 
         def sub_from(m: re.Match) -> str:
             kw, db, t = m.group(1), m.group(2), m.group(3)
@@ -344,7 +348,8 @@ class Engine:
             db, t = m.group(1), m.group(2)
             return f"{db}__{t}" if db in known else m.group(0)
 
-        return re.sub(rf"\b({_IDENT})\.({_IDENT})\b", sub, sql)
+        sql = re.sub(rf"\b({_IDENT})\.({_IDENT})\b", sub, sql)
+        return dialect.unmask_literals(sql, stash)
 
     def _register_dir(self, path: str, delim: str) -> str:
         self._dir_views += 1
@@ -482,9 +487,13 @@ class Engine:
         m = re.match(rf"INSERT INTO ({_QNAME})\s+(.*)$", s, re.IGNORECASE | re.DOTALL)
         if m:
             db, name = _split_name(m.group(1), self.current_db)
+            body = m.group(2)
+            # the reference parser accepts the VALUE synonym
+            # (parser/src/insert.rs values() alt kw("VALUE"))
+            body = re.sub(r"^VALUE\b", "VALUES", body, flags=re.IGNORECASE)
             source_df = self._run_select(
-                m.group(2) if m.group(2).upper().startswith(("SELECT", "VALUES"))
-                else "SELECT " + m.group(2)
+                body if body.upper().startswith(("SELECT", "VALUES"))
+                else "SELECT " + body
             )
             self._table(db, name).insert(source_df)
             return EngineResult()

@@ -84,24 +84,40 @@ class FreqTable:
     def columns(self) -> list[str]:
         return [f.name for f in self.schema().fields]
 
-    def _segments(self, as_of_ms: int | None = None) -> list[dict]:
+    def _segments(
+        self, as_of_ms: int | None = None, as_of_seq: int | None = None
+    ) -> list[dict]:
         segs = []
         if not os.path.isdir(self.path):
             return segs
-        for name in sorted(os.listdir(self.path)):
+        for idx, name in enumerate(sorted(os.listdir(self.path))):
             if not name.startswith("seg-"):
                 continue
             with open(os.path.join(self.path, name, "_segmeta.json")) as fh:
                 meta = json.load(fh)
-            if as_of_ms is None or meta["ts_ms"] <= as_of_ms:
-                meta["dir"] = os.path.join(self.path, name)
-                segs.append(meta)
+            # segments written before the seq field existed sort by name
+            # (ts-uuid); enumeration order is their effective sequence
+            meta.setdefault("seq", idx)
+            if as_of_ms is not None and meta["ts_ms"] > as_of_ms:
+                continue
+            if as_of_seq is not None and meta["seq"] > as_of_seq:
+                continue
+            meta["dir"] = os.path.join(self.path, name)
+            segs.append(meta)
         return segs
 
     # -- writes --------------------------------------------------------------
     def _write_segment(self, df: DataFrame, ts_ms: int | None = None) -> None:
-        """Append one immutable segment (df must carry __freq)."""
+        """Append one immutable segment (df must carry __freq).
+
+        Each segment also gets a strictly monotonic ``seq`` number (max
+        existing + 1) — the cursor ``delta()``/MV refresh use.  Wall-clock
+        ``ts_ms`` alone is NOT a safe cursor: two segments written in the
+        same millisecond (or with explicit equal ts_ms) would make the
+        strictly-greater delta filter skip one forever.  Single-writer
+        semantics, like the reference's engine-held table lock."""
         ts_ms = ts_ms if ts_ms is not None else int(time.time() * 1000)
+        seq = max((s["seq"] for s in self._segments()), default=-1) + 1
         # collapse duplicate tuples within the batch (reference merges per-key
         # inside the write batch too, table.rs:320-346)
         cols = [c for c in df.columns if c != FREQ]
@@ -113,7 +129,9 @@ class FreqTable:
         seg_dir = os.path.join(self.path, seg)
         merged.write.mode("overwrite").parquet(seg_dir)
         with open(os.path.join(seg_dir, "_segmeta.json"), "w") as fh:
-            json.dump({"ts_ms": ts_ms, "has_negative": bool(has_negative)}, fh)
+            json.dump(
+                {"ts_ms": ts_ms, "seq": seq, "has_negative": bool(has_negative)}, fh
+            )
 
     def insert(self, df: DataFrame, freq: int = 1, ts_ms: int | None = None) -> None:
         """INSERT: rows gain +freq (aligned positionally to the schema)."""
@@ -133,25 +151,59 @@ class FreqTable:
         LIMIT n takes n *row instances* in deterministic whole-row order,
         splitting a multiplicity>1 tuple if needed (tests/delete/mod.rs:35-43).
         Returns the number of deleted row instances.
+
+        The global cumulative frequency is two-phase — range-repartition on
+        the sort key, per-partition window cumsum, then one tiny driver-side
+        prefix sum of per-partition totals (≤ #partitions scalars) joined
+        back as offsets.  No single-task total sort: the round-1 global
+        unpartitioned Window would funnel the whole matching set through
+        one task at 100 TB.
         """
         current = self.scan(expand=False)
         if condition:
             current = current.filter(condition)
         if limit is not None:
             cols = self.columns()
-            w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in cols])
-            current = (
-                current.withColumn("__cum", F.sum(FREQ).over(w))
-                .withColumn(
-                    FREQ,
-                    F.when(F.col("__cum") <= limit, F.col(FREQ)).otherwise(
-                        # partial split of the boundary tuple
-                        F.col(FREQ) - (F.col("__cum") - F.lit(limit))
-                    ),
-                )
-                .filter(F.col(FREQ) > 0)
-                .drop("__cum")
+            order = [F.col(c).asc_nulls_first() for c in cols]
+            parts = (
+                current.repartitionByRange(*order)
+                .withColumn("__pid", F.spark_partition_id())
             )
+            w = Window.partitionBy("__pid").orderBy(*order)
+            within = parts.withColumn("__cum_in", F.sum(FREQ).over(w))
+            # cache so the totals job and the write job see one partitioning
+            within = within.persist()
+            try:
+                totals = (
+                    within.groupBy("__pid").agg(F.max("__cum_in").alias("__tot"))
+                ).collect()
+                offs, run = [], 0
+                for r in sorted(totals, key=lambda r: r["__pid"]):
+                    offs.append((r["__pid"], run))
+                    run += r["__tot"]
+                off_df = self.spark.createDataFrame(
+                    offs, "__pid INT, __off BIGINT"
+                ) if offs else self.spark.createDataFrame([], "__pid INT, __off BIGINT")
+                current = (
+                    within.join(F.broadcast(off_df), "__pid")
+                    .withColumn("__cum", F.col("__off") + F.col("__cum_in"))
+                    .withColumn(
+                        FREQ,
+                        F.when(F.col("__cum") <= limit, F.col(FREQ)).otherwise(
+                            # partial split of the boundary tuple
+                            F.col(FREQ) - (F.col("__cum") - F.lit(limit))
+                        ),
+                    )
+                    .filter(F.col(FREQ) > 0)
+                    .drop("__pid", "__cum_in", "__off", "__cum")
+                )
+                to_delete = current.withColumn(FREQ, -F.col(FREQ))
+                n = to_delete.agg(F.coalesce(-F.sum(FREQ), F.lit(0))).collect()[0][0]
+                if n:
+                    self._write_segment(to_delete, ts_ms)
+            finally:
+                within.unpersist()
+            return int(n)
         to_delete = current.withColumn(FREQ, -F.col(FREQ))
         n = to_delete.agg(F.coalesce(-F.sum(FREQ), F.lit(0))).collect()[0][0]
         if n:
@@ -165,25 +217,32 @@ class FreqTable:
             return
         merged = self.scan(expand=False)
         ts = max(s["ts_ms"] for s in segs)
+        seq = max(s["seq"] for s in segs)
         tmp = os.path.join(self.path, f"compact-{uuid.uuid4().hex[:8]}")
         merged.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_segmeta.json"), "w") as fh:
-            json.dump({"ts_ms": ts, "has_negative": False}, fh)
+            json.dump({"ts_ms": ts, "seq": seq, "has_negative": False}, fh)
         for s in segs:
             shutil.rmtree(s["dir"])
         os.rename(tmp, os.path.join(self.path, f"seg-{ts}-{uuid.uuid4().hex[:8]}"))
 
     # -- reads ---------------------------------------------------------------
-    def scan(self, as_of_ms: int | None = None, expand: bool = True) -> DataFrame:
+    def scan(
+        self,
+        as_of_ms: int | None = None,
+        expand: bool = True,
+        as_of_seq: int | None = None,
+    ) -> DataFrame:
         """Point-in-time scan.
 
         ``expand=True`` renders multiset semantics as plain rows (a freq-3
         tuple appears 3×) so downstream Spark operators need no freq
         awareness — the scan IS the NegateFreq/merge boundary.
         ``expand=False`` returns (tuple, __freq>0) pairs, the reference's
-        native stream shape.
+        native stream shape.  ``as_of_ms`` is the user-facing MVCC cursor;
+        ``as_of_seq`` is the internal exact cursor MV refresh uses.
         """
-        segs = self._segments(as_of_ms)
+        segs = self._segments(as_of_ms, as_of_seq)
         schema = self.schema()
         full = T.StructType(schema.fields + [T.StructField(FREQ, T.LongType())])
         if not segs:
@@ -205,16 +264,19 @@ class FreqTable:
             ).drop("__rep", FREQ)
         return df
 
-    def delta(self, since_ms: int, until_ms: int | None = None) -> DataFrame:
-        """(tuple, signed freq) of changes in (since_ms, until_ms] — the feed
-        for incremental materialized-view refresh.  Free with the
-        log-structured layout: it is just the newer segments."""
+    def delta(self, since_seq: int, until_seq: int | None = None) -> DataFrame:
+        """(tuple, signed freq) of changes in segment-sequence window
+        (since_seq, until_seq] — the feed for incremental materialized-view
+        refresh.  Free with the log-structured layout: it is just the newer
+        segments.  Cursors are the strictly monotonic per-segment ``seq``,
+        NOT wall-clock ms — two same-millisecond writes stay distinguishable,
+        so a refresh can never silently skip a segment."""
         schema = self.schema()
         full = T.StructType(schema.fields + [T.StructField(FREQ, T.LongType())])
         segs = [
             s
-            for s in self._segments(until_ms)
-            if s["ts_ms"] > since_ms
+            for s in self._segments(as_of_seq=until_seq)
+            if s["seq"] > since_seq
         ]
         if not segs:
             return self.spark.createDataFrame([], full)
@@ -230,3 +292,8 @@ class FreqTable:
     def last_ts(self) -> int:
         segs = self._segments()
         return max((s["ts_ms"] for s in segs), default=0)
+
+    def last_seq(self) -> int:
+        """Latest segment sequence number (-1 when the table is empty)."""
+        segs = self._segments()
+        return max((s["seq"] for s in segs), default=-1)

@@ -126,7 +126,7 @@ class MaterializedView:
         if os.path.exists(self.meta_path):
             with open(self.meta_path) as fh:
                 return json.load(fh)
-        return {"last_refresh_ms": 0}
+        return {"last_refresh_seq": -1}
 
     def _save_meta(self, meta: dict) -> None:
         os.makedirs(self.state_dir, exist_ok=True)
@@ -172,8 +172,11 @@ class MaterializedView:
         """Incremental refresh: pull base-table deltas since the last
         refresh, propagate, merge.  Returns number of delta rows consumed."""
         meta = self._load_meta()
-        since = meta["last_refresh_ms"]
-        now = self.base.last_ts()
+        # the cursor is the base table's monotonic segment seq (NOT wall
+        # clock — same-ms segments must not be skipped); old metas carrying
+        # only last_refresh_ms are treated as never-refreshed
+        since = meta.get("last_refresh_seq", -1)
+        now = self.base.last_seq()
         if now <= since:
             return 0
         delta = self.base.delta(since, now)
@@ -185,8 +188,8 @@ class MaterializedView:
                 self.state.create(
                     self._apply_linear(delta).drop(FREQ).schema
                 ) if not self.state.exists() else None
-                self.state._write_segment(self._apply_linear(delta), ts_ms=now)
-        meta["last_refresh_ms"] = now
+                self.state._write_segment(self._apply_linear(delta))
+        meta["last_refresh_seq"] = now
         self._save_meta(meta)
         return n
 
@@ -278,7 +281,7 @@ class JoinMaterializedView:
         if os.path.exists(self.meta_path):
             with open(self.meta_path) as fh:
                 return json.load(fh)
-        return {"left_ms": 0, "right_ms": 0}
+        return {"left_seq": -1, "right_seq": -1}
 
     def _join(self, a: DataFrame, b: DataFrame) -> DataFrame:
         fa = a.withColumnRenamed(FREQ, "__fa")
@@ -290,21 +293,22 @@ class JoinMaterializedView:
 
     def refresh(self) -> None:
         meta = self._meta()
-        l_old, r_old = meta["left_ms"], meta["right_ms"]
-        l_new, r_new = self.left.last_ts(), self.right.last_ts()
+        # bilinear rule Δ(A⋈B) = ΔA⋈B_old ∪ A_new⋈ΔB over exact seq cursors
+        l_old, r_old = meta.get("left_seq", -1), meta.get("right_seq", -1)
+        l_new, r_new = self.left.last_seq(), self.right.last_seq()
         da = self.left.delta(l_old, l_new)
         db = self.right.delta(r_old, r_new)
-        b_old = self.right.scan(as_of_ms=r_old, expand=False)
-        a_new = self.left.scan(as_of_ms=l_new, expand=False)
+        b_old = self.right.scan(as_of_seq=r_old, expand=False)
+        a_new = self.left.scan(as_of_seq=l_new, expand=False)
         delta_view = self._join(da, b_old).unionByName(self._join(a_new, db))
         if not self.state.exists():
             self.state.create(delta_view.drop(FREQ).schema)
         # merged within _write_segment; empty deltas produce no segment
         if delta_view.limit(1).count() > 0:
-            self.state._write_segment(delta_view, ts_ms=max(l_new, r_new))
+            self.state._write_segment(delta_view)
         os.makedirs(self.state_dir, exist_ok=True)
         with open(self.meta_path, "w") as fh:
-            json.dump({"left_ms": l_new, "right_ms": r_new}, fh)
+            json.dump({"left_seq": l_new, "right_seq": r_new}, fh)
 
     def read(self) -> DataFrame:
         if not self.state.exists():
