@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from . import dialect
+from .explain import reference_explain
 from .frequency import FreqTable
 from .materialize import MaterializedView
 from .sources.directory import read_directory
@@ -525,14 +526,23 @@ class Engine:
                 ["function_name"], [(f,) for f in sorted(_FUNCTION_REGISTRY)]
             )
 
-        if u.startswith("EXPLAIN"):
-            df = self._run_select(s[len("EXPLAIN"):].strip())
+        if u.startswith("EXPLAIN SPARK"):
+            # escape hatch: Catalyst's own formatted physical plan
+            df = self._run_select(s[len("EXPLAIN SPARK"):].strip())
             plan = df._jdf.queryExecution().explainString(
                 self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
                 )
             )
             return EngineResult(["plan"], [(line,) for line in plan.splitlines()])
+
+        if u.startswith("EXPLAIN"):
+            # reference-parity tree table (planner/src/explain/mod.rs:38-83)
+            df = self._run_select(s[len("EXPLAIN"):].strip())
+            return EngineResult(
+                ["tree", "col_idx", "datatype", "expression"],
+                reference_explain(df),
+            )
 
         # SELECT / VALUES passthrough
         df = self._run_select(s)

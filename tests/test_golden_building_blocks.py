@@ -350,11 +350,10 @@ def test_to_from_date(engine):
 def test_constant_folding_int(engine):
     assert q(engine, "SELECT 1 + 2 * 3 - 4") == ["|3|"]
     # the reference's EXPLAIN golden asserts the tree holds the folded
-    # literal 3; here Catalyst's optimized plan must show the same fold
-    plan = "\n".join(r[0] for r in engine.execute_statement(
-        "EXPLAIN SELECT 1 + 2 * 3 - 4"
-    ).rows)
-    assert "3 AS" in plan or "Project [3" in plan
+    # literal 3 — now ported verbatim in tests/test_golden_explain.py;
+    # here just confirm the fold reaches the rendered tree
+    rows = engine.execute_statement("EXPLAIN SELECT 1 + 2 * 3 - 4").pipes()
+    assert "| |  _col1|0|INTEGER|3|" in rows
 
 
 def test_constant_folding_decimal_types(engine):
