@@ -37,16 +37,19 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("event_id")
-    # ms-truncated epoch on BOTH engines (unix_millis / epoch_ms): second-
-    # level truncation would disagree with DuckDB's fractional epoch().
-    gap_ms = GAP_MINUTES * 60 * 1000
+    # Interval comparison is exact on both engines and works for TIMESTAMP
+    # and TIMESTAMP_NTZ alike (unix_millis rejects NTZ; epoch truncation
+    # would disagree with DuckDB's fractional epoch()).
     sess = (
         e.withColumn("prev_ts", F.lag("ts").over(w))
         .withColumn(
             "new_session",
             F.when(
                 F.col("prev_ts").isNull()
-                | (F.unix_millis("ts") - F.unix_millis("prev_ts") > gap_ms),
+                | (
+                    F.col("ts")
+                    > F.col("prev_ts") + F.expr(f"INTERVAL {GAP_MINUTES} MINUTES")
+                ),
                 1,
             ).otherwise(0),
         )
@@ -63,7 +66,10 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("first_event"),
             F.max("event_id").alias("last_event"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.expr("CAST(value AS DECIMAL(18,4))")).cast("double").alias("sum_value"),
+            # Exact DECIMAL output on BOTH engines: a decimal->double cast here
+            # is correctly-rounded in Spark/Java but computed differently in
+            # some DuckDB builds (1-ulp drift flips the driver's value hash).
+            F.sum(F.expr("CAST(value AS DECIMAL(18,4))")).alias("sum_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -73,7 +79,7 @@ SESSIONIZE_SQL = f"""
 WITH marked AS (
   SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > {GAP_MINUTES * 60 * 1000}
+                OR ts > lag(ts) OVER w + INTERVAL '{GAP_MINUTES} minutes'
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
@@ -88,7 +94,7 @@ SELECT user_id, session_id,
        MIN(event_id) AS first_event,
        MAX(event_id) AS last_event,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       SUM(CAST(value AS DECIMAL(18,4))) AS sum_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
