@@ -624,7 +624,15 @@ def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     → Catalyst plans a plain shuffled hash/sort-merge join, no BNLJ.
     """
     e = load_table(spark, sf_dir, "events")
-    bucket = F.floor(F.col("ts").cast("double") / RANGE_WINDOW_S)
+    # NTZ-safe bucket: the driver parquet's ts column may read as TIMESTAMP
+    # or TIMESTAMP_NTZ; a direct cast-to-double is forbidden for NTZ.  Cast
+    # through TIMESTAMP (no-op for TIMESTAMP; session-tz reinterpretation for
+    # NTZ — harmless here since both sides of the join use the identical
+    # expression, and bucket alignment is offset-invariant) then take epoch
+    # micros on the JVM side.
+    bucket = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / (RANGE_WINDOW_S * 1_000_000)
+    )
     views = e.filter(F.col("event_type") == "view").select(
         F.col("user_id"),
         F.col("ts").alias("v_ts"),

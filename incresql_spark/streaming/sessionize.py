@@ -66,10 +66,14 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("first_event"),
             F.max("event_id").alias("last_event"),
             F.count(F.lit(1)).alias("n_events"),
-            # Exact DECIMAL output on BOTH engines: a decimal->double cast here
-            # is correctly-rounded in Spark/Java but computed differently in
-            # some DuckDB builds (1-ulp drift flips the driver's value hash).
-            F.sum(F.expr("CAST(value AS DECIMAL(18,4))")).alias("sum_value"),
+            # Integer ten-thousandths: FLOOR(value*10000+0.5) is pure IEEE-754
+            # double arithmetic, bit-identical on every engine — no
+            # double->DECIMAL rounding mode anywhere in the contract (that
+            # cast rounds through different paths on Spark vs some DuckDB
+            # builds and kept flipping the driver's value hash).
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)))
+            .cast("long")
+            .alias("sum_value_e4"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -94,7 +98,7 @@ SELECT user_id, session_id,
        MIN(event_id) AS first_event,
        MAX(event_id) AS last_event,
        COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,4))) AS sum_value
+       CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e4
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
@@ -103,7 +107,7 @@ ORDER BY user_id, session_id
 
 _STATE_SCHEMA = (
     "session_start BIGINT, last_event BIGINT, n_events BIGINT, sum_value DOUBLE, "
-    "last_ts_ms BIGINT"
+    "last_ts_us BIGINT"
 )
 _OUTPUT_SCHEMA = (
     "user_id BIGINT, first_event BIGINT, last_event BIGINT, n_events BIGINT, "
@@ -116,25 +120,28 @@ def _session_fn(
 ) -> Iterator[pd.DataFrame]:
     """applyInPandasWithState UDF: emit a session when the gap exceeds the
     threshold; keep the open session in the state store."""
-    gap_ms = GAP_MINUTES * 60 * 1000
+    # Microsecond gaps so batch and streaming share exact session-boundary
+    # semantics (whole-second truncation would classify sub-second gaps
+    # differently from the batch form's interval comparison).
+    gap_us = GAP_MINUTES * 60 * 1_000_000
     (user_id,) = key
     if state.exists:
-        start, last_ev, n, sval, last_ms = state.get
+        start, last_ev, n, sval, last_us = state.get
     else:
         start = last_ev = None
-        n, sval, last_ms = 0, 0.0, None
+        n, sval, last_us = 0, 0.0, None
     out = []
     for pdf in pdfs:
         pdf = pdf.sort_values("event_id")
-        for ev, ts_ms, val in zip(
-            pdf["event_id"], pdf["ts_ms"], pdf["value"]
+        for ev, ts_us, val in zip(
+            pdf["event_id"], pdf["ts_us"], pdf["value"]
         ):
-            if last_ms is not None and ts_ms - last_ms > gap_ms:
+            if last_us is not None and ts_us - last_us > gap_us:
                 out.append((user_id, start, last_ev, n, sval))
                 start, n, sval = None, 0, 0.0
             if start is None:
                 start = int(ev)
-            last_ev, last_ms = int(ev), int(ts_ms)
+            last_ev, last_us = int(ev), int(ts_us)
             n += 1
             sval += float(val)
     if state.hasTimedOut:
@@ -142,8 +149,8 @@ def _session_fn(
             out.append((user_id, start, last_ev, n, sval))
         state.remove()
     else:
-        state.update((start, last_ev, n, sval, last_ms))
-        state.setTimeoutDuration(gap_ms)
+        state.update((start, last_ev, n, sval, last_us))
+        state.setTimeoutDuration(gap_us // 1000)
     if out:
         yield pd.DataFrame(
             out, columns=["user_id", "first_event", "last_event", "n_events", "sum_value"]
@@ -155,10 +162,12 @@ def sessionize_stream(events_stream: DataFrame) -> DataFrame:
     user_id, event_id, ts, value on a *streaming* DataFrame)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # unix_micros over cast-to-TIMESTAMP is NTZ-safe and microsecond-exact —
+    # identical gap semantics to the batch form's interval comparison.
     prepared = events_stream.select(
         "user_id",
         "event_id",
-        (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         "value",
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
