@@ -36,7 +36,8 @@ MEDIA_SCHEMA = (
 )
 
 FEATURES_SCHEMA = (
-    "doc_id BIGINT, media_type STRING, n_bytes BIGINT, feature ARRAY<DOUBLE>"
+    "doc_id BIGINT, media_type STRING, n_bytes BIGINT, feature ARRAY<DOUBLE>, "
+    "px_sum BIGINT, px_sq_sum BIGINT"
 )
 
 
@@ -68,9 +69,14 @@ def decode_image(payload: bytes, fmt: str, fake: bool = False) -> np.ndarray:
             "image decoding requires PIL/cv2 which are not installed; "
             "run with fake=True for the deterministic test tensor"
         )
-    seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    # Pixel i = (b[i mod 16] + i^2) mod 256 over the first 16 payload bytes
+    # (tiled if shorter) — pure integer arithmetic, so a SQL oracle can
+    # reproduce the tensor exactly from the payload hex (an RNG-seeded
+    # tensor is deterministic but not expressible outside numpy).
+    b = np.frombuffer((payload * 16)[:16], dtype=np.uint8).astype(np.int64)
+    i = np.arange(16 * 16 * 3, dtype=np.int64)
+    flat = (b[i % 16] + (i * i) % 256) % 256
+    return flat.astype(np.uint8).reshape(16, 16, 3)
 
 
 def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
@@ -80,7 +86,7 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
+            feats, px_sums, px_sqs = [], [], []
             for payload in pdf["payload"]:
                 img = decode_image(bytes(payload), "fake/raw", fake=True)
                 channel_means = img.mean(axis=(0, 1)) / 255.0
@@ -90,12 +96,17 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
                     + [float(x) for x in channel_stds]
                     + [float(len(payload)), float(img.size)]
                 )
+                flat = img.astype(np.int64)
+                px_sums.append(int(flat.sum()))
+                px_sqs.append(int((flat * flat).sum()))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
                     "feature": feats,
+                    "px_sum": pd.Series(px_sums, dtype="int64"),
+                    "px_sq_sum": pd.Series(px_sqs, dtype="int64"),
                 }
             )
 
@@ -103,22 +114,19 @@ def extract_features(media: DataFrame, batch_size: int = 256) -> DataFrame:
 
 
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-checkable query: metadata + feature dims over the synthetic
-    media table (rows-only check: the md5-seeded tensor is deterministic,
-    but numpy isn't expressible in DuckDB SQL)."""
+    """Driver-checkable query: decode→featurize through mapInPandas, output
+    the exact-integer pixel stats (sum / sum-of-squares) so the value hash
+    is engine-independent — the tensor itself is arithmetic over the md5
+    payload bytes, which the DuckDB oracle reproduces in pure SQL."""
     media = synthesize_media(spark, sf_dir)
     feats = extract_features(media)
-    return (
-        feats.select(
-            "doc_id",
-            "n_bytes",
-            F.size("feature").alias("feature_dim"),
-            F.round(F.expr("aggregate(feature, 0D, (a, x) -> a + x)"), 6).alias(
-                "feature_sum"
-            ),
-        )
-        .orderBy("doc_id")
-    )
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.size("feature").alias("feature_dim"),
+        "px_sum",
+        "px_sq_sum",
+    ).orderBy("doc_id")
 
 
 def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -212,11 +220,56 @@ FROM documents d,
 ORDER BY d.doc_id, frame_idx
 """
 
+# SQL twin of decode_image's fake tensor: pixel i of a doc's 16-byte md5
+# payload is (byte[i%16] + i*i) % 256, and byte j is parsed from hex chars
+# 2j+1 / 2j+2 of md5(text).  `h` is the hex string, `i` the flat index.
+def _pixel_sql(h: str, i: str) -> str:
+    nib = "strpos('0123456789abcdef', substr({h}, {pos} + 2*(({i}) % 16), 1)) - 1"
+    byte = (
+        f"(16 * ({nib.format(h=h, i=i, pos=1)}) + ({nib.format(h=h, i=i, pos=2)}))"
+    )
+    return f"(({byte} + (({i}) * ({i})) % 256) % 256)"
+
+
+MM_FEATURES_SQL = f"""
+WITH px AS (
+  SELECT d.doc_id, {_pixel_sql('md5(d.text)', 'u.i')} AS pixel
+  FROM documents d, UNNEST(range(768)) AS u(i)
+)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS n_bytes,
+       CAST(8 AS INT) AS feature_dim,
+       CAST(SUM(pixel) AS BIGINT) AS px_sum,
+       CAST(SUM(pixel * pixel) AS BIGINT) AS px_sq_sum
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+# Nearest-neighbour 16x16 -> 8x8 keeps rows/cols 0,2,..,14: flat index
+# i = 96*r + 6*c + ch for (r, c, ch) decomposed from k in 0..191.
+MM_RESIZE_SQL = f"""
+WITH sel AS (
+  SELECT d.doc_id, md5(d.text) AS h,
+         96 * (u.k // 24) + 6 * ((u.k % 24) // 3) + (u.k % 3) AS i
+  FROM documents d, UNNEST(range(192)) AS u(k)
+)
+SELECT doc_id,
+       CAST(8 AS INT) AS out_w,
+       CAST(8 AS INT) AS out_h,
+       CAST(SUM({_pixel_sql('h', 'i')}) AS BIGINT) AS checksum
+FROM sel
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
 QUERIES = {
     "mm_features": mm_features,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
 }
-# mm_features / mm_resize are rows-only: numpy tensor math isn't
-# SQL-expressible.  mm_frame_sample's sampler is deterministic → full oracle.
-ORACLE: dict[str, str] = {"mm_frame_sample": MM_FRAME_SAMPLE_SQL}
+ORACLE: dict[str, str] = {
+    "mm_features": MM_FEATURES_SQL,
+    "mm_resize": MM_RESIZE_SQL,
+    "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+}

@@ -161,7 +161,9 @@ def test_multimodal_plumbing(spark):
     assert all(r.feature_dim == 8 for r in out)
     # deterministic: same payload → same features on re-run
     out2 = multimodal.mm_features(spark, SF_SMALL).collect()
-    assert [r.feature_sum for r in out] == [r.feature_sum for r in out2]
+    assert [(r.px_sum, r.px_sq_sum) for r in out] == [
+        (r.px_sum, r.px_sq_sum) for r in out2
+    ]
     # real decode path is an explicit stub
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xx", "png")
