@@ -319,9 +319,10 @@ ORDER BY l_linestatus
 
 
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Promotion effect (TPC-H Q14: % of revenue from PROMO parts).  The
-    part table broadcasts; revenue sums are exact decimal, the final ratio
-    one double division (oracle-stable)."""
+    """Promotion effect (TPC-H Q14: % of revenue from PROMO parts).  No
+    forced broadcast — part grows with SF, so AQE picks broadcast vs
+    shuffle from runtime sizes; revenue sums are exact decimal, the final
+    ratio one double division (oracle-stable)."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     promo = F.col("p_type") == "PROMO"
@@ -331,7 +332,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
             (
                 # ×100 while still decimal (exact in both engines), THEN one
@@ -375,8 +376,8 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
@@ -424,7 +425,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -474,7 +475,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     top = rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
     return (
-        top.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        top.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
         )
@@ -501,7 +502,8 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discounted revenue (TPC-H Q19 adapted: OR-of-ANDs over brand, size
     and quantity bands).  The disjunction references both join sides, so
     only the common `p_partkey = l_partkey` key extracts; the residual OR
-    evaluates inside the broadcast join — no fact-table blowup."""
+    evaluates inside the equi join (AQE broadcasts part when it fits) — no
+    fact-table blowup."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     band = (
@@ -522,7 +524,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(band)
         .agg(F.sum(F.expr(REVENUE_EXPR)).cast("double").alias("revenue"))
     )
@@ -546,8 +548,9 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     single word, nations are NATION_k).  Share of NATION_1 suppliers in
     AMERICA-region customer revenue for ECONOMY parts, by order year.
 
-    Plan shape: every dimension (part, supplier, customer, nation×2,
-    region) broadcasts; lineitem⋈orders is the only shuffle.  The share
+    Plan shape: nation×2/region force-broadcast (fixed size); part,
+    supplier and customer grow with SF so AQE decides their join strategy
+    at runtime; lineitem⋈orders is the only guaranteed shuffle.  The share
     division happens on two exact-decimal sums per year-group, cast to
     double for one deterministic IEEE division — same fold as the oracle."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -574,9 +577,9 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
@@ -623,8 +626,9 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_retailprice/2 since TESTDATA has no partsupp; part filter on a name
     substring).  Profit aggregates per supplier nation × order year.
 
-    part/supplier/nation broadcast; lineitem⋈orders shuffles once on the
-    order key; the final group-by is a second small shuffle."""
+    nation force-broadcasts; part/supplier are SF-scaled so AQE chooses
+    their strategy; lineitem⋈orders shuffles once on the order key; the
+    final group-by is a second small shuffle."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
@@ -633,8 +637,8 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = F.expr(f"{REVENUE_EXPR} - {_COST} * {_QTY}")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -719,7 +723,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10)
     )
-    lq = l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    lq = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
     per_part = lq.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         (F.sum(F.expr(_QTY)).cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "avg_qty"
@@ -760,8 +764,9 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is the ONLY late supplier.
 
     Scale: both aggregates shuffle on l_orderkey (the same partitioning,
-    reused); supplier broadcasts; no correlated re-scan of the fact table —
-    the classic Spark decorrelation of double-EXISTS."""
+    reused); supplier joins without a forced hint (AQE-sized); no
+    correlated re-scan of the fact table — the classic Spark decorrelation
+    of double-EXISTS."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -784,7 +789,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp_ord.join(ord_stats, F.col("l_orderkey") == F.col("o_key"))
         .filter(F.col("supp_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
@@ -902,16 +907,17 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem).  The correlated MIN decorrelates into a per-part aggregate
     joined back on (partkey, balance) equality.
 
-    cand is small after the part filter (size=15 ≈ 2% of parts), so both
-    the MIN aggregate and the join-back broadcast."""
+    cand shrinks with the part filter (size=15 ≈ 2% of parts) but still
+    scales with SF, so no forced broadcast — AQE demotes the MIN aggregate
+    and join-back to broadcast when runtime sizes allow."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     cand = (
         _pairs(spark, sf_dir)
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("p_partkey", "p_brand", "s_acctbal", "s_name", "n_name")
@@ -921,7 +927,7 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.join(
-            F.broadcast(mins),
+            mins,
             (F.col("p_partkey") == F.col("m_partkey"))
             & (F.col("s_acctbal") == F.col("min_bal")),
         )
@@ -970,7 +976,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(*_Q11_NATIONS))
     val = (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.expr(_PRICE)).alias("val"))
@@ -1015,9 +1021,9 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0)
     return (
         _pairs(spark, sf_dir)
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(bad),
+            bad,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -1053,8 +1059,8 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery-of-sums decorrelates into one conditional aggregation; the
     supplier EXISTS is a LEFT SEMI join.
 
-    Scale: one shuffle on (partkey, suppkey) for the aggregate; part and
-    the supplier⋈nation⋈region dimension both broadcast."""
+    Scale: one shuffle on (partkey, suppkey) for the aggregate;
+    nation/region force-broadcast, part and supplier are AQE-sized."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
     s = load_table(spark, sf_dir, "supplier")
@@ -1065,7 +1071,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(12,2)")
     qual = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.sum(F.when(in_1996, F.expr(_QTY)).otherwise(zero)).alias("qty_1996"),

@@ -156,9 +156,27 @@ def test_tpch_q17_no_fact_aggregate_broadcast(spark):
     agg_pos = optimized.find("AS avg_qty")
     assert agg_pos >= 0, optimized
     assert "p_brand" in optimized[agg_pos:], optimized
-    # the probe join carries no broadcast hint; the only hinted broadcasts
-    # are the two filtered part-dim joins
-    assert optimized.count("strategy=broadcast") == 2, optimized
+    # no forced broadcast hints anywhere in q17 — part is SF-scaled, so
+    # the join strategy is left to AQE (VERDICT round 3, fix #4)
+    assert optimized.count("strategy=broadcast") == 0, optimized
+
+
+def test_no_forced_broadcast_of_sf_scaled_tables():
+    """Every explicit F.broadcast in the TPC-H module must target a
+    fixed-size input (nation/region aliases or single-row scalar
+    aggregates).  part/supplier/customer/orders/lineitem grow with SF —
+    force-broadcasting them is a driver-OOM at cluster scale, so those
+    joins are left to AQE's runtime size check (VERDICT round 3, fix #4)."""
+    import inspect
+    import re
+
+    from incresql_spark import tpch
+
+    allowed = {"n", "n1", "n2", "r", "mx", "avg_bal", "total"}
+    hinted = re.findall(r"F\.broadcast\((\w+)\)", inspect.getsource(tpch))
+    assert hinted, "expected fixed-size dims to stay hinted"
+    bad = [name for name in hinted if name not in allowed]
+    assert not bad, f"SF-scaled inputs force-broadcast: {bad}"
 
 
 def test_lsh_bits_scale_with_corpus():
