@@ -23,9 +23,11 @@ ANSI-identifier mode), nor do the comparison/boolean/arith operators.
   INTEGER (functions/src/scalar/maths/divide.rs:63-70 registers
   DivideInteger; parser/src/literals.rs:70-83 types small number literals
   as i32), where Spark's ``/`` always returns DOUBLE.  Literals wider than
-  i32 use the (bigint,bigint)→BIGINT overload (``DIV`` natively).  Only
-  decidable literal/literal cases are rewritten — column-typed operands
-  would need full expression typing, which Catalyst owns.
+  i32 use the (bigint,bigint)→BIGINT overload (``DIV`` natively).
+- column-typed integer division ``i/2``, ``i/j`` → the same truncating
+  rewrite, driven by the engine's declared CREATE TABLE schemas via the
+  ``int_col_type`` resolver (unknown/ambiguous names stay on Spark's
+  DOUBLE ``/``).
 """
 
 from __future__ import annotations
@@ -142,6 +144,44 @@ def _rewrite_int_division(sql: str) -> str:
     return unmask_literals(masked, stash)
 
 
+#: identifier (possibly alias-qualified) or bare integer literal operand
+_DIV_OPERAND = r"[A-Za-z_][\w.]*|\d+"
+_COL_DIV = re.compile(
+    rf"(?<![\w.\x00])({_DIV_OPERAND})\s*/\s*({_DIV_OPERAND})(?!\s*\()(?![\w.\x00])"
+)
+
+
+def _operand_int_type(tok: str, type_of) -> str | None:
+    if tok.isdigit():
+        return "int" if int(tok) <= _I32_MAX else "bigint"
+    return type_of(tok.rsplit(".", 1)[-1])
+
+
+def _rewrite_col_int_division(sql: str, type_of) -> str:
+    """Schema-aware ``/`` parity (divide.rs:63-85): when BOTH operands are
+    integer-typed — a column whose declared CREATE TABLE type is
+    INT/BIGINT, or an integer literal — the reference truncates:
+    (int,int) → INTEGER, otherwise → BIGINT.  ``type_of(col)`` returns
+    'int' / 'bigint' / None from the engine's declared schemas; any
+    unresolvable or non-integer operand leaves the expression to Spark's
+    DOUBLE ``/``.  Runs after the literal/literal pass, so remaining
+    matches involve at least one identifier.  Single-step only — chained
+    ``i/2/3`` rewrites the first division (literal chains are handled by
+    the literal pass)."""
+    masked, stash = mask_literals(sql)
+
+    def sub(m: re.Match) -> str:
+        a, b = m.group(1), m.group(2)
+        ta = _operand_int_type(a, type_of)
+        tb = _operand_int_type(b, type_of)
+        if ta is None or tb is None:
+            return m.group(0)
+        target = "INT" if (ta, tb) == ("int", "int") else "BIGINT"
+        return f"CAST({a} DIV {b} AS {target})"
+
+    return unmask_literals(_COL_DIV.sub(sub, masked), stash)
+
+
 #: MySQL @@magic variables the reference substitutes at validation time
 #: (p1_validation/sub_in_special_vars.rs:7-32)
 _SPECIAL_VARS = {"@@max_allowed_packet": "16777215", "@@socket": "''"}
@@ -174,11 +214,15 @@ def rewrite(
     sql: str,
     current_db: str = "default",
     register_directory: Callable[[str, str], str] | None = None,
+    int_col_type: Callable[[str], str | None] | None = None,
 ) -> str:
     """Rewrite a reference-dialect statement into Spark SQL.
 
     ``register_directory(path, delimiter) -> view_name`` is called for each
     DIRECTORY source; the returned temp-view name is substituted.
+    ``int_col_type(column) -> 'int' | 'bigint' | None`` (optional) supplies
+    declared column types so ``intcol / intcol`` gets reference truncating
+    semantics, not Spark's DOUBLE.
     """
     out = sql
 
@@ -201,6 +245,8 @@ def rewrite(
 
     out = _rewrite_cast_types(out)
     out = _rewrite_int_division(out)
+    if int_col_type is not None:
+        out = _rewrite_col_int_division(out, int_col_type)
     out = _COUNT0.sub("count(*)", out)
     out = _rewrite_type_of(out)
     out = _DATABASE_FN.sub(f"'{current_db}'", out)

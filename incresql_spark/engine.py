@@ -110,6 +110,9 @@ class Engine:
         #: SELECT sequences skip the O(catalog) re-registration entirely
         self._catalog_dirty = True
         self._in_mutation = False
+        #: column → 'int' | 'bigint' | None across declared table schemas,
+        #: for reference truncating-division parity (divide.rs:63-85)
+        self._int_types: dict[str, str | None] | None = None
         from .functions.registry import register_all
 
         register_all(spark)
@@ -358,6 +361,29 @@ class Engine:
         read_directory(self.spark, path, delim).createOrReplaceTempView(view)
         return view
 
+    def _int_col_type(self, column: str) -> str | None:
+        """Declared type of ``column`` across every user table: 'int' /
+        'bigint' when the name is unambiguously integer-typed, else None
+        (unknown names and cross-table type conflicts stay un-rewritten)."""
+        if self._int_types is None:
+            narrow = {"tinyint": "int", "smallint": "int", "int": "int",
+                      "bigint": "bigint"}
+            types: dict[str, str | None] = {}
+            for db in self.databases():
+                if db in self._SYSTEM_DBS:
+                    continue
+                for name, kind in self.tables(db):
+                    if kind != "table":
+                        continue
+                    for f in self._table(db, name).schema().fields:
+                        t = narrow.get(f.dataType.simpleString())
+                        if f.name not in types:
+                            types[f.name] = t
+                        elif types[f.name] != t:
+                            types[f.name] = None
+            self._int_types = types
+        return self._int_types.get(column)
+
     def _run_select(self, sql: str) -> DataFrame:
         if self._catalog_dirty:
             self._register_all()
@@ -366,7 +392,8 @@ class Engine:
             if not self._in_mutation:
                 self._catalog_dirty = False
         rewritten = dialect.rewrite(
-            self._qualify(sql, self.current_db), self.current_db, self._register_dir
+            self._qualify(sql, self.current_db), self.current_db,
+            self._register_dir, int_col_type=self._int_col_type,
         )
         return self.spark.sql(rewritten)
 
@@ -382,6 +409,7 @@ class Engine:
         self._in_mutation = u.startswith(self._MUTATING)
         if self._in_mutation:
             self._catalog_dirty = True
+            self._int_types = None
 
         if u.startswith("CREATE DATABASE"):
             name = s.split()[2]

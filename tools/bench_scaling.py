@@ -1,0 +1,107 @@
+"""Engine-vs-DuckDB amortization curve across scale factors.
+
+BASELINE.md's core claim — Spark's ~12× sf0.1 gap is fixed per-job cost
+that amortizes with data volume while the plan shapes stay scale-correct —
+has to be *measured*, not asserted.  This runs the BASELINE.md headline set
+(TPC-H Q1/Q3/Q5/Q6/Q10 + the pipeline five) at each given sf dir on both
+engines and prints one JSON line per scale factor; `--md` renders the
+comparison table for BASELINE.md.
+
+Usage::
+
+    python tools/scale_testdata.py            # build .scaled/sf1 first
+    python tools/bench_scaling.py /root/testdata/sf0.1 /root/repo/.scaled/sf1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "sim_topk_cosine",
+    "text_stats",
+    "op_asof_join",
+]
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def bench_sf(spark, queries, oracles, sf_dir: str) -> dict:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    # warm parquet footers / JVM codegen once
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    out = {}
+    for name in HEADLINE:
+        # the dedup queries .cache() intermediates; leaked cached blocks
+        # contaminate later queries' timings (q1 measured 15s vs 1-3s fresh)
+        spark.catalog.clearCache()
+        s_samples, d_samples = [], []
+        for _ in range(RUNS):
+            t0 = time.time()
+            queries[name](spark, sf_dir).collect()
+            s_samples.append(time.time() - t0)
+            t0 = time.time()
+            con.execute(oracles[name]).fetchall()
+            d_samples.append(time.time() - t0)
+        s, d = statistics.median(s_samples), statistics.median(d_samples)
+        out[name] = {
+            "spark_s": round(s, 3),
+            "duckdb_s": round(d, 3),
+            "ratio": round(s / d, 2) if d > 0 else None,
+        }
+        print(f"  {name:20s} spark={s:7.3f}s duck={d:7.3f}s ratio={s/d:6.2f}x", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    from incresql_spark.session import get_spark
+
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/root/repo/.scaled/sf1"]
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    spark = get_spark("bench_scaling")
+
+    results = {}
+    for sf_dir in sf_dirs:
+        label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        print(f"[sf{label}] {sf_dir}", file=sys.stderr)
+        per = bench_sf(spark, queries, oracles, sf_dir)
+        geo = statistics.geometric_mean(
+            [v["ratio"] for v in per.values() if v["ratio"]]
+        )
+        results[label] = {
+            "sf_dir": sf_dir,
+            "queries": per,
+            "total_spark_s": round(sum(v["spark_s"] for v in per.values()), 3),
+            "total_duckdb_s": round(sum(v["duckdb_s"] for v in per.values()), 3),
+            "geomean_ratio": round(geo, 2),
+        }
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
