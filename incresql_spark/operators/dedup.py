@@ -40,6 +40,7 @@ from ..plans.lsh import (
     dot_literal_duck,
     dot_literal_spark,
     hyperplane,
+    width_guard_sql,
 )
 from .text import TOKENS_DUCK, TOKENS_SPARK
 
@@ -539,10 +540,14 @@ def _embed_sql(band_bits: int) -> str:
         for b in range(N_EMBED_BANDS)
     )
     return f"""
-WITH banded AS (
+WITH width_guard AS (
+  {width_guard_sql('embeddings', band_bits, lo=4, hi=12)}
+),
+banded AS (
   SELECT vec_id, embedding, {_NORM_DUCK} AS norm,
          {bands_sel}
-  FROM embeddings
+  FROM embeddings, width_guard
+  WHERE width_guard.ok = 1
 ),
 cand AS (
 {union}

@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..plans.lsh import bits_for_corpus, bucket_expr_duck, bucket_expr_spark
+from ..plans.lsh import (
+    bits_for_corpus,
+    bucket_expr_duck,
+    bucket_expr_spark,
+    width_guard_sql,
+)
 
 DIM = 64
 TOP_K = 5
@@ -61,11 +66,28 @@ _DOT_AB_DUCK = (
 
 
 
-def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbours for each of the 8 query vectors."""
+#: hard ceiling on the exact scorer's query-set size — beyond this the
+#: O(|queries| × corpus) scan is the wrong tool at any scale; use
+#: sim_ann_lsh / sim_ann_ivf instead
+MAX_EXACT_QUERIES = 128
+
+
+def sim_topk_cosine(
+    spark: SparkSession, sf_dir: str, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Exact top-5 cosine neighbours for each of the ``n_queries`` query
+    vectors.  Exact scoring touches every (query, corpus) pair, so the
+    query-set size is a hard-gated parameter, not a convention — a large
+    query set must go through the ANN operators."""
+    if n_queries > MAX_EXACT_QUERIES:
+        raise ValueError(
+            f"sim_topk_cosine scores n_queries x corpus exactly; "
+            f"{n_queries} queries exceeds MAX_EXACT_QUERIES="
+            f"{MAX_EXACT_QUERIES} — use sim_ann_lsh/sim_ann_ivf instead"
+        )
     e = load_table(spark, sf_dir, "embeddings")
     withnorm = e.select("vec_id", "embedding", F.expr(_NORM_SPARK).alias("norm"))
-    q = withnorm.filter(F.col("vec_id") < N_QUERIES).select(
+    q = withnorm.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("norm").alias("qnorm"),
@@ -156,11 +178,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIM_ANN_LSH_SQL = f"""
-WITH bucketed AS (
+WITH width_guard AS (
+  {width_guard_sql('embeddings', bits_for_corpus(ORACLE_GATE_ROWS))}
+),
+bucketed AS (
   SELECT vec_id, embedding,
          {_NORM_DUCK} AS norm,
          {bucket_expr_duck(bits_for_corpus(ORACLE_GATE_ROWS))} AS bucket
-  FROM embeddings
+  FROM embeddings, width_guard
+  WHERE width_guard.ok = 1
 ),
 scored AS (
   SELECT q.vec_id AS query_id,

@@ -197,6 +197,34 @@ def test_lsh_bits_scale_with_corpus():
         prev = b
 
 
+def test_lsh_oracle_width_guard_errors_on_corpus_mismatch():
+    """The static oracle SQL is generated for the gate's corpus size; on a
+    corpus demanding a different LSH width it must ERROR loudly instead of
+    silently hash-diverging from the Spark side (VERDICT round 3, fix #7a)."""
+    import duckdb
+
+    from incresql_spark.operators.dedup import DEDUP_EMBEDDING_SQL
+    from incresql_spark.operators.similarity import SIM_ANN_LSH_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT e.* FROM "
+        f"'{SF_SMALL}/embeddings.parquet' e, range(500)"
+    )
+    for sql in (SIM_ANN_LSH_SQL, DEDUP_EMBEDDING_SQL):
+        with pytest.raises(duckdb.Error, match="frozen"):
+            con.execute(sql).fetchall()
+
+
+def test_sim_topk_query_set_gate(spark):
+    """Exact top-k is O(|queries| x corpus); an oversized query set must be
+    rejected, not silently cross-joined (VERDICT round 3, fix #7b)."""
+    from incresql_spark.operators.similarity import sim_topk_cosine
+
+    with pytest.raises(ValueError, match="MAX_EXACT_QUERIES"):
+        sim_topk_cosine(spark, SF_SMALL, n_queries=100_000)
+
+
 def test_dedup_embedding_recall_vs_bruteforce(spark):
     """Banded candidate-gen recall against the all-pairs ground truth; the
     S-curve at threshold 0.30 on the synthetic corpus gives ~46%, assert a
