@@ -91,6 +91,105 @@ def test_explain_sort_and_table(engine):
     assert "| |   |   |   |  r_id|0|INTEGER||" in rows  # table columns
 
 
+@pytest.fixture()
+def join_tables(engine):
+    engine.execute_statement("CREATE TABLE t_left (l_id INT, l_text TEXT)")
+    engine.execute_statement("CREATE TABLE t_right (r_id INT, r_text TEXT)")
+    return engine
+
+
+def test_explain_join_explicit_verbatim(join_tables):
+    """tests/join/mod.rs:66-110 EXPLAIN golden, full tree.
+
+    Documented Catalyst deviations from the reference golden:
+    - no ``key_0`` extraction PROJECTs above the table scans — the
+      reference's hash join materializes join keys as leading columns
+      (hash_join.rs); Catalyst keeps equi keys inside the join predicate
+      and key extraction is a physical-planning detail, so the predicate
+      offsets address the RAW concatenated child rows: ``<OFFSET 0>``
+      (l_id) and ``<OFFSET 2>`` (r_id) instead of the reference's
+      ``<OFFSET 0>`` / ``<OFFSET 3>`` over key-extended rows.
+    - consequently the outer PROJECT is the identity mapping (offsets
+      0..3), where the reference's re-projects around the key columns
+      (offsets 1,2,4,5).
+    Tree shape, operator names, types and sort exprs are VERBATIM."""
+    rows = q(
+        join_tables,
+        "EXPLAIN SELECT * FROM t_left JOIN t_right ON l_id = t_right.r_id "
+        "ORDER BY l_id, r_id",
+    )
+    assert rows == [
+        "|SORT||||",
+        "| |sort_exprs:||||",
+        "| |  ||INTEGER|<OFFSET 0> (ASC)|",
+        "| |  ||INTEGER|<OFFSET 2> (ASC)|",
+        "| |source:||||",
+        "| |  PROJECT||||",
+        "| |   |output_exprs:||||",
+        "| |   |  l_id|0|INTEGER|<OFFSET 0>|",
+        "| |   |  l_text|1|TEXT|<OFFSET 1>|",
+        "| |   |  r_id|2|INTEGER|<OFFSET 2>|",
+        "| |   |  r_text|3|TEXT|<OFFSET 3>|",
+        "| |   |source:||||",
+        "| |   |  JOIN||||",
+        "| |   |   |predicate:||||",
+        "| |   |   |||BOOLEAN|`=`(<OFFSET 0>, <OFFSET 2>)|",
+        "| |   |   |left:||||",
+        "| |   |   |  TABLE(t_left)||||",
+        "| |   |   |   |columns:||||",
+        "| |   |   |   |  l_id|0|INTEGER||",
+        "| |   |   |   |  l_text|1|TEXT||",
+        "| |   |   |right:||||",
+        "| |   |   |  TABLE(t_right)||||",
+        "| |   |   |   |columns:||||",
+        "| |   |   |   |  r_id|0|INTEGER||",
+        "| |   |   |   |  r_text|1|TEXT||",
+    ]
+
+
+def test_explain_join_comma_form(join_tables):
+    """The comma-FROM variant of the same reference golden.  Catalyst's
+    analyzed plan is pre-predicate-pushdown, so the WHERE equi-predicate
+    renders as FILTER over a predicate-less JOIN (the reference's planner
+    pushes it into the JOIN before explaining; Catalyst does the same push
+    only in the optimized plan, whose join artifacts we deliberately do
+    not render — see module docstring)."""
+    rows = q(
+        join_tables,
+        "EXPLAIN SELECT * FROM t_left, t_right WHERE l_id = t_right.r_id "
+        "ORDER BY l_id, r_id",
+    )
+    assert rows == [
+        "|SORT||||",
+        "| |sort_exprs:||||",
+        "| |  ||INTEGER|<OFFSET 0> (ASC)|",
+        "| |  ||INTEGER|<OFFSET 2> (ASC)|",
+        "| |source:||||",
+        "| |  PROJECT||||",
+        "| |   |output_exprs:||||",
+        "| |   |  l_id|0|INTEGER|<OFFSET 0>|",
+        "| |   |  l_text|1|TEXT|<OFFSET 1>|",
+        "| |   |  r_id|2|INTEGER|<OFFSET 2>|",
+        "| |   |  r_text|3|TEXT|<OFFSET 3>|",
+        "| |   |source:||||",
+        "| |   |  FILTER||||",
+        "| |   |   |predicate:||||",
+        "| |   |   |||BOOLEAN|`=`(<OFFSET 0>, <OFFSET 2>)|",
+        "| |   |   |source:||||",
+        "| |   |   |  JOIN||||",
+        "| |   |   |   |left:||||",
+        "| |   |   |   |  TABLE(t_left)||||",
+        "| |   |   |   |   |columns:||||",
+        "| |   |   |   |   |  l_id|0|INTEGER||",
+        "| |   |   |   |   |  l_text|1|TEXT||",
+        "| |   |   |   |right:||||",
+        "| |   |   |   |  TABLE(t_right)||||",
+        "| |   |   |   |   |columns:||||",
+        "| |   |   |   |   |  r_id|0|INTEGER||",
+        "| |   |   |   |   |  r_text|1|TEXT||",
+    ]
+
+
 def test_explain_spark_escape_hatch(engine):
     """EXPLAIN SPARK still exposes Catalyst's formatted physical plan."""
     rows = q(engine, "EXPLAIN SPARK SELECT 1 + 1")
