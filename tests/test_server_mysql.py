@@ -1,0 +1,149 @@
+"""MySQL wire-protocol front-end integration test (reference
+server/src/mysql/mod.rs:38-130; README.md:47-56 "connect with mysql").
+
+No MySQL client library exists in this container, so the client half is
+implemented here from the same public packet layouts the server uses —
+which doubles as a protocol-level assertion (framing, handshake, lenenc,
+OK/ERR/EOF discrimination all have to be right on both sides to pass).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+import pytest
+
+from incresql_spark.engine import Engine
+from incresql_spark.server.mysql import (
+    CLIENT_DEPRECATE_EOF,
+    CLIENT_PROTOCOL_41,
+    MySqlServer,
+    read_packet,
+    write_packet,
+)
+
+
+class MiniClient:
+    """Just enough client protocol: handshake, COM_QUERY, text resultset."""
+
+    def __init__(self, port: int, capabilities: int):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        self.caps = capabilities
+        seq, greeting = read_packet(self.sock)
+        assert greeting[0] == 0x0A  # protocol version 10
+        self.server_version = greeting[1 : greeting.index(b"\x00", 1)].decode()
+        # handshake response 41: caps, max packet, charset, 23 zeros,
+        # user\0, empty auth response
+        payload = (
+            struct.pack("<I", self.caps)
+            + struct.pack("<I", 2**24 - 1)
+            + bytes([33])
+            + b"\x00" * 23
+            + b"test\x00"
+            + b"\x00"
+        )
+        write_packet(self.sock, seq + 1, payload)
+        _, ok = read_packet(self.sock)
+        assert ok[0] == 0x00, ok
+
+    def _lenenc(self, buf: bytes, pos: int) -> tuple[int, int]:
+        b0 = buf[pos]
+        if b0 < 0xFB:
+            return b0, pos + 1
+        if b0 == 0xFC:
+            return struct.unpack_from("<H", buf, pos + 1)[0], pos + 3
+        if b0 == 0xFD:
+            return int.from_bytes(buf[pos + 1 : pos + 4], "little"), pos + 4
+        return struct.unpack_from("<Q", buf, pos + 1)[0], pos + 9
+
+    def query(self, sql: str):
+        """Returns (columns, rows) for resultsets, int(affected) for OK,
+        raises on ERR."""
+        write_packet(self.sock, 0, b"\x03" + sql.encode())
+        _, first = read_packet(self.sock)
+        if first[0] == 0xFF:
+            raise RuntimeError(first[9:].decode("utf-8", "replace"))
+        if first[0] == 0x00:
+            affected, _ = self._lenenc(first, 1)
+            return affected
+        ncols, _ = self._lenenc(first, 0)
+        cols = []
+        for _ in range(ncols):
+            _, colpkt = read_packet(self.sock)
+            pos = 0
+            parts = []
+            for _ in range(6):  # catalog..org_name lenenc strings
+                ln, pos = self._lenenc(colpkt, pos)
+                parts.append(colpkt[pos : pos + ln])
+                pos += ln
+            cols.append(parts[4].decode())
+        if not (self.caps & CLIENT_DEPRECATE_EOF):
+            _, eof = read_packet(self.sock)
+            assert eof[0] == 0xFE
+        rows = []
+        while True:
+            _, pkt = read_packet(self.sock)
+            if pkt[0] == 0xFE and len(pkt) < 9:
+                break  # EOF or OK-with-EOF-header terminator
+            pos, row = 0, []
+            while pos < len(pkt):
+                if pkt[pos] == 0xFB:
+                    row.append(None)
+                    pos += 1
+                else:
+                    ln, pos = self._lenenc(pkt, pos)
+                    row.append(pkt[pos : pos + ln].decode())
+                    pos += ln
+            rows.append(tuple(row))
+        return cols, rows
+
+    def close(self) -> None:
+        write_packet(self.sock, 0, b"\x01")  # COM_QUIT
+        self.sock.close()
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    srv = MySqlServer(engine, port=0)
+    srv.serve_background()
+    yield srv
+    srv.shutdown()
+
+
+@pytest.mark.parametrize("caps", [
+    CLIENT_PROTOCOL_41,
+    CLIENT_PROTOCOL_41 | CLIENT_DEPRECATE_EOF,
+])
+def test_query_roundtrip(server, caps):
+    c = MiniClient(server.port, caps)
+    assert "incresql" in c.server_version
+    assert c.query("CREATE TABLE wt (a INT, b TEXT)") == 0
+    assert c.query('INSERT INTO wt VALUES (1, "x"), (2, NULL)') == 0
+    cols, rows = c.query("SELECT a, b FROM wt ORDER BY a")
+    assert cols == ["a", "b"]
+    assert rows == [("1", "x"), ("2", None)]
+    c.close()
+
+
+def test_error_packet(server):
+    c = MiniClient(server.port, CLIENT_PROTOCOL_41 | CLIENT_DEPRECATE_EOF)
+    with pytest.raises(RuntimeError):
+        c.query("SELECT * FROM no_such_table_anywhere")
+    # connection survives the error — the reference keeps serving after ERR
+    cols, rows = c.query("SELECT 1 + 1")
+    assert rows == [("2",)]
+    c.close()
+
+
+def test_use_and_show(server):
+    c = MiniClient(server.port, CLIENT_PROTOCOL_41 | CLIENT_DEPRECATE_EOF)
+    c.query("CREATE DATABASE wiredb")
+    c.query("USE wiredb")
+    c.query("CREATE TABLE t2 (x INT)")
+    cols, rows = c.query("SHOW TABLES")
+    assert ("t2", "table") in [tuple(r[:2]) for r in rows] or any(
+        "t2" in r for r in rows
+    )
+    c.close()
