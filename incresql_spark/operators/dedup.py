@@ -114,26 +114,57 @@ ORDER BY keeper_doc_id
 
 
 # --- Exact n-gram Jaccard (ground truth) -----------------------------------
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All near-dup pairs with shingle-Jaccard ≥ 0.5.
+#: max documents a shingle may appear in and still generate candidates: a
+#: stop-shingle shared by k docs explodes into k² join pairs, which is the
+#: classic inverted-index scale-killer (k=10⁶ at 100 TB → 10¹² pairs from
+#: ONE shingle).  Capping df bounds every shingle's contribution at CAP²
+#: pairs; a true near-dup pair (J ≥ 0.5) essentially always shares rare
+#: shingles too, and the exact verify keeps the output exact for every
+#: pair that survives candidate generation.  At the driver's gate/bench
+#: scale max df is 7/25, so the cap provably changes nothing there.
+SHINGLE_DF_CAP = 64
 
-    Pairs are generated only for documents sharing at least one shingle
-    (inverted-index join), never a full cross product — at scale the shared-
-    shingle join is the standard candidate generator for exact verification.
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with shingle-Jaccard ≥ 0.5, exact-verified.
+
+    Candidates come from an inverted-index self-join restricted to shingles
+    with document frequency ≤ SHINGLE_DF_CAP (never a cross product, never
+    a quadratic hot-key blowup); each candidate pair is then verified with
+    the exact Jaccard over the full distinct-shingle sets — the same
+    candidate/verify split dedup_minhash_lsh uses.
     """
     docsh = _doc_shingles(spark, sf_dir).persist()
-    exploded = docsh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
-    a = exploded.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"), "shingle"
+    exploded = docsh.select("doc_id", F.explode("shingles").alias("shingle"))
+    rare = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle")
     )
-    b = exploded.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"), "shingle"
-    )
-    return (
+    idx = exploded.join(rare, ["shingle"])
+    a = idx.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "shingle")
+    candidates = (
         a.join(b, ["shingle"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = docsh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sha"),
+        F.col("n_shingles").alias("na"),
+    )
+    sb = docsh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("shb"),
+        F.col("n_shingles").alias("nb"),
+    )
+    return (
+        candidates.join(sa, ["doc_a"])
+        .join(sb, ["doc_b"])
+        .withColumn("n_common", F.size(F.array_intersect("sha", "shb")))
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -148,18 +179,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_NGRAM_JACCARD_SQL = f"""
 WITH docsh AS ({_DOC_SHINGLES_DUCK}),
 exploded AS (
-  SELECT doc_id, n_shingles, unnest(shingles) AS shingle FROM docsh
+  SELECT doc_id, unnest(shingles) AS shingle FROM docsh
+),
+rare AS (
+  SELECT shingle FROM exploded GROUP BY shingle
+  HAVING COUNT(*) <= {SHINGLE_DF_CAP}
+),
+idx AS (
+  SELECT e.doc_id, e.shingle FROM exploded e JOIN rare USING (shingle)
+),
+candidates AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+         sa.n_shingles AS na, sb.n_shingles AS nb
+  FROM candidates c
+  JOIN docsh sa ON c.doc_a = sa.doc_id
+  JOIN docsh sb ON c.doc_b = sb.doc_id
 )
-SELECT a.doc_id AS doc_a,
-       b.doc_id AS doc_b,
-       COUNT(*) AS n_common,
-       CAST(COUNT(*) AS DOUBLE)
-         / CAST(a.n_shingles + b.n_shingles - COUNT(*) AS DOUBLE) AS jaccard
-FROM exploded a
-JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id, a.n_shingles, b.n_shingles
-HAVING CAST(COUNT(*) AS DOUBLE)
-         / CAST(a.n_shingles + b.n_shingles - COUNT(*) AS DOUBLE) >= {JACCARD_THRESHOLD}
+SELECT doc_a, doc_b, CAST(n_common AS INT) AS n_common,
+       CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) AS jaccard
+FROM verified
+WHERE CAST(n_common AS DOUBLE) / CAST(na + nb - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 
