@@ -8,10 +8,12 @@ Registration order matters: the driver's correctness gate records the FIRST
 50 entries of ``queries()``.  The first 50 here are the substantive
 operators — TPC-H (22), the custom relational operators (as-of join, range
 join, funnel, window functions), the full dedup / similarity / multimodal /
-sessionize / text pipeline suite.  The remaining entries are "free in
-Spark" relational demos (op_distinct, op_rollup, ...) that are equally
-oracle-checked locally via ``tools/check_oracle.py`` and pytest but are the
-right ones to fall past the gate cap.
+sessionize pipeline suite, the composed end-to-end curation dataflow
+(pipeline_curate), and the text suite (whose last entry, text_pii_scrub,
+is the one that falls just past the cap at 51).  The remaining entries are
+"free in Spark" relational demos (op_distinct, op_rollup, ...).  Everything
+past the cap is equally oracle-checked locally via
+``tools/check_oracle.py`` and pytest.
 """
 
 from __future__ import annotations
@@ -21,7 +23,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from incresql_spark import tpch
-from incresql_spark.operators import dedup, multimodal, relational, similarity, text
+from incresql_spark.operators import (
+    dedup,
+    multimodal,
+    pipeline,
+    relational,
+    similarity,
+    text,
+)
 from incresql_spark.streaming import sessionize
 
 SF0001 = "/root/testdata/sf0.001"
@@ -45,7 +54,8 @@ def _ordered(registries: list[dict]) -> dict:
     out: dict = {}
     # Gate-priority block: TPC-H, core relational ops, then the full
     # LLM-pipeline suite (dedup, similarity, multimodal, sessionize, text).
-    tpch_reg, rel_reg, text_reg, dedup_reg, sim_reg, mm_reg, sess_reg = registries
+    (tpch_reg, rel_reg, text_reg, dedup_reg, sim_reg, mm_reg, sess_reg,
+     pipe_reg) = registries
     out.update(tpch_reg)
     for k in _RELATIONAL_CORE:
         if k in rel_reg:
@@ -54,6 +64,7 @@ def _ordered(registries: list[dict]) -> dict:
     out.update(sim_reg)
     out.update(mm_reg)
     out.update(sess_reg)
+    out.update(pipe_reg)
     out.update(text_reg)
     # Tail block: built-in-operator demos (driver-gate overflow is OK here).
     for k, v in rel_reg.items():
@@ -72,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             similarity.QUERIES,
             multimodal.QUERIES,
             sessionize.QUERIES,
+            pipeline.QUERIES,
         ]
     )
 
@@ -86,5 +98,6 @@ def oracle_sql() -> dict[str, str]:
             similarity.ORACLE,
             multimodal.ORACLE,
             sessionize.ORACLE,
+            pipeline.ORACLE,
         ]
     )

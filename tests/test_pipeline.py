@@ -6,13 +6,13 @@ from __future__ import annotations
 
 import pytest
 
-from incresql_spark.operators import dedup, multimodal, similarity, text
+from incresql_spark.operators import dedup, multimodal, pipeline, similarity, text
 
 from .conftest import SF_SMALL
 from .oracle import assert_matches_oracle
 
 ALL = {}
-for mod in (text, dedup, similarity, multimodal):
+for mod in (text, dedup, similarity, multimodal, pipeline):
     for name in mod.QUERIES:
         if name in mod.ORACLE:
             ALL[name] = (mod.QUERIES[name], mod.ORACLE[name])
@@ -134,3 +134,21 @@ def test_mm_frame_sample_counts(spark):
     )
     assert len(rows) == expect
     assert all(r.frame_idx % multimodal.FRAME_STRIDE == 0 for r in rows)
+
+
+def test_pipeline_curate_shape_and_sanity(spark):
+    """The composed curation dataflow: strictly fewer docs than the raw
+    corpus, every language bucket non-empty only when it survived all three
+    passes, and no cross product anywhere in the physical plan."""
+    from pyspark.sql import functions as F
+
+    df = pipeline.pipeline_curate(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert rows, "curation must keep a non-empty corpus at test scale"
+    n_raw = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    kept = sum(r.n_docs for r in rows)
+    assert 0 < kept < n_raw
+    assert all(r.total_tokens >= r.n_docs * pipeline.CURATE_MIN_TOKENS for r in rows)
