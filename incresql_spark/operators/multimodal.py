@@ -263,13 +263,112 @@ GROUP BY doc_id
 ORDER BY doc_id
 """
 
+# --- Audio: decode → fixed-window chunking → per-chunk energy stats --------
+AUDIO_CHUNK = 64  # samples per analysis window
+
+AUDIO_CHUNKS_SCHEMA = (
+    "doc_id BIGINT, chunk_idx INT, n_samples INT, amp_sum BIGINT, amp_sq_sum BIGINT"
+)
+
+
+def decode_audio(payload: bytes, n_samples: int, fake: bool = False):
+    """Decode an audio payload to a 1-D uint8 sample array.
+
+    Real codecs (soundfile/ffmpeg) are not in this container; the fake path
+    reuses the image tensor's integer arithmetic in one dimension —
+    sample i = (b[i mod 16] + i*i) mod 256 — so the DuckDB oracle can
+    reproduce the waveform exactly from the payload hex.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires soundfile/ffmpeg which are not "
+            "installed; run with fake=True for the deterministic waveform"
+        )
+    b = np.frombuffer((payload * ((n_samples // 16) + 16))[:16], dtype=np.uint8).astype(
+        np.int64
+    )
+    i = np.arange(n_samples, dtype=np.int64)
+    return (b[i % 16] + (i * i) % 256) % 256
+
+
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline plumbing: per-clip decode + fixed-window chunking with
+    per-chunk energy stats (sum / sum-of-squares — the integer core of an
+    RMS/VAD feature), over Arrow-batched mapInPandas.
+
+    Clip length derives from document length; the waveform is md5-payload
+    arithmetic, so every emitted integer is reproducible in the oracle.
+    Scale: narrow map, rows out = ceil(n_samples / {AUDIO_CHUNK}) per clip,
+    no shuffle before the deterministic output sort.
+    """
+    from ..catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    clips = d.select(
+        "doc_id",
+        F.unhex(F.md5("text")).alias("payload"),
+        ((F.col("n_chars") % 100) + AUDIO_CHUNK).cast("int").alias("n_samples"),
+    )
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, sums, sqs = [], [], [], [], []
+            for doc_id, payload, n in zip(
+                pdf["doc_id"], pdf["payload"], pdf["n_samples"]
+            ):
+                wave = decode_audio(bytes(payload), int(n), fake=True)
+                for c in range(0, int(n), AUDIO_CHUNK):
+                    w = wave[c : c + AUDIO_CHUNK]
+                    ids.append(doc_id)
+                    idxs.append(c // AUDIO_CHUNK)
+                    ns.append(len(w))
+                    sums.append(int(w.sum()))
+                    sqs.append(int((w * w).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "amp_sum": pd.Series(sums, dtype="int64"),
+                    "amp_sq_sum": pd.Series(sqs, dtype="int64"),
+                }
+            )
+
+    return clips.mapInPandas(chunk, schema=AUDIO_CHUNKS_SCHEMA).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+MM_AUDIO_CHUNKS_SQL = f"""
+WITH clips AS (
+  SELECT doc_id, md5(text) AS h,
+         (n_chars % 100) + {AUDIO_CHUNK} AS n_samples
+  FROM documents
+),
+samples AS (
+  SELECT c.doc_id,
+         CAST(u.i // {AUDIO_CHUNK} AS INT) AS chunk_idx,
+         {_pixel_sql('c.h', 'u.i')} AS amp
+  FROM clips c, UNNEST(range(c.n_samples)) AS u(i)
+)
+SELECT doc_id, chunk_idx,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(SUM(amp) AS BIGINT) AS amp_sum,
+       CAST(SUM(amp * amp) AS BIGINT) AS amp_sq_sum
+FROM samples
+GROUP BY doc_id, chunk_idx
+ORDER BY doc_id, chunk_idx
+"""
+
 QUERIES = {
     "mm_features": mm_features,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
+    "mm_audio_chunks": mm_audio_chunks,
 }
 ORACLE: dict[str, str] = {
     "mm_features": MM_FEATURES_SQL,
     "mm_resize": MM_RESIZE_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+    "mm_audio_chunks": MM_AUDIO_CHUNKS_SQL,
 }

@@ -152,3 +152,23 @@ def test_pipeline_curate_shape_and_sanity(spark):
     kept = sum(r.n_docs for r in rows)
     assert 0 < kept < n_raw
     assert all(r.total_tokens >= r.n_docs * pipeline.CURATE_MIN_TOKENS for r in rows)
+
+
+def test_mm_audio_chunking(spark):
+    """Audio decode→chunk plumbing: stub gate on the real path, chunk count
+    = ceil(n_samples / AUDIO_CHUNK) per clip, deterministic stats."""
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"xx", 64)
+    rows = multimodal.mm_audio_chunks(spark, SF_SMALL).collect()
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").collect()
+    expect = sum(
+        -(-((d.n_chars % 100) + multimodal.AUDIO_CHUNK) // multimodal.AUDIO_CHUNK)
+        for d in docs
+    )
+    assert len(rows) == expect
+    # full windows carry AUDIO_CHUNK samples; energy bounded by 255² per sample
+    for r in rows:
+        assert 1 <= r.n_samples <= multimodal.AUDIO_CHUNK
+        assert 0 <= r.amp_sq_sum <= r.n_samples * 255 * 255
