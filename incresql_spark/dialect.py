@@ -114,34 +114,52 @@ def unmask_literals(sql: str, stash: list[str]) -> str:
 _I32_MAX = 2**31 - 1
 
 #: int-literal / int-literal (no leading/trailing ident, dot or placeholder
-#: chars — so 1.5/2, x1/2 and masked-literal fragments never match)
-_INT_DIV = re.compile(r"(?<![\w.\x00])(\d+)\s*/\s*(\d+)(?![\w.\x00])")
+#: chars — so 1.5/2, x1/2 and masked-literal fragments never match).  The
+#: divisor may carry a unary minus (unambiguous right after '/'); the
+#: dividend may not (a leading '-' there could be binary subtraction).
+_INT_DIV = re.compile(r"(?<![\w.\x00])(\d+)\s*/\s*(-?\s*\d+)(?![\w.\x00])")
 #: chain step: an already-rewritten integer division divided again
 _INT_DIV_CHAIN = re.compile(
-    r"(CAST\(\d+ DIV \d+ AS INT\)|\(\d+ DIV \d+\))\s*/\s*(\d+)(?![\w.\x00])"
+    r"(CAST\(\d+ DIV \(?-?\d+\)? AS INT\)|\(\d+ DIV \(?-?\d+\)?\))"
+    r"\s*/\s*(-?\s*\d+)(?![\w.\x00])"
 )
 
 
 def _rewrite_int_division(sql: str) -> str:
     """Reference ``/`` parity for integer literals (divide.rs:63-85):
     (int,int) → truncating INTEGER division, (bigint,bigint) → BIGINT.
-    Spark's ``/`` is always DOUBLE; ``DIV`` is its truncating twin."""
-    masked, stash = mask_literals(sql)
+    Spark's ``/`` is always DOUBLE; ``DIV`` is its truncating twin.
+    Expects literal-masked input (``rewrite`` masks once for all the
+    structural passes); the regex guards exclude placeholder bytes."""
 
     def sub(m: re.Match) -> str:
-        a, b = m.group(1), m.group(2)
-        if int(a) <= _I32_MAX and int(b) <= _I32_MAX:
-            return f"CAST({a} DIV {b} AS INT)"
-        return f"({a} DIV {b})"
+        a = m.group(1)
+        b = int(m.group(2).replace(" ", ""))
+        if b == 0:
+            # reference DivideInteger errors on /0 (Rust integer division
+            # panics → query error); Spark DIV would return NULL — fail at
+            # rewrite time instead, like the reference's planner would
+            raise ValueError("division by zero")
+        rhs = f"({b})" if b < 0 else str(b)
+        if int(a) <= _I32_MAX and abs(b) <= _I32_MAX:
+            return f"CAST({a} DIV {rhs} AS INT)"
+        return f"({a} DIV {rhs})"
 
-    masked = _INT_DIV.sub(sub, masked)
+    out = _INT_DIV.sub(sub, sql)
     # left-assoc chains: 1/2/3 → (CAST(1 DIV 2 AS INT)) DIV 3
+    def sub_chain(m: re.Match) -> str:
+        b = int(m.group(2).replace(" ", ""))
+        if b == 0:
+            raise ValueError("division by zero")
+        rhs = f"({b})" if b < 0 else str(b)
+        return f"CAST({m.group(1)} DIV {rhs} AS INT)"
+
     while True:
-        new = _INT_DIV_CHAIN.sub(r"CAST(\1 DIV \2 AS INT)", masked)
-        if new == masked:
+        new = _INT_DIV_CHAIN.sub(sub_chain, out)
+        if new == out:
             break
-        masked = new
-    return unmask_literals(masked, stash)
+        out = new
+    return out
 
 
 #: identifier (possibly alias-qualified) or bare integer literal operand
@@ -167,8 +185,8 @@ def _rewrite_col_int_division(sql: str, type_of) -> str:
     DOUBLE ``/``.  Runs after the literal/literal pass, so remaining
     matches involve at least one identifier.  Single-step only — chained
     ``i/2/3`` rewrites the first division (literal chains are handled by
-    the literal pass)."""
-    masked, stash = mask_literals(sql)
+    the literal pass).  Expects literal-masked input like
+    ``_rewrite_int_division``."""
 
     def sub(m: re.Match) -> str:
         a, b = m.group(1), m.group(2)
@@ -179,7 +197,7 @@ def _rewrite_col_int_division(sql: str, type_of) -> str:
         target = "INT" if (ta, tb) == ("int", "int") else "BIGINT"
         return f"CAST({a} DIV {b} AS {target})"
 
-    return unmask_literals(_COL_DIV.sub(sub, masked), stash)
+    return _COL_DIV.sub(sub, sql)
 
 
 #: MySQL @@magic variables the reference substitutes at validation time
@@ -226,7 +244,9 @@ def rewrite(
     """
     out = sql
 
-    # arrow operators (innermost-first; loop handles chains like a->"$.b"->>"$.c")
+    # arrow operators (innermost-first; loop handles chains like a->"$.b"->>"$.c").
+    # These two rewrites must see the REAL quoted text (the arrow lhs may be a
+    # string literal; DIRECTORY takes a quoted path), so they run pre-masking.
     while True:
         m = _ARROW.search(out)
         if m is None:
@@ -243,6 +263,10 @@ def rewrite(
 
         out = _DIRECTORY.sub(_sub_dir, out)
 
+    # every remaining rewrite is structural — mask string literals and
+    # backticked identifiers ONCE so none of them can corrupt literal text
+    # (e.g. a literal containing 'count()', 'CAST(x AS TEXT)' or '@@socket')
+    out, stash = mask_literals(out)
     out = _rewrite_cast_types(out)
     out = _rewrite_int_division(out)
     if int_col_type is not None:
@@ -253,4 +277,4 @@ def rewrite(
     out = _LIMIT_COMMA.sub(r"LIMIT \2 OFFSET \1", out)
     for var, const in _SPECIAL_VARS.items():
         out = re.sub(re.escape(var) + r"\b", const, out, flags=re.IGNORECASE)
-    return out
+    return unmask_literals(out, stash)

@@ -510,6 +510,16 @@ class Engine:
         m = re.match(rf"COMPACT TABLE ({_QNAME})\s*$", s, re.IGNORECASE)
         if m:
             db, name = _split_name(m.group(1), self.current_db)
+            # bring every dependent MV's cursor up to last_seq first —
+            # compaction collapses the seq range, and a mid-range cursor
+            # would otherwise re-consume merged rows (delta() now refuses
+            # that loudly; refreshing makes COMPACT safe instead of fatal)
+            for mv_db in self.databases():
+                if mv_db in self._SYSTEM_DBS:
+                    continue
+                for mv_name, meta in self._mvs(mv_db).items():
+                    if meta.get("base") == f"{db}.{name}":
+                        self._mv(mv_db, mv_name).refresh()
             self._table(db, name).compact()
             return EngineResult()
 

@@ -90,14 +90,20 @@ class FreqTable:
         segs = []
         if not os.path.isdir(self.path):
             return segs
-        for idx, name in enumerate(sorted(os.listdir(self.path))):
-            if not name.startswith("seg-"):
-                continue
+        names = sorted(
+            n for n in os.listdir(self.path) if n.startswith("seg-")
+        )
+        for idx, name in enumerate(names):
             with open(os.path.join(self.path, name, "_segmeta.json")) as fh:
                 meta = json.load(fh)
             # segments written before the seq field existed sort by name
-            # (ts-uuid); enumeration order is their effective sequence
+            # (ts-uuid); enumeration order over the seg-* entries ONLY is
+            # their effective sequence (enumerating the whole directory
+            # would let schema.json / stale compact-* tmp dirs shift every
+            # legacy seq and double-deliver or skip a delta segment)
             meta.setdefault("seq", idx)
+            # pre-min_seq segments cover exactly their own seq
+            meta.setdefault("min_seq", meta["seq"])
             if as_of_ms is not None and meta["ts_ms"] > as_of_ms:
                 continue
             if as_of_seq is not None and meta["seq"] > as_of_seq:
@@ -211,17 +217,31 @@ class FreqTable:
         return int(n)
 
     def compact(self) -> None:
-        """Merge all segments into one (reference COMPACT TABLE)."""
+        """Merge all segments into one (reference COMPACT TABLE).
+
+        The merged segment records the seq RANGE it covers
+        (``min_seq..seq``) so ``delta()`` can detect — and refuse — a
+        cursor that points inside the compacted span instead of silently
+        re-delivering already-consumed rows to an MV."""
+        # a crashed earlier compact leaves a compact-* tmp dir; it holds no
+        # acknowledged data (the rename is the commit point) — clear it
+        for name in os.listdir(self.path):
+            if name.startswith("compact-"):
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
         segs = self._segments()
         if len(segs) <= 1:
             return
         merged = self.scan(expand=False)
         ts = max(s["ts_ms"] for s in segs)
         seq = max(s["seq"] for s in segs)
+        min_seq = min(s["min_seq"] for s in segs)
         tmp = os.path.join(self.path, f"compact-{uuid.uuid4().hex[:8]}")
         merged.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_segmeta.json"), "w") as fh:
-            json.dump({"ts_ms": ts, "seq": seq, "has_negative": False}, fh)
+            json.dump(
+                {"ts_ms": ts, "seq": seq, "min_seq": min_seq,
+                 "has_negative": False}, fh
+            )
         for s in segs:
             shutil.rmtree(s["dir"])
         os.rename(tmp, os.path.join(self.path, f"seg-{ts}-{uuid.uuid4().hex[:8]}"))
@@ -278,6 +298,19 @@ class FreqTable:
             for s in self._segments(as_of_seq=until_seq)
             if s["seq"] > since_seq
         ]
+        for s in segs:
+            # a compacted segment covers min_seq..seq; if the cursor points
+            # INSIDE that span, part of the segment was already consumed and
+            # re-applying it would double-count downstream MV state — fail
+            # loudly (the engine avoids this by refreshing dependent MVs
+            # before COMPACT; library users get the same protection here)
+            if s["min_seq"] <= since_seq:
+                raise ValueError(
+                    f"delta cursor {since_seq} falls inside compacted segment "
+                    f"range {s['min_seq']}..{s['seq']} — the requested delta "
+                    f"was partially merged away; full re-materialization "
+                    f"required"
+                )
         if not segs:
             return self.spark.createDataFrame([], full)
         cols = [f.name for f in schema.fields]

@@ -116,3 +116,108 @@ def test_column_division_matches_rust_semantics(div_table, a, b):
         f"SELECT i * 0 + {a} / {b} FROM dt LIMIT 1"
     ).rows
     assert rows[0][0] == _py_trunc_div(a, b)
+
+
+def test_negative_divisor_literal_division(div_table):
+    """r2 ADVICE dialect.py:230: 10/-2 must truncate to INTEGER -5, not
+    Spark DOUBLE -5.0."""
+    res = div_table.execute_statement("SELECT 10 / -2")
+    assert res.rows[0][0] == -5
+    assert res.df.schema.fields[0].dataType.simpleString() == "int"
+    res = div_table.execute_statement("SELECT 7 / -2")
+    assert res.rows[0][0] == -3  # toward zero, like Rust
+
+
+def test_division_by_zero_literal_errors(div_table):
+    """Reference DivideInteger errors on /0; Spark DIV would yield NULL —
+    the dialect fails at rewrite time."""
+    with pytest.raises(Exception, match="division by zero"):
+        div_table.execute_statement("SELECT 5 / 0")
+
+
+def test_literals_survive_all_structural_rewrites(div_table):
+    """r2 ADVICE dialect.py:202: string literals containing rewrite-shaped
+    text (count(), CAST AS TEXT, database(), @@socket, type_of, LIMIT o,n)
+    must pass through every structural pass untouched."""
+    probes = [
+        "count() is zero-arg",
+        "CAST(x AS TEXT) inside",
+        "database() call",
+        "@@socket variable",
+        "type_of(y) probe",
+        "LIMIT 1, 2 clause",
+        "5 / 0 not math",
+    ]
+    for text in probes:
+        got = div_table.execute_statement(f"SELECT '{text}'").rows[0][0]
+        assert got == text, (text, got)
+
+
+# ---- frequency-layer hazards (r2 ADVICE, closed in r4) ----------------------
+def test_legacy_seq_ignores_non_segment_entries(spark, tmp_path):
+    """Fallback seq for pre-seq segments must enumerate seg-* dirs ONLY:
+    schema.json (which always sorts first) and stale compact-* tmp dirs
+    must not shift the implied sequence (r2 ADVICE frequency.py:100)."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from incresql_spark.frequency import FreqTable
+
+    t = FreqTable(spark, str(tmp_path / "legacy"))
+    t.create(T.StructType([T.StructField("k", T.LongType())]))
+    t.insert(spark.createDataFrame([(1,)], "k LONG"))
+    t.insert(spark.createDataFrame([(2,)], "k LONG"))
+    # strip the seq field (pre-seq era) and drop a stale compact tmp dir
+    for name in os.listdir(t.path):
+        if name.startswith("seg-"):
+            p = os.path.join(t.path, name, "_segmeta.json")
+            meta = json.load(open(p))
+            meta.pop("seq", None)
+            json.dump(meta, open(p, "w"))
+    os.makedirs(os.path.join(t.path, "compact-stale"))
+    seqs = sorted(s["seq"] for s in t._segments())
+    assert seqs == [0, 1], seqs
+    # delta over the full range sees exactly the second segment's row
+    rows = {r.k for r in t.delta(0).collect()}
+    assert rows == {2}
+
+
+def test_delta_refuses_cursor_inside_compacted_range(spark, tmp_path):
+    """compact() collapses seq 0..n into one segment; a delta cursor that
+    points inside that span must ERROR, not silently re-deliver merged rows
+    (r2 ADVICE frequency.py:224)."""
+    from pyspark.sql import types as T
+
+    from incresql_spark.frequency import FreqTable
+
+    t = FreqTable(spark, str(tmp_path / "cmp"))
+    t.create(T.StructType([T.StructField("k", T.LongType())]))
+    for v in (1, 2, 3):
+        t.insert(spark.createDataFrame([(v,)], "k LONG"))
+    t.compact()
+    # cursor -1 (never consumed) is fine: the whole table is the delta
+    assert {r.k for r in t.delta(-1).collect()} == {1, 2, 3}
+    # cursor 1 (consumed seqs 0..1) falls inside the compacted 0..2 range
+    with pytest.raises(ValueError, match="compacted"):
+        t.delta(1)
+
+
+def test_engine_compact_refreshes_dependent_mvs(engine):
+    """COMPACT TABLE must bring dependent MV cursors to head first, so MV
+    state is never double-counted (the delta() guard would otherwise make
+    the next refresh fail)."""
+    engine.execute_statement("CREATE TABLE ct (g TEXT, v INT)")
+    engine.execute_statement('INSERT INTO ct VALUES ("a", 1), ("b", 2)')
+    engine.execute_statement(
+        "CREATE MATERIALIZED VIEW cmv AS SELECT g, count(*) AS n, sum(v) AS s "
+        "FROM ct GROUP BY g"
+    )
+    engine.execute_statement('INSERT INTO ct VALUES ("a", 10)')
+    engine.execute_statement("COMPACT TABLE ct")
+    engine.execute_statement('INSERT INTO ct VALUES ("b", 20)')
+    engine.execute_statement("REFRESH MATERIALIZED VIEW cmv")
+    got = sorted(tuple(r) for r in engine.execute_statement(
+        "SELECT g, n, s FROM cmv ORDER BY g").rows)
+    assert got == [("a", 2, 11), ("b", 2, 22)], got
