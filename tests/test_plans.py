@@ -240,3 +240,16 @@ def test_dedup_embedding_recall_vs_bruteforce(spark):
     }
     assert got <= truth  # exact verify: no false positives, ever
     assert len(got) >= 0.30 * len(truth), (len(got), len(truth))
+
+
+def test_multimodal_metadata_query_prunes_payload(spark):
+    """The multimodal module's scale contract: a metadata-only query over
+    the media table must not compute or read payloads (column pruning
+    eliminates the md5/unhex projection entirely)."""
+    from incresql_spark.operators.multimodal import synthesize_media
+
+    meta_only = synthesize_media(spark, SF_SMALL).select("doc_id", "width", "height")
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    assert "md5" not in plan, plan[:600]
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" not in read_schema, read_schema
