@@ -92,16 +92,38 @@ def read_exact(sock: socket.socket, n: int) -> bytes:
     return buf
 
 
+_MAX_CHUNK = 0xFFFFFF  # protocol chunk size: a logical packet >= 16MB-1
+# is split into max-size frames; a frame of exactly 0xFFFFFF bytes means
+# "continued in the next frame" (an empty terminator frame follows an
+# exact multiple)
+
+
 def read_packet(sock: socket.socket) -> tuple[int, bytes]:
-    """One framed packet: 3-byte LE length + 1-byte sequence id."""
-    header = read_exact(sock, 4)
-    length = header[0] | (header[1] << 8) | (header[2] << 16)
-    return header[3], read_exact(sock, length)
+    """One LOGICAL packet: 3-byte LE length + 1-byte sequence id per frame,
+    reassembling the >=16MB continuation chain."""
+    payload = b""
+    while True:
+        header = read_exact(sock, 4)
+        length = header[0] | (header[1] << 8) | (header[2] << 16)
+        seq = header[3]
+        payload += read_exact(sock, length)
+        if length < _MAX_CHUNK:
+            return seq, payload
 
 
 def write_packet(sock: socket.socket, seq: int, payload: bytes) -> int:
-    sock.sendall(struct.pack("<I", len(payload))[:3] + bytes([seq & 0xFF]) + payload)
-    return seq + 1
+    """Send one logical packet, splitting into 0xFFFFFF-byte frames per the
+    protocol; returns the next sequence id."""
+    offset = 0
+    while True:
+        chunk = payload[offset : offset + _MAX_CHUNK]
+        sock.sendall(
+            struct.pack("<I", len(chunk))[:3] + bytes([seq & 0xFF]) + chunk
+        )
+        seq += 1
+        offset += len(chunk)
+        if len(chunk) < _MAX_CHUNK:
+            return seq
 
 
 # ---- packet payloads -------------------------------------------------------

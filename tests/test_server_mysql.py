@@ -147,3 +147,34 @@ def test_use_and_show(server):
         "t2" in r for r in rows
     )
     c.close()
+
+
+def test_packet_framing_roundtrip_16mb_boundary():
+    """Logical packets >= 16MB-1 split into 0xFFFFFF frames with an empty
+    terminator on exact multiples; read_packet must reassemble all cases.
+    (Reader runs in a thread — a socketpair buffer can't hold 16MB.)"""
+    import threading
+
+    from incresql_spark.server.mysql import _MAX_CHUNK
+
+    for size in (0, 5, _MAX_CHUNK - 1, _MAX_CHUNK, _MAX_CHUNK + 7):
+        a, b = socket.socketpair()
+        try:
+            payload = (b"ab" * ((size // 2) + 1))[:size]
+            result = {}
+
+            def reader():
+                result["seq"], result["got"] = read_packet(b)
+
+            t = threading.Thread(target=reader)
+            t.start()
+            next_seq = write_packet(a, 3, payload)
+            t.join(timeout=30)
+            assert not t.is_alive(), f"reader hung at size {size}"
+            assert result["got"] == payload, size
+            n_frames = size // _MAX_CHUNK + 1  # incl. empty terminator frame
+            assert next_seq == 3 + n_frames, (size, next_seq)
+            assert result["seq"] == 3 + n_frames - 1
+        finally:
+            a.close()
+            b.close()
