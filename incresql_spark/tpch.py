@@ -11,6 +11,16 @@ the final result is cast to DOUBLE for a stable, engine-neutral schema.
 Averages are computed as exact-decimal sum ÷ bigint count, both cast to DOUBLE
 first so the division is a single deterministic IEEE-754 op in both engines.
 
+Every decimal sum is ROUND(·, 2)-ed (both engines round ties half-away-from-
+zero — verified) before the DOUBLE cast: high-scale products (e.g. Q1's
+charge expression at scale 6) can push a global sum's unscaled value past
+2^53, where Spark's correctly-rounded BigDecimal→double and DuckDB's
+int128/10^scale conversion can disagree by one ulp (observed at a tiled sf1:
+27864155010.941593 vs ...93).  Rounding to scale 2 keeps the unscaled value
+exact in a double up to ~9e13 money units per group, so both conversions are
+a single exact division.  Per-key aggregates (Q3/Q10/Q15/Q18/Q20) have
+SF-constant group magnitudes under key-shifted tiling and stay safe.
+
 Scale notes (the plans Catalyst produces, verified via .explain in tests):
 - Q1/Q6: pure scan→partial-agg→final-agg; filter + column pruning reach the
   parquet reader (PushedFilters / ReadSchema).
@@ -48,19 +58,18 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.expr(_QTY)).cast("double").alias("sum_qty"),
-            F.sum(F.expr(_PRICE)).cast("double").alias("sum_base_price"),
-            F.sum(F.expr(REVENUE_EXPR)).cast("double").alias("sum_disc_price"),
-            F.sum(F.expr(f"{_PRICE} * {_ONE_MINUS_DISC} * {_ONE_PLUS_TAX}"))
-            .cast("double")
+            F.round(F.sum(F.expr(_QTY)), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(F.expr(_PRICE)), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(F.expr(REVENUE_EXPR)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(F.expr(f"{_PRICE} * {_ONE_MINUS_DISC} * {_ONE_PLUS_TAX}")), 2).cast("double")
             .alias("sum_charge"),
-            (F.sum(F.expr(_QTY)).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            (F.round(F.sum(F.expr(_QTY)), 2).cast("double") / F.count(F.lit(1)).cast("double")).alias(
                 "avg_qty"
             ),
-            (F.sum(F.expr(_PRICE)).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            (F.round(F.sum(F.expr(_PRICE)), 2).cast("double") / F.count(F.lit(1)).cast("double")).alias(
                 "avg_price"
             ),
-            (F.sum(F.expr(_DISC)).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            (F.round(F.sum(F.expr(_DISC)), 2).cast("double") / F.count(F.lit(1)).cast("double")).alias(
                 "avg_disc"
             ),
             F.count(F.lit(1)).alias("count_order"),
@@ -72,13 +81,13 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q1_SQL = f"""
 SELECT l_returnflag,
        l_linestatus,
-       CAST(SUM({_QTY}) AS DOUBLE)                                        AS sum_qty,
-       CAST(SUM({_PRICE}) AS DOUBLE)                                      AS sum_base_price,
-       CAST(SUM({REVENUE_EXPR}) AS DOUBLE)                                AS sum_disc_price,
-       CAST(SUM({_PRICE} * {_ONE_MINUS_DISC} * {_ONE_PLUS_TAX}) AS DOUBLE) AS sum_charge,
-       CAST(SUM({_QTY}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)             AS avg_qty,
-       CAST(SUM({_PRICE}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)           AS avg_price,
-       CAST(SUM({_DISC}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)            AS avg_disc,
+       CAST(ROUND(SUM({_QTY}), 2) AS DOUBLE)                                        AS sum_qty,
+       CAST(ROUND(SUM({_PRICE}), 2) AS DOUBLE)                                      AS sum_base_price,
+       CAST(ROUND(SUM({REVENUE_EXPR}), 2) AS DOUBLE)                                AS sum_disc_price,
+       CAST(ROUND(SUM({_PRICE} * {_ONE_MINUS_DISC} * {_ONE_PLUS_TAX}), 2) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(SUM({_QTY}), 2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)             AS avg_qty,
+       CAST(ROUND(SUM({_PRICE}), 2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)           AS avg_price,
+       CAST(ROUND(SUM({_DISC}), 2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)            AS avg_disc,
        COUNT(*)                                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -99,7 +108,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
         .join(lineitem.filter(F.col("l_shipdate") > cutoff), F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(F.expr(REVENUE_EXPR)).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(F.expr(REVENUE_EXPR)), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -108,7 +117,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q3_SQL = f"""
 SELECT l_orderkey,
        o_orderdate,
-       CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM({REVENUE_EXPR}), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -151,14 +160,14 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(F.expr(REVENUE_EXPR)).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(F.expr(REVENUE_EXPR)), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
 
 Q5_SQL = f"""
 SELECT n_name,
-       CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM({REVENUE_EXPR}), 2) AS DOUBLE) AS revenue
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN supplier ON s_nationkey = n_nationkey
@@ -184,12 +193,12 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
-        ).agg(F.sum(F.expr(f"{_PRICE} * {_DISC}")).cast("double").alias("revenue"))
+        ).agg(F.round(F.sum(F.expr(f"{_PRICE} * {_DISC}")), 2).cast("double").alias("revenue"))
     )
 
 
 Q6_SQL = f"""
-SELECT CAST(SUM({_PRICE} * {_DISC}) AS DOUBLE) AS revenue
+SELECT CAST(ROUND(SUM({_PRICE} * {_DISC}), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -219,7 +228,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(F.expr(REVENUE_EXPR)).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(F.expr(REVENUE_EXPR)), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -230,7 +239,7 @@ SELECT c_custkey,
        c_name,
        c_acctbal,
        n_name,
-       CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM({REVENUE_EXPR}), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -337,18 +346,18 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 # ×100 while still decimal (exact in both engines), THEN one
                 # double division — bit-identical to the oracle
-                (F.lit(100) * F.sum(F.when(promo, rev).otherwise(F.lit(0))))
+                (F.lit(100) * F.round(F.sum(F.when(promo, rev).otherwise(F.lit(0))), 2))
                 .cast("double")
-                / F.sum(rev).cast("double")
+                / F.round(F.sum(rev), 2).cast("double")
             ).alias("promo_revenue")
         )
     )
 
 
 Q14_SQL = f"""
-SELECT CAST(100 * SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_EXPR}
-                           ELSE 0 END) AS DOUBLE)
-       / CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS promo_revenue
+SELECT CAST(100 * ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN {REVENUE_EXPR}
+                           ELSE 0 END), 2) AS DOUBLE)
+       / CAST(ROUND(SUM({REVENUE_EXPR}), 2) AS DOUBLE) AS promo_revenue
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -384,7 +393,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.sum(F.expr(REVENUE_EXPR)).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(F.expr(REVENUE_EXPR)), 2).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -393,7 +402,7 @@ Q7_SQL = f"""
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,
        CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
-       CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM({REVENUE_EXPR}), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -526,12 +535,12 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(band)
-        .agg(F.sum(F.expr(REVENUE_EXPR)).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(F.expr(REVENUE_EXPR)), 2).cast("double").alias("revenue"))
     )
 
 
 Q19_SQL = f"""
-SELECT CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS revenue
+SELECT CAST(ROUND(SUM({REVENUE_EXPR}), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -586,9 +595,8 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
-                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(zero))
-                .cast("double")
-                / F.sum(vol).cast("double")
+                F.round(F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(zero)), 2).cast("double")
+                / F.round(F.sum(vol), 2).cast("double")
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -597,9 +605,9 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = f"""
 SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-       CAST(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN {REVENUE_EXPR}
-                     ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
-         / CAST(SUM({REVENUE_EXPR}) AS DOUBLE) AS mkt_share
+       CAST(ROUND(SUM(CASE WHEN n2.n_name = 'NATION_1' THEN {REVENUE_EXPR}
+                     ELSE CAST(0 AS DECIMAL(17,4)) END), 2) AS DOUBLE)
+         / CAST(ROUND(SUM({REVENUE_EXPR}), 2) AS DOUBLE) AS mkt_share
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN part     ON l_partkey = p_partkey
@@ -643,7 +651,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
         .orderBy(F.col("nation").asc(), F.col("o_year").desc())
     )
 
@@ -651,7 +659,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q9_SQL = f"""
 SELECT n_name AS nation,
        CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-       CAST(SUM({REVENUE_EXPR} - {_COST} * {_QTY}) AS DOUBLE) AS sum_profit
+       CAST(ROUND(SUM({REVENUE_EXPR} - {_COST} * {_QTY}), 2) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN part     ON l_partkey = p_partkey
@@ -725,24 +733,24 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lq = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
     per_part = lq.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        (F.sum(F.expr(_QTY)).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+        (F.round(F.sum(F.expr(_QTY)), 2).cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "avg_qty"
         )
     )
     return (
         lq.join(per_part, F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity").cast("double") < 0.2 * F.col("avg_qty"))
-        .agg((F.sum(F.expr(_PRICE)).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+        .agg((F.round(F.sum(F.expr(_PRICE)), 2).cast("double") / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
 Q17_SQL = f"""
-SELECT CAST(SUM({_PRICE}) AS DOUBLE) / 7.0 AS avg_yearly
+SELECT CAST(ROUND(SUM({_PRICE}), 2) AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN (
   SELECT l_partkey AS a_partkey,
-         CAST(SUM({_QTY}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+         CAST(ROUND(SUM({_QTY}), 2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
   FROM lineitem GROUP BY l_partkey
 ) a ON a_partkey = l_partkey
 WHERE p_brand = 'Brand#1' AND p_size < 10
@@ -848,7 +856,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BAL).alias("bal"),
     )
     avg_bal = eligible.agg(
-        (F.sum("bal").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+        (F.round(F.sum("bal"), 2).cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "avg_bal"
         )
     )
@@ -859,7 +867,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum("bal").cast("double").alias("totacctbal"),
+            F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -871,10 +879,10 @@ WITH eligible AS (
   FROM customer
   WHERE c_nationkey IN {_Q22_CODES} AND c_acctbal > 0.0
 )
-SELECT cntrycode, COUNT(*) AS numcust, CAST(SUM(bal) AS DOUBLE) AS totacctbal
+SELECT cntrycode, COUNT(*) AS numcust, CAST(ROUND(SUM(bal), 2) AS DOUBLE) AS totacctbal
 FROM eligible
 WHERE CAST(bal AS DOUBLE) > (
-    SELECT CAST(SUM(bal) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) FROM eligible
+    SELECT CAST(ROUND(SUM(bal), 2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) FROM eligible
   )
   AND NOT EXISTS (
     SELECT 1 FROM orders
@@ -981,7 +989,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.expr(_PRICE)).alias("val"))
     )
-    total = val.agg((F.sum("val").cast("double") * _Q11_FRACTION).alias("threshold"))
+    total = val.agg((F.round(F.sum("val"), 2).cast("double") * _Q11_FRACTION).alias("threshold"))
     return (
         val.crossJoin(F.broadcast(total))
         .filter(F.col("val").cast("double") > F.col("threshold"))
@@ -1002,7 +1010,7 @@ WITH val AS (
 SELECT partkey, CAST(val AS DOUBLE) AS value
 FROM val
 WHERE CAST(val AS DOUBLE) >
-      (SELECT CAST(SUM(val) AS DOUBLE) * {_Q11_FRACTION} FROM val)
+      (SELECT CAST(ROUND(SUM(val), 2) AS DOUBLE) * {_Q11_FRACTION} FROM val)
 ORDER BY value DESC, partkey ASC
 """
 
@@ -1102,10 +1110,10 @@ WHERE r_name = 'ASIA'
     JOIN part ON p_partkey = l_partkey
     WHERE l_suppkey = s_suppkey AND p_name LIKE 'red%'
     GROUP BY l_partkey, l_suppkey
-    HAVING CAST(SUM(CASE WHEN l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+    HAVING CAST(ROUND(SUM(CASE WHEN l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                                              AND TIMESTAMP '1996-12-31 00:00:00'
-                         THEN {_QTY} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-           > 0.5 * CAST(SUM({_QTY}) AS DOUBLE)
+                         THEN {_QTY} ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+           > 0.5 * CAST(ROUND(SUM({_QTY}), 2) AS DOUBLE)
   )
 ORDER BY s_suppkey
 """
