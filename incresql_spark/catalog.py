@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .session import disable_generate_filter_inference
+
 TPCH_TABLES = (
     "region",
     "nation",
@@ -37,6 +39,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rebuild a µs-precision timestamp with integer division (a double division
     would lose precision: epoch-nanos ≈ 1.7e18 > 2^53).
     """
+    # Engine-wide optimizer policy; applied here because this is the one
+    # choke point every operator passes through with the live (possibly
+    # driver-provided) session.  Idempotent, see the helper's docstring.
+    disable_generate_filter_inference(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

@@ -64,13 +64,25 @@ SHINGLES_DUCK = (
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles array<string> distinct, n_shingles)."""
+    """(doc_id, shingles array<string> distinct, n_shingles).
+
+    The >=3-token guard is applied to the RAW rows, not as ``n_shingles > 0``
+    after the shingle projection (the two are equivalent): a filter placed
+    above the projection gets predicate-pushed through it, which inlines the
+    whole shingle expression — a ``transform`` lambda over
+    ``regexp_extract_all`` — into the filter condition.  Higher-order
+    functions disable whole-stage codegen for that filter, and the
+    interpreted evaluator re-runs the token regex for every element_at
+    inside the lambda: ~3 regex executions per shingle per row instead of
+    one per row (observed 100x wall-clock blowup at a tiled sf1).  Filtering
+    on ``size(tokens) >= 3`` keeps the pushed predicate a single regex run
+    and leaves the shingle projection in its own codegen stage."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.withColumn("tokens", F.expr(TOKENS_SPARK))
+        d.filter(F.expr(f"size({TOKENS_SPARK}) >= 3"))
+        .withColumn("tokens", F.expr(TOKENS_SPARK))
         .withColumn("shingles", F.array_distinct(F.expr(SHINGLES_SPARK)))
         .select("doc_id", "shingles", F.size("shingles").alias("n_shingles"))
-        .filter(F.col("n_shingles") > 0)
     )
 
 
