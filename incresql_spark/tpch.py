@@ -50,29 +50,113 @@ _QTY = "CAST(l_quantity AS DECIMAL(12,2))"
 # sum(l_extendedprice * (1 - l_discount)) — the workhorse "revenue" expression.
 REVENUE_EXPR = f"{_PRICE} * {_ONE_MINUS_DISC}"
 
+# ---------------------------------------------------------------------------
+# Integer money layer (Spark side only — the oracle SQL keeps the decimal
+# spec above; both produce bit-identical doubles because each computes
+# round(exact_sum, 2)).
+#
+# Why: Spark's Decimal switches from a long to a BigDecimal backing beyond
+# 18 digits of precision, and SUM over decimal inputs always lands there
+# (sum precision = input + 10), so every revenue aggregation allocates and
+# adds BigDecimals per row — measured 2.8× slower than long math on Q1.
+# All money values in the corpus are exact at ≤ 2 decimals, so a row
+# converts exactly to integer units (cents; 1e-4 $ after × (100-disc);
+# 1e-6 $ after × (100+tax)) and every product/sum below is exact int64.
+#
+# Overflow strategy (the part that must survive 100 TB): a per-row product
+# can reach ~1e11 units, so a single int64 SUM would overflow at ~1e8 rows
+# per group.  Instead each product is split into (hi, lo) = (v div 1e6,
+# v % 1e6) and the two parts are summed separately — bounds: |sum(hi)| <
+# 9.2e18 needs ~1e13 rows per group (≈ exabytes), |sum(lo)| < 9.2e18 needs
+# ~9e12 rows.  The parts recombine per GROUP (a handful of rows) in
+# DECIMAL(38,0), are rounded to cents with the sign-aware +/- half `div`
+# (Spark's div truncates toward zero, so this is exactly ROUND's
+# half-away-from-zero), and emitted as an exact double.  Plain-cent sums
+# (qty, price, disc) skip the split: their per-row magnitude ≤ 1e7 keeps a
+# single int64 safe past sf100k.
+_SPLIT = 1_000_000
+
+_PRICE_C = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"  # cents
+_QTY_C = "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"
+_DISC_C = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"  # hundredths
+_TAX_C = "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"
+#: revenue per row in 1e-4 $ units
+REV4_INT = f"{_PRICE_C} * (100 - {_DISC_C})"
+#: charge per row in 1e-6 $ units
+CHARGE6_INT = f"{REV4_INT} * (100 + {_TAX_C})"
+
+
+def money_split_aggs(name: str, row_expr: str) -> list:
+    """Split-accumulator SUM of an integer-unit row expression: two int64
+    aggregate columns that recombine exactly via :func:`money_out`."""
+    return [
+        F.sum(F.expr(f"({row_expr}) div {_SPLIT}")).alias(f"_{name}_hi"),
+        F.sum(F.expr(f"({row_expr}) % {_SPLIT}")).alias(f"_{name}_lo"),
+    ]
+
+
+def money_out(name: str, unit_scale: int):
+    """Exact total from the split pair, rounded half-away to cents, as
+    dollars in a double (exact: cents < 2^53 up to ~$9e13 per group)."""
+    s = f"(CAST(_{name}_hi AS DECIMAL(38,0)) * {_SPLIT} + _{name}_lo)"
+    if unit_scale == 2:
+        cents = s
+    else:
+        denom = 10 ** (unit_scale - 2)
+        half = denom // 2
+        cents = (
+            f"(({s}) + (CASE WHEN {s} >= 0 THEN {half} ELSE -{half} END)) "
+            f"div {denom}"
+        )
+    return F.expr(f"CAST({cents} AS DOUBLE) / 100.0")
+
+
+def cents_out(sum_col: str):
+    """Plain-cent int64 sum → exact dollars as double."""
+    return F.expr(f"CAST({sum_col} AS DOUBLE) / 100.0")
+
+
+def plain4_out(sum_col: str):
+    """Unsplit 1e-4-unit int64 sum → round-half-away to cents → exact double
+    dollars.  For PER-KEY aggregates only (order/customer/supplier keys):
+    key-shifted tiling keeps those group magnitudes SF-constant, so a single
+    int64 (overflow at ~9e9 rows per group) never splits."""
+    return F.expr(
+        f"CAST(({sum_col} + (CASE WHEN {sum_col} >= 0 THEN 50 ELSE -50 END)) "
+        f"div 100 AS DOUBLE) / 100.0"
+    )
+
 
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pricing summary report (incresql_runner.rs:355-380)."""
+    """Pricing summary report (incresql_runner.rs:355-380).
+
+    All sums run on the integer money layer (exact int64 per row, split
+    accumulators for the scale-4/6 products — see the layer comment above);
+    the emitted doubles equal the oracle's round(decimal_sum, 2) exactly."""
     l = load_table(spark, sf_dir, "lineitem")
+    cnt = F.col("count_order").cast("double")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(F.expr(_QTY)), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(F.expr(_PRICE)), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(F.expr(REVENUE_EXPR)), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(F.expr(f"{_PRICE} * {_ONE_MINUS_DISC} * {_ONE_PLUS_TAX}")), 2).cast("double")
-            .alias("sum_charge"),
-            (F.round(F.sum(F.expr(_QTY)), 2).cast("double") / F.count(F.lit(1)).cast("double")).alias(
-                "avg_qty"
-            ),
-            (F.round(F.sum(F.expr(_PRICE)), 2).cast("double") / F.count(F.lit(1)).cast("double")).alias(
-                "avg_price"
-            ),
-            (F.round(F.sum(F.expr(_DISC)), 2).cast("double") / F.count(F.lit(1)).cast("double")).alias(
-                "avg_disc"
-            ),
+            F.sum(F.expr(_QTY_C)).alias("_qty_c"),
+            F.sum(F.expr(_PRICE_C)).alias("_price_c"),
+            F.sum(F.expr(_DISC_C)).alias("_disc_c"),
+            *money_split_aggs("rev", REV4_INT),
+            *money_split_aggs("chg", CHARGE6_INT),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            cents_out("_qty_c").alias("sum_qty"),
+            cents_out("_price_c").alias("sum_base_price"),
+            money_out("rev", 4).alias("sum_disc_price"),
+            money_out("chg", 6).alias("sum_charge"),
+            (cents_out("_qty_c") / cnt).alias("avg_qty"),
+            (cents_out("_price_c") / cnt).alias("avg_price"),
+            (cents_out("_disc_c") / cnt).alias("avg_disc"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -108,7 +192,8 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
         .join(lineitem.filter(F.col("l_shipdate") > cutoff), F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.expr(REVENUE_EXPR)), 2).cast("double").alias("revenue"))
+        .agg(F.sum(F.expr(REV4_INT)).alias("_rev4"))
+        .select("l_orderkey", "o_orderdate", plain4_out("_rev4").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -160,7 +245,8 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.expr(REVENUE_EXPR)), 2).cast("double").alias("revenue"))
+        .agg(*money_split_aggs("rev", REV4_INT))
+        .select("n_name", money_out("rev", 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
 
@@ -193,7 +279,9 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
-        ).agg(F.round(F.sum(F.expr(f"{_PRICE} * {_DISC}")), 2).cast("double").alias("revenue"))
+        ).agg(*money_split_aggs("rev", f"{_PRICE_C} * {_DISC_C}")).select(
+            money_out("rev", 4).alias("revenue")
+        )
     )
 
 
@@ -228,7 +316,14 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.expr(REVENUE_EXPR)), 2).cast("double").alias("revenue"))
+        .agg(F.sum(F.expr(REV4_INT)).alias("_rev4"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "n_name",
+            plain4_out("_rev4").alias("revenue"),
+        )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -334,8 +429,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio one double division (oracle-stable)."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    promo = F.col("p_type") == "PROMO"
-    rev = F.expr(REVENUE_EXPR)
+    promo_rev4 = f"CASE WHEN p_type = 'PROMO' THEN {REV4_INT} ELSE 0L END"
     return (
         l.filter(
             (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
@@ -343,12 +437,19 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .agg(
+            *money_split_aggs("promo", promo_rev4),
+            *money_split_aggs("rev", REV4_INT),
+        )
+        .select(
+            # oracle numerator is CAST(100 * ROUND(sum, 2) AS DOUBLE), i.e.
+            # exactly double(promo_cents); build that directly rather than
+            # 100 * (cents / 100.0), which double-rounds
             (
-                # ×100 while still decimal (exact in both engines), THEN one
-                # double division — bit-identical to the oracle
-                (F.lit(100) * F.round(F.sum(F.when(promo, rev).otherwise(F.lit(0))), 2))
-                .cast("double")
-                / F.round(F.sum(rev), 2).cast("double")
+                F.expr(
+                    "CAST((CAST(_promo_hi AS DECIMAL(38,0)) * 1000000 "
+                    "+ _promo_lo + 50) div 100 AS DOUBLE)"
+                )
+                / money_out("rev", 4)
             ).alias("promo_revenue")
         )
     )
@@ -393,7 +494,13 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.round(F.sum(F.expr(REVENUE_EXPR)), 2).cast("double").alias("revenue"))
+        .agg(*money_split_aggs("rev", REV4_INT))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            money_out("rev", 4).alias("revenue"),
+        )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -429,8 +536,9 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     big = (
         l.groupBy("l_orderkey")
-        .agg(F.sum(F.expr(_QTY)).alias("total_qty"))
-        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+        .agg(F.sum(F.expr(_QTY_C)).alias("_qty_c"))
+        # integer-exact threshold: cents > dollars × 100
+        .filter(F.col("_qty_c") > Q18_QTY_THRESHOLD * 100)
     )
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -441,7 +549,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("o_date"),
             "o_totalprice",
-            F.col("total_qty").cast("double").alias("total_qty"),
+            cents_out("_qty_c").alias("total_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
@@ -477,16 +585,20 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(F.expr(REVENUE_EXPR)).alias("total_rev"))
+        .agg(F.sum(F.expr(REV4_INT)).alias("_rev4"))
     )
     # a global window would single-partition the aggregate; the scalar max
     # broadcast back in keeps every stage distributed
-    mx = rev.agg(F.max("total_rev").alias("max_rev"))
-    top = rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
+    mx = rev.agg(F.max("_rev4").alias("_max4"))
+    top = rev.join(F.broadcast(mx), F.col("_rev4") == F.col("_max4"))
     return (
         top.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
-            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
+            "s_suppkey",
+            "s_name",
+            # oracle emits the UNROUNDED scale-4 total: double(s4)/1e4 is
+            # the same correctly-rounded double as decimal(·,4) → double
+            F.expr("CAST(_rev4 AS DOUBLE) / 10000.0").alias("total_rev"),
         )
         .orderBy("s_suppkey")
     )
@@ -535,7 +647,8 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(band)
-        .agg(F.round(F.sum(F.expr(REVENUE_EXPR)), 2).cast("double").alias("revenue"))
+        .agg(*money_split_aggs("rev", REV4_INT))
+        .select(money_out("rev", 4).alias("revenue"))
     )
 
 
@@ -574,8 +687,7 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
-    vol = F.expr(REVENUE_EXPR)
-    zero = F.lit(0).cast("decimal(17,4)")
+    vol4 = f"CASE WHEN supp_nation = 'NATION_1' THEN {REV4_INT} ELSE 0L END"
     return (
         l.join(
             o.filter(
@@ -594,10 +706,12 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            (
-                F.round(F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(zero)), 2).cast("double")
-                / F.round(F.sum(vol), 2).cast("double")
-            ).alias("mkt_share")
+            *money_split_aggs("nat", vol4),
+            *money_split_aggs("rev", REV4_INT),
+        )
+        .select(
+            "o_year",
+            (money_out("nat", 4) / money_out("rev", 4)).alias("mkt_share"),
         )
         .orderBy("o_year")
     )
@@ -642,7 +756,11 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
-    amount = F.expr(f"{REVENUE_EXPR} - {_COST} * {_QTY}")
+    # profit per row in 1e-5 $ units: rev (1e-4 → ×10) minus cost×qty
+    # ((retail_c/200)·(qty_c/100) $ → ×1e5 = 5·retail_c·qty_c); can be
+    # negative per row, which money_out's sign-aware rounding handles
+    retail_c = "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"
+    amount5 = f"10 * ({REV4_INT}) - 5 * {retail_c} * {_QTY_C}"
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
@@ -651,7 +769,8 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
+        .agg(*money_split_aggs("amt", amount5))
+        .select("nation", "o_year", money_out("amt", 5).alias("sum_profit"))
         .orderBy(F.col("nation").asc(), F.col("o_year").desc())
     )
 
@@ -733,14 +852,16 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lq = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
     per_part = lq.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        (F.round(F.sum(F.expr(_QTY)), 2).cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "avg_qty"
-        )
+        (
+            F.expr("CAST(sum(" + _QTY_C + ") AS DOUBLE) / 100.0")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
     )
     return (
         lq.join(per_part, F.col("l_partkey") == F.col("a_partkey"))
         .filter(F.col("l_quantity").cast("double") < 0.2 * F.col("avg_qty"))
-        .agg((F.round(F.sum(F.expr(_PRICE)), 2).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+        .agg(F.sum(F.expr(_PRICE_C)).alias("_price_c"))
+        .select((cents_out("_price_c") / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
@@ -987,13 +1108,17 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
-        .agg(F.sum(F.expr(_PRICE)).alias("val"))
+        .agg(F.sum(F.expr(_PRICE_C)).alias("_val_c"))
     )
-    total = val.agg((F.round(F.sum("val"), 2).cast("double") * _Q11_FRACTION).alias("threshold"))
+    total = val.agg(
+        (F.expr("CAST(sum(_val_c) AS DOUBLE) / 100.0") * _Q11_FRACTION).alias(
+            "threshold"
+        )
+    )
     return (
         val.crossJoin(F.broadcast(total))
-        .filter(F.col("val").cast("double") > F.col("threshold"))
-        .select("partkey", F.col("val").cast("double").alias("value"))
+        .filter(cents_out("_val_c") > F.col("threshold"))
+        .select("partkey", cents_out("_val_c").alias("value"))
         .orderBy(F.col("value").desc(), F.col("partkey").asc())
     )
 
