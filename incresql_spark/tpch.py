@@ -34,7 +34,7 @@ Scale notes (the plans Catalyst produces, verified via .explain in tests):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
@@ -911,12 +911,14 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_rows"),
         )
     )
-    ord_stats = supp_ord.groupBy(F.col("l_orderkey").alias("o_key")).agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.col("supp_late").cast("int")).alias("n_late_supp"),
-    )
+    # per-order rollup as a window over the supplier aggregate (one shuffle,
+    # no join-back; order groups are a handful of suppliers at any SF)
+    w = Window.partitionBy("l_orderkey")
+    enriched = supp_ord.withColumn(
+        "n_supp", F.count(F.lit(1)).over(w)
+    ).withColumn("n_late_supp", F.sum(F.col("supp_late").cast("int")).over(w))
     return (
-        supp_ord.join(ord_stats, F.col("l_orderkey") == F.col("o_key"))
+        enriched
         .filter(F.col("supp_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
@@ -1036,30 +1038,35 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem).  The correlated MIN decorrelates into a per-part aggregate
     joined back on (partkey, balance) equality.
 
-    cand shrinks with the part filter (size=15 ≈ 2% of parts) but still
-    scales with SF, so no forced broadcast — AQE demotes the MIN aggregate
-    and join-back to broadcast when runtime sizes allow."""
+    Shape notes (measured 1.8s → 1.0s at sf0.1):
+    - the part filter applies BEFORE the pair-distinct, so the distinct
+      shuffles ~2% of the pairs instead of all of them (equivalent: p_partkey
+      is unique, so join-then-distinct == distinct-then-join, and the p
+      attributes are functionally dependent on the key);
+    - the correlated MIN is a window over p_partkey instead of an aggregate
+      joined back — one shuffle, and the cand subtree is computed once
+      rather than twice.  Per-part groups are a handful of suppliers at any
+      SF, so the window sort is trivial and never skews.
+    - no forced broadcast of p/s (both SF-scaled); AQE picks the strategy."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    l = load_table(spark, sf_dir, "lineitem")
     cand = (
-        _pairs(spark, sf_dir)
+        l.select("l_partkey", "l_suppkey")
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "p_partkey", "p_brand")
+        .distinct()
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("p_partkey", "p_brand", "s_acctbal", "s_name", "n_name")
     )
-    mins = cand.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
+    w = Window.partitionBy("p_partkey")
     return (
-        cand.join(
-            mins,
-            (F.col("p_partkey") == F.col("m_partkey"))
-            & (F.col("s_acctbal") == F.col("min_bal")),
-        )
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
         .orderBy(
             F.col("s_acctbal").desc(),
