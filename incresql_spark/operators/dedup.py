@@ -852,8 +852,103 @@ ORDER BY canonical_url
 """
 
 
+# --- Passage-level boilerplate dedup ---------------------------------------
+#: tokens per passage chunk; full chunks only (the ragged tail never matches
+#: across documents anyway, so excluding it keeps both engines identical).
+PASSAGE_TOKENS = 16
+#: a chunk counts as boilerplate once this many distinct docs contain it.
+PASSAGE_SHARED_MIN_DOCS = 2
+#: docs whose boilerplate chunk fraction reaches this are dropped.
+PASSAGE_MAX_SHARED_FRAC = 0.5
+
+
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage (chunk) boilerplate removal, C4-style.
+
+    Web-scale curation removes *passages* that recur across many documents
+    (navigation chrome, license blurbs) even when whole documents are
+    unique.  Dataflow: tokenize → split into fixed 16-token chunks
+    (array-side, narrow) → count distinct docs per chunk digest (one
+    shuffle on a 16-byte md5 key — bodies never shuffle) → join the shared
+    set back (second equi-join shuffle, AQE-broadcastable since shared
+    chunks are a small fraction) → per-doc boilerplate fraction + keep flag.
+
+    At 100 TB both shuffles key on fixed-width digests and partial
+    aggregation collapses the explode before the wire; a hot boilerplate
+    chunk concentrates only its (hash, count) pair, never row pairs, so
+    there is no quadratic blowup anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # sequence(0, -1) DESCENDS in Spark, so guard short docs to an empty
+    # chunk list (DuckDB's range(0, 0) is already empty).
+    chunk_expr = (
+        f"CASE WHEN size(tokens) >= {PASSAGE_TOKENS} THEN "
+        f"transform(sequence(0, int(size(tokens) / {PASSAGE_TOKENS}) - 1), "
+        f"ci -> concat_ws(' ', slice(tokens, ci * {PASSAGE_TOKENS} + 1, {PASSAGE_TOKENS}))) "
+        "ELSE array() END"
+    )
+    chunks = (
+        d.withColumn("tokens", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.explode(F.expr(chunk_expr)).alias("chunk"))
+        .select("doc_id", F.md5("chunk").alias("chunk_hash"))
+    )
+    shared = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= PASSAGE_SHARED_MIN_DOCS)
+        .select("chunk_hash", F.lit(1).alias("is_shared"))
+    )
+    return (
+        chunks.join(shared, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce(F.col("is_shared"), F.lit(0))).alias("n_shared_chunks"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.col("n_shared_chunks").cast("double") / F.col("n_chunks").cast("double"),
+        )
+        .withColumn("keep", F.col("shared_frac") < PASSAGE_MAX_SHARED_FRAC)
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_PASSAGES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           t[ci * {PASSAGE_TOKENS} + 1 : ci * {PASSAGE_TOKENS} + {PASSAGE_TOKENS}], ' '
+         )) AS chunk_hash
+  FROM toks, unnest(range(0, len(t) // {PASSAGE_TOKENS})) AS u(ci)
+),
+shared AS (
+  SELECT chunk_hash, 1 AS is_shared
+  FROM chunks GROUP BY chunk_hash
+  HAVING count(DISTINCT doc_id) >= {PASSAGE_SHARED_MIN_DOCS}
+),
+per_doc AS (
+  SELECT c.doc_id,
+         count(*) AS n_chunks,
+         CAST(sum(COALESCE(s.is_shared, 0)) AS BIGINT) AS n_shared_chunks
+  FROM chunks c LEFT JOIN shared s USING (chunk_hash)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_chunks, n_shared_chunks,
+       CAST(n_shared_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE) AS shared_frac,
+       CAST(n_shared_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE)
+         < {PASSAGE_MAX_SHARED_FRAC} AS keep
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_passages": dedup_passages,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -865,6 +960,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_passages": DEDUP_PASSAGES_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

@@ -728,8 +728,74 @@ ORDER BY stage
 """
 
 
+def op_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact percentiles (median + nearest-rank p90) without any
+    interpolation arithmetic.
+
+    Engines disagree on percentile *interpolation* formulas (``lo + (hi -
+    lo) * f`` vs ``lo * (1 - f) + hi * f`` round differently), so this
+    operator defines percentiles by pure rank selection: median = mean of
+    the values at ranks floor((n+1)/2) and ceil((n+1)/2), p90 = value at
+    rank ceil(0.9 * n) computed in integer arithmetic ((9n + 9) DIV 10).
+    Selection is engine-independent, so results hash-match exactly.
+
+    Scale: one sort-shuffle on the group key (WindowExec streams sorted
+    runs, no per-group materialization), then the 5-row count table joins
+    back as a broadcast.  This is the standard distributed exact-percentile
+    shape — contrast with percentile_approx, which trades exactness for a
+    mergeable sketch.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("v"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
+    r = o.withColumn("rn", F.row_number().over(w))
+    counts = r.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    j = r.join(F.broadcast(counts), "o_orderpriority")
+    return (
+        j.withColumn("med_lo", F.expr("(n + 1) DIV 2"))
+        .withColumn("med_hi", F.expr("(n + 2) DIV 2"))
+        .withColumn("p90_rank", F.expr("(9 * n + 9) DIV 10"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.avg(
+                F.when(
+                    (F.col("rn") == F.col("med_lo")) | (F.col("rn") == F.col("med_hi")),
+                    F.col("v"),
+                )
+            ).alias("median_price"),
+            F.max(F.when(F.col("rn") == F.col("p90_rank"), F.col("v"))).alias(
+                "p90_price"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+OP_PERCENTILES_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       avg(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN v END)
+         AS median_price,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS p90_price
+FROM ranked
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "op_asof_join": op_asof_join,
+    "op_percentiles": op_percentiles,
     "op_range_join": op_range_join,
     "op_funnel": op_funnel,
     "op_values_literals": op_values_literals,
@@ -755,6 +821,7 @@ QUERIES = {
 
 ORACLE = {
     "op_asof_join": OP_ASOF_JOIN_SQL,
+    "op_percentiles": OP_PERCENTILES_SQL,
     "op_range_join": OP_RANGE_JOIN_SQL,
     "op_funnel": OP_FUNNEL_SQL,
     "op_values_literals": OP_VALUES_LITERALS_SQL,

@@ -345,8 +345,85 @@ LIMIT {VOCAB_TOP_K}
 """
 
 
+# Keep threshold for the repetition filter: docs whose duplicate-bigram
+# fraction exceeds this are low-quality boilerplate (Gopher-style
+# repetition rule: heavily repeated n-grams mark machine-generated or
+# templated text).
+REPETITION_MAX_DUP_FRAC = 0.30
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter: duplicate word-bigram fraction.
+
+    The classic "repeated n-grams" quality rule for training-data curation:
+    a document whose bigrams are mostly repeats of each other is templated
+    or degenerate text.  Computed entirely array-side (transform over the
+    token array) so the operator is a narrow map — scan → project, zero
+    shuffles at any scale; the ORDER BY exists only for test determinism.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # Guard the sequence bound: sequence(0, -1) would DESCEND in Spark, so
+    # docs with <2 tokens are excluded on both engines instead.
+    bigrams = (
+        "transform(sequence(0, size(tokens) - 2),"
+        " i -> concat(tokens[i], ' ', tokens[i + 1]))"
+    )
+    return (
+        d.withColumn("tokens", F.expr(TOKENS_SPARK))
+        .filter(F.size("tokens") >= 2)
+        .withColumn("bigrams", F.expr(bigrams))
+        .select(
+            "doc_id",
+            F.size("tokens").alias("n_tokens"),
+            F.size("bigrams").alias("n_bigrams"),
+            F.size(F.array_distinct("bigrams")).alias("n_unique_bigrams"),
+        )
+        .withColumn(
+            "dup_bigram_frac",
+            F.lit(1.0)
+            - F.col("n_unique_bigrams").cast("double")
+            / F.col("n_bigrams").cast("double"),
+        )
+        .withColumn("keep", F.col("dup_bigram_frac") < REPETITION_MAX_DUP_FRAC)
+        .orderBy("doc_id")
+    )
+
+
+# The oracle builds the same bigrams relationally (zip-unnest + lead window)
+# because DuckDB lambdas take no index parameter; values are identical.
+TEXT_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_DUCK} AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, len(t) AS n_tokens, unnest(t) AS tok,
+         unnest(range(1, len(t) + 1)) AS p
+  FROM toks WHERE len(t) >= 2
+),
+bg AS (
+  SELECT doc_id, n_tokens,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS bigram
+  FROM pos
+),
+agg AS (
+  SELECT doc_id, max(n_tokens) AS n_tokens,
+         count(bigram) AS n_bigrams,
+         count(DISTINCT bigram) AS n_unique_bigrams
+  FROM bg GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_bigrams, n_unique_bigrams,
+       1.0 - CAST(n_unique_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         AS dup_bigram_frac,
+       (1.0 - CAST(n_unique_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+         < {REPETITION_MAX_DUP_FRAC} AS keep
+FROM agg
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "text_repetition": text_repetition,
     "text_sample_stratified": text_sample_stratified,
     "text_vocab": text_vocab,
     "text_langid": text_langid,
@@ -357,6 +434,7 @@ QUERIES = {
 
 ORACLE = {
     "text_stats": TEXT_STATS_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
     "text_sample_stratified": TEXT_SAMPLE_STRATIFIED_SQL,
     "text_vocab": TEXT_VOCAB_SQL,
     "text_langid": TEXT_LANGID_SQL,

@@ -1,0 +1,116 @@
+"""Semantic edge-case tests for the round-4 curation operators
+(text_repetition, dedup_passages, op_percentiles) on tiny synthetic
+fixtures — the oracle tests prove cross-engine agreement, these prove the
+*intended* semantics on constructed inputs."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from incresql_spark.operators import dedup, relational, text
+
+
+def _write_documents(spark, tmp_path, rows):
+    """rows: list of (doc_id, text). Writes the TESTDATA documents schema."""
+    df = spark.createDataFrame(
+        [(i, t, "en", "synth", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _write_orders(spark, tmp_path, rows):
+    """rows: list of (o_orderkey, o_totalprice, o_orderpriority)."""
+    ts = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(k, k, "O", float(v), ts, p) for k, v, p in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+# --- text_repetition -------------------------------------------------------
+def test_repetition_flags_degenerate_doc(spark, tmp_path):
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, "spam " * 50),  # one bigram repeated 49x -> frac ~0.98
+            (2, " ".join(f"w{i}" for i in range(50))),  # all distinct -> 0.0
+            (3, "solo"),  # <2 tokens: excluded entirely
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in text.text_repetition(spark, sf).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_unique_bigrams"] == 1 and not out[1]["keep"]
+    assert out[2]["dup_bigram_frac"] == 0.0 and out[2]["keep"]
+
+
+def test_repetition_bigram_count_is_n_minus_1(spark, tmp_path):
+    sf = _write_documents(spark, tmp_path, [(1, "a b c d e")])
+    row = text.text_repetition(spark, sf).collect()[0]
+    assert row["n_tokens"] == 5 and row["n_bigrams"] == 4
+
+
+# --- dedup_passages --------------------------------------------------------
+BLOCK = " ".join(f"b{i}" for i in range(dedup.PASSAGE_TOKENS))  # 16 tokens
+
+
+def _unique_tokens(tag, n):
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+def test_passages_detects_cross_doc_boilerplate(spark, tmp_path):
+    # docs 1 and 2 share an identical aligned 16-token block; doc 3 is clean.
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, BLOCK + " " + _unique_tokens("x", 16)),
+            (2, BLOCK + " " + _unique_tokens("y", 16)),
+            (3, _unique_tokens("z", 32)),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in dedup.dedup_passages(spark, sf).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_shared_chunks"] == 1
+    assert out[2]["n_shared_chunks"] == 1
+    assert out[3]["n_shared_chunks"] == 0 and out[3]["keep"]
+    # 1/2 shared is NOT below the 0.5 threshold -> dropped
+    assert not out[1]["keep"]
+
+
+def test_passages_short_doc_and_ragged_tail_excluded(spark, tmp_path):
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, _unique_tokens("a", dedup.PASSAGE_TOKENS - 1)),  # 0 full chunks
+            (2, _unique_tokens("c", dedup.PASSAGE_TOKENS + 5)),  # tail dropped
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in dedup.dedup_passages(spark, sf).collect()}
+    assert 1 not in out
+    assert out[2]["n_chunks"] == 1
+
+
+# --- op_percentiles --------------------------------------------------------
+def test_percentiles_rank_selection(spark, tmp_path):
+    # group A: values 1..10 -> median = (5+6)/2 = 5.5, p90 = ceil(9) = 9th = 9.0
+    # group B: values 10,20,30 -> median = 20, p90 = ceil(2.7) = 3rd = 30
+    rows = [(k, float(k), "A") for k in range(1, 11)]
+    rows += [(100 + i, v, "B") for i, v in enumerate([10.0, 20.0, 30.0])]
+    sf = _write_orders(spark, tmp_path, rows)
+    out = {
+        r["o_orderpriority"]: r.asDict()
+        for r in relational.op_percentiles(spark, sf).collect()
+    }
+    assert out["A"]["n_orders"] == 10
+    assert out["A"]["median_price"] == pytest.approx(5.5)
+    assert out["A"]["p90_price"] == 9.0
+    assert out["B"]["median_price"] == 20.0
+    assert out["B"]["p90_price"] == 30.0
