@@ -728,6 +728,48 @@ ORDER BY stage
 """
 
 
+def op_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream via ``F.window`` —
+    Spark's native TimeWindow operator, the exact shape a Structured
+    Streaming job uses (swap ``load_table`` for ``readStream`` and add a
+    watermark; ``streaming/incremental.windowed_counts`` is that variant).
+
+    Scale: window assignment is a narrow projection (epoch arithmetic, no
+    explode for tumbling windows); the only shuffle is the (window,
+    event_type) hash-agg with map-side partials.  Epoch-aligned buckets
+    mean late data lands in the right window deterministically.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# make_timestamp(us) keeps the oracle in plain (naive) TIMESTAMP like Spark's
+# window start under the pinned UTC session; // floors identically to
+# TimeWindow's epoch-aligned bucketing.
+OP_TIME_WINDOW_SQL = """
+SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
 def op_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped exact percentiles (median + nearest-rank p90) without any
     interpolation arithmetic.
@@ -796,6 +838,7 @@ ORDER BY o_orderpriority
 QUERIES = {
     "op_asof_join": op_asof_join,
     "op_percentiles": op_percentiles,
+    "op_time_window": op_time_window,
     "op_range_join": op_range_join,
     "op_funnel": op_funnel,
     "op_values_literals": op_values_literals,
@@ -822,6 +865,7 @@ QUERIES = {
 ORACLE = {
     "op_asof_join": OP_ASOF_JOIN_SQL,
     "op_percentiles": OP_PERCENTILES_SQL,
+    "op_time_window": OP_TIME_WINDOW_SQL,
     "op_range_join": OP_RANGE_JOIN_SQL,
     "op_funnel": OP_FUNNEL_SQL,
     "op_values_literals": OP_VALUES_LITERALS_SQL,

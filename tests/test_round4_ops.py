@@ -98,6 +98,38 @@ def test_passages_short_doc_and_ragged_tail_excluded(spark, tmp_path):
     assert out[2]["n_chunks"] == 1
 
 
+# --- op_time_window --------------------------------------------------------
+def test_time_window_plan_is_narrow_projection(spark):
+    """Tumbling windows must compile to epoch arithmetic (a projection), not
+    a Generate/explode — only sliding windows may multiply rows."""
+    from .conftest import SF_SMALL
+
+    plan = (
+        relational.op_time_window(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan and "Explode" not in plan
+
+
+def test_time_window_epoch_alignment(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 0, 4, 59)),
+         (2, datetime.datetime(2024, 1, 1, 0, 5, 0))],
+        "event_id long, ts timestamp",
+    ).select("event_id", "ts", F.lit(1).alias("user_id"), F.lit("view").alias("event_type"), F.lit(0.0).alias("value"), F.lit("{}").alias("props"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    rows = relational.op_time_window(spark, str(tmp_path)).collect()
+    starts = sorted(r["window_start"] for r in rows)
+    assert starts == [
+        datetime.datetime(2024, 1, 1, 0, 0),
+        datetime.datetime(2024, 1, 1, 0, 5),
+    ]
+
+
 # --- op_percentiles --------------------------------------------------------
 def test_percentiles_rank_selection(spark, tmp_path):
     # group A: values 1..10 -> median = (5+6)/2 = 5.5, p90 = ceil(9) = 9th = 9.0
