@@ -274,6 +274,40 @@ def rows(e: Engine, sql: str) -> list[list[str]]:
     return [p.strip("|").split("|") for p in e.execute_statement(sql).pipes()]
 
 
+def test_runner_verbatim_part_load(engine, tmp_path):
+    """The runner's load script, verbatim (incresql_runner.rs:185-205):
+    lowercase ``directory``/``with(delimiter=...)``, ``->>`` extraction,
+    CAST-per-column, followed by COMPACT TABLE."""
+    d = tmp_path / "tbl"
+    d.mkdir()
+    (d / "part.tbl").write_text(
+        "1|green part|M1|B1|small|7|JUMBO|12.50|pc1\n"
+        "2|red part|M2|B2|large|14|BOX|99.99|pc2\n"
+    )
+    engine.execute_statement(
+        f"""
+INSERT INTO part
+SELECT
+  CAST(data->>"$[0]" AS BIGINT) as p_partkey,
+  data->>"$[1]" as p_name,
+  data->>"$[2]" as p_mfgr,
+  data->>"$[3]" as p_brand,
+  data->>"$[4]" as p_type,
+  CAST(data->>"$[5]" AS INTEGER) as p_size,
+  data->>"$[6]" as p_container,
+  CAST(data->>"$[7]" AS DECIMAL(12,2)) as p_retailprice,
+  data->>"$[8]" as p_comment
+FROM directory "{d}" with(delimiter="|")
+    """
+    )
+    engine.execute_statement("COMPACT TABLE part")
+    got = rows(engine, "SELECT p_partkey, p_name, p_size, p_retailprice FROM part ORDER BY p_partkey")
+    assert got == [
+        ["1", "green part", "7", "12.50"],
+        ["2", "red part", "14", "99.99"],
+    ]
+
+
 def test_runner_q1(engine):
     got = rows(engine, Q1)
     assert len(got) == 2  # (N,O) and (R,F)
