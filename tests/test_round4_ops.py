@@ -131,6 +131,37 @@ def test_time_window_epoch_alignment(spark, tmp_path):
 
 
 # --- op_percentiles --------------------------------------------------------
+def test_percentiles_random_against_model(spark, tmp_path):
+    """Seeded random data vs a 10-line Python model of the rank-selection
+    definition (median = mean of ranks floor/ceil((n+1)/2), p90 = rank
+    ceil(0.9n)) — validates the window/join/agg plumbing, group sizes 1..40."""
+    import random
+
+    rng = random.Random(42)
+    rows, groups = [], {}
+    key = 1
+    for gi, size in enumerate([1, 2, 3, 7, 10, 25, 40]):
+        g = f"G{gi}"
+        vals = [round(rng.uniform(0, 1000), 2) for _ in range(size)]
+        groups[g] = sorted(vals)
+        for v in vals:
+            rows.append((key, v, g))
+            key += 1
+    sf = _write_orders(spark, tmp_path, rows)
+    out = {
+        r["o_orderpriority"]: r.asDict()
+        for r in relational.op_percentiles(spark, sf).collect()
+    }
+    for g, vals in groups.items():
+        n = len(vals)
+        lo, hi = (n + 1) // 2, (n + 2) // 2
+        expect_med = (vals[lo - 1] + vals[hi - 1]) / 2.0
+        expect_p90 = vals[(9 * n + 9) // 10 - 1]
+        assert out[g]["n_orders"] == n
+        assert out[g]["median_price"] == pytest.approx(expect_med)
+        assert out[g]["p90_price"] == pytest.approx(expect_p90)
+
+
 def test_percentiles_rank_selection(spark, tmp_path):
     # group A: values 1..10 -> median = (5+6)/2 = 5.5, p90 = ceil(9) = 9th = 9.0
     # group B: values 10,20,30 -> median = 20, p90 = ceil(2.7) = 3rd = 30

@@ -36,6 +36,12 @@ HEADLINE = [
     "op_asof_join",
 ]
 
+# Override for subset runs, e.g. the sf10 point where DuckDB's single-
+# process minhash would take tens of minutes per sample:
+#   SPARK_GRAFT_HEADLINE=tpch_q1,tpch_q5,text_stats python tools/bench_scaling.py ...
+if os.environ.get("SPARK_GRAFT_HEADLINE"):
+    HEADLINE = os.environ["SPARK_GRAFT_HEADLINE"].split(",")
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
