@@ -61,6 +61,15 @@ def get_spark(app_name: str = "incresql_spark", cpus: int | None = None) -> Spar
                 "spark.driver.extraJavaOptions",
                 "-XX:+UseG1GC -XX:MaxGCPauseMillis=200",
             )
+            # Local-mode split sizing: the testdata tables are one parquet
+            # file each, so the 128MB/4MB defaults leave most of the 32
+            # cores idle on scans (measured at the tiled sf10: lineitem =
+            # 10 splits, documents = 14; q5 -18% wall with 32MB splits).
+            # Deliberately NOT set on the cluster path: with thousands of
+            # files per table, 128MB splits are the right amortization of
+            # per-task overhead against object-store request counts.
+            .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+            .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
