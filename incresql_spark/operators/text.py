@@ -43,8 +43,23 @@ def _sql_list(words) -> str:
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / token / punctuation / stopword features and
-    a composite quality score.  Everything derives from one tokens array."""
+    a composite quality score.  Everything derives from one tokens array.
+
+    Expression choices are measured (tiled sf10, 500k docs): the
+    sum-of-token-lengths comes from ``length(concat_ws('', tokens))``
+    instead of an ``aggregate`` lambda (interpreted, ~4x the cost), and the
+    alphanumeric character count reuses that same concat (CSE) plus a
+    single-char ``translate`` space count instead of a character-class
+    ``regexp_replace`` (the single most expensive expression in the old
+    plan; ``regexp_count`` is even worse, measured 13x slower than the
+    replace).  Values are bit-identical to the regex formulation — the
+    DuckDB oracle still spells it with regexp_replace and hashes equal.
+    """
     d = load_table(spark, sf_dir, "documents")
+    # alnum chars == sum of token lengths over lower(text): every
+    # [a-zA-Z0-9] char of text lands in exactly one [a-z0-9]+ token.
+    sum_tok_len = F.length(F.concat_ws("", F.col("tokens")))
+    space_cnt = F.length("text") - F.length(F.translate(F.col("text"), " ", ""))
     return (
         d.withColumn("tokens", F.expr(TOKENS_SPARK))
         .select(
@@ -54,14 +69,10 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("tokens").alias("n_tokens"),
             F.size(F.array_distinct("tokens")).alias("n_unique_tokens"),
             (
-                F.expr("aggregate(tokens, 0L, (acc, t) -> acc + length(t))").cast("double")
-                / F.size("tokens").cast("double")
+                sum_tok_len.cast("double") / F.size("tokens").cast("double")
             ).alias("avg_token_len"),
             (
-                (
-                    F.length("text")
-                    - F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
-                ).cast("double")
+                (sum_tok_len + space_cnt).cast("double")
                 / F.length("text").cast("double")
             ).alias("alnum_space_ratio"),
             (
