@@ -973,4 +973,5 @@ ORACLE = {
 BENCH_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_exact": dedup_exact,
+    "dedup_passages": dedup_passages,
 }

@@ -889,4 +889,8 @@ ORACLE = {
     "op_rollup": OP_ROLLUP_SQL,
 }
 
-BENCH_QUERIES = {"op_asof_join": op_asof_join}
+BENCH_QUERIES = {
+    "op_asof_join": op_asof_join,
+    "op_percentiles": op_percentiles,
+    "op_time_window": op_time_window,
+}

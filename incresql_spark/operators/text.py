@@ -454,4 +454,4 @@ ORACLE = {
     "text_pii_scrub": TEXT_PII_SCRUB_SQL,
 }
 
-BENCH_QUERIES = {"text_stats": text_stats}
+BENCH_QUERIES = {"text_stats": text_stats, "text_repetition": text_repetition}
