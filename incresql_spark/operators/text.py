@@ -432,9 +432,72 @@ ORDER BY doc_id
 """
 
 
+#: vocabulary size for the OOV coverage signal — small because the
+#: synthetic corpus has only ~31 distinct tokens; the mechanism (top-K
+#: corpus vocab + left-anti coverage join) is the deliverable.
+OOV_VOCAB_K = 16
+
+
+def text_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary ratio per document against the corpus top-K vocab
+    — the vocabulary-coverage quality signal (the cheap stand-in for LM
+    perplexity scoring; kept log-free so both engines hash identically on
+    pure integer counts and one final division).
+
+    Scale: the vocab is a top-K aggregate (map-side partials, K rows out)
+    that AQE broadcasts into the coverage join, so the only full shuffle
+    is the per-doc count aggregation on doc_id.  Two-pass over tokens at
+    any corpus size, no driver-side state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(OOV_VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(vocab, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_OOV_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_DUCK}) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM toks GROUP BY token
+  ORDER BY count(*) DESC, token ASC LIMIT {OOV_VOCAB_K}
+),
+flags AS (
+  SELECT t.doc_id,
+         CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v USING (token)
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_ratio
+FROM flags GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_repetition": text_repetition,
+    "text_oov": text_oov,
     "text_sample_stratified": text_sample_stratified,
     "text_vocab": text_vocab,
     "text_langid": text_langid,
@@ -446,6 +509,7 @@ QUERIES = {
 ORACLE = {
     "text_stats": TEXT_STATS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
+    "text_oov": TEXT_OOV_SQL,
     "text_sample_stratified": TEXT_SAMPLE_STRATIFIED_SQL,
     "text_vocab": TEXT_VOCAB_SQL,
     "text_langid": TEXT_LANGID_SQL,
