@@ -770,6 +770,63 @@ ORDER BY window_start, event_type
 """
 
 
+def op_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day rolling order count + revenue per customer — a RANGE frame
+    (value-based, unlike op_window_functions' ROWS frames).
+
+    Determinism engineering: the ordering key is an integer day number
+    (datediff from a fixed epoch date) so no session-timezone arithmetic
+    exists anywhere, and the rolling revenue sums integer cents (exact,
+    order-independent) — engines disagree on double summation order inside
+    sliding frames (sequential re-eval vs segment trees), integers don't
+    care.  Scale: one shuffle on o_custkey; WindowExec streams each
+    customer's orders sorted, O(frame) memory.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day_nr = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_nr")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            day_nr.alias("day_nr"),
+            cents.alias("cents"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "day_nr",
+            F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+            (F.sum("cents").over(w) / F.lit(100.0)).alias("revenue_30d"),
+        )
+        .filter(F.col("o_custkey") <= 100)
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+OP_ROLLING_WINDOW_SQL = """
+WITH base AS (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_nr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, day_nr,
+       count(*) OVER w AS n_orders_30d,
+       CAST(sum(cents) OVER w AS DOUBLE) / 100.0 AS revenue_30d
+FROM base
+WHERE o_custkey <= 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day_nr
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 def op_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped exact percentiles (median + nearest-rank p90) without any
     interpolation arithmetic.
@@ -839,6 +896,7 @@ QUERIES = {
     "op_asof_join": op_asof_join,
     "op_percentiles": op_percentiles,
     "op_time_window": op_time_window,
+    "op_rolling_window": op_rolling_window,
     "op_range_join": op_range_join,
     "op_funnel": op_funnel,
     "op_values_literals": op_values_literals,
@@ -866,6 +924,7 @@ ORACLE = {
     "op_asof_join": OP_ASOF_JOIN_SQL,
     "op_percentiles": OP_PERCENTILES_SQL,
     "op_time_window": OP_TIME_WINDOW_SQL,
+    "op_rolling_window": OP_ROLLING_WINDOW_SQL,
     "op_range_join": OP_RANGE_JOIN_SQL,
     "op_funnel": OP_FUNNEL_SQL,
     "op_values_literals": OP_VALUES_LITERALS_SQL,

@@ -130,6 +130,31 @@ def test_time_window_epoch_alignment(spark, tmp_path):
     ]
 
 
+# --- op_rolling_window -----------------------------------------------------
+def test_rolling_window_frame_boundary(spark, tmp_path):
+    """RANGE 29 PRECEDING: an order exactly 29 days earlier is inside the
+    30-day frame, 30 days earlier is outside."""
+    ts = datetime.datetime
+    rows = [
+        (1, 1, "O", 10.0, ts(2024, 1, 1), "P"),
+        (2, 1, "O", 20.0, ts(2024, 1, 30), "P"),  # day 29 after first: in
+        (3, 1, "O", 40.0, ts(2024, 2, 29), "P"),  # 30 days after #2: out
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r["o_orderkey"]: r.asDict()
+        for r in relational.op_rolling_window(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_orders_30d"] == 1 and out[1]["revenue_30d"] == 10.0
+    assert out[2]["n_orders_30d"] == 2 and out[2]["revenue_30d"] == 30.0
+    assert out[3]["n_orders_30d"] == 1 and out[3]["revenue_30d"] == 40.0
+
+
 # --- op_percentiles --------------------------------------------------------
 def test_percentiles_random_against_model(spark, tmp_path):
     """Seeded random data vs a 10-line Python model of the rank-selection
