@@ -827,6 +827,42 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def op_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping combinations in one
+    pass — the multi-dimensional companion to op_rollup.  Spark expands
+    grouping sets with an Expand node before one hash aggregation (rows ×
+    4, then map-side partials collapse), identical shape at any scale.
+    Money sums in integer cents (exact) with a final double division."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents") / F.lit(100.0)).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+OP_CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
 def op_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped exact percentiles (median + nearest-rank p90) without any
     interpolation arithmetic.
@@ -897,6 +933,7 @@ QUERIES = {
     "op_percentiles": op_percentiles,
     "op_time_window": op_time_window,
     "op_rolling_window": op_rolling_window,
+    "op_cube": op_cube,
     "op_range_join": op_range_join,
     "op_funnel": op_funnel,
     "op_values_literals": op_values_literals,
@@ -925,6 +962,7 @@ ORACLE = {
     "op_percentiles": OP_PERCENTILES_SQL,
     "op_time_window": OP_TIME_WINDOW_SQL,
     "op_rolling_window": OP_ROLLING_WINDOW_SQL,
+    "op_cube": OP_CUBE_SQL,
     "op_range_join": OP_RANGE_JOIN_SQL,
     "op_funnel": OP_FUNNEL_SQL,
     "op_values_literals": OP_VALUES_LITERALS_SQL,

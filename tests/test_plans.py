@@ -253,3 +253,33 @@ def test_multimodal_metadata_query_prunes_payload(spark):
     assert "md5" not in plan, plan[:600]
     read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "text" not in read_schema, read_schema
+
+
+def test_round4_ops_plan_shapes(spark):
+    """Scale-shape contracts for the round-4 operators: the vocab side of
+    text_oov broadcasts (no sort-merge join for a K-row build side),
+    dedup_passages never degenerates into a nested-loop/cartesian join,
+    and op_rolling_window is one hash-partitioned Window, no extra
+    exchanges."""
+    from incresql_spark.operators.dedup import dedup_passages
+    from incresql_spark.operators.relational import op_rolling_window
+    from incresql_spark.operators.text import text_oov
+
+    def executed(df):
+        df.collect()  # let AQE finalize the physical plan
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    oov = executed(text_oov(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in oov and "CartesianProduct" not in oov
+
+    passages = executed(dedup_passages(spark, SF_SMALL))
+    assert "CartesianProduct" not in passages
+    assert "BroadcastNestedLoopJoin" not in passages
+
+    # AdaptiveSparkPlan.toString() renders the final AND the initial plan;
+    # assert on the final section only.
+    rolling = executed(op_rolling_window(spark, SF_SMALL)).split("== Initial Plan ==")[0]
+    assert rolling.count("Window") >= 1
+    # exactly one hash partitioning on the customer key feeds the window;
+    # the only other exchange is the output ORDER BY's range partitioning
+    assert rolling.count("Exchange hashpartitioning") == 1
