@@ -209,6 +209,82 @@ ORDER BY query_id, rank
 """
 
 
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus kNN graph: EVERY vector gets its top-3 bucket-local
+    neighbors — the primitive behind SemDeDup-style semantic dedup and
+    graph clustering, where restricting to a query set (sim_ann_lsh) is
+    not enough.
+
+    Scale: one bucket-keyed self-join — candidate pairs are bounded by
+    sum over buckets of |bucket|², and the bucket count grows with the
+    corpus (bits_for_corpus), so no all-pairs blowup; the top-3 window
+    runs inside each query's partition.  This is the exact dataflow a
+    100 TB embedding-dedup job runs, just with trained hyperplanes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_planes = bits_for_corpus(e.count())
+    bucketed = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM_SPARK).alias("norm"),
+        F.expr(bucket_expr_spark(n_planes)).alias("bucket"),
+    )
+    q = bucketed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    )
+    n = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("norm").alias("nnorm"),
+        "bucket",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        q.join(n, ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.expr(_DOT_AB_SPARK) / (F.col("qnorm") * F.col("nnorm")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+SIM_KNN_GRAPH_SQL = f"""
+WITH width_guard AS (
+  {width_guard_sql('embeddings', bits_for_corpus(ORACLE_GATE_ROWS))}
+),
+bucketed AS (
+  SELECT vec_id, embedding,
+         {_NORM_DUCK} AS norm,
+         {bucket_expr_duck(bits_for_corpus(ORACLE_GATE_ROWS))} AS bucket
+  FROM embeddings, width_guard
+  WHERE width_guard.ok = 1
+),
+scored AS (
+  SELECT q.vec_id AS query_id,
+         n.vec_id AS neighbor_id,
+         {_DOT_AB_DUCK} / (q.norm * n.norm) AS cosine
+  FROM (SELECT vec_id, embedding AS qe, norm, bucket FROM bucketed) q
+  JOIN (SELECT vec_id, embedding AS ne, norm, bucket FROM bucketed) n USING (bucket)
+  WHERE q.vec_id <> n.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine
+FROM ranked
+WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
 N_CENTROIDS = 8  # deterministic seed vectors: vec_id 100..107
 N_PROBE = 2  # clusters searched per query
 
@@ -499,6 +575,7 @@ SIM_KMEANS_SQL = _kmeans_sql()
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_ann_lsh": sim_ann_lsh,
+    "sim_knn_graph": sim_knn_graph,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_label_centroids": sim_label_centroids,
     "sim_kmeans": sim_kmeans,
@@ -507,6 +584,7 @@ QUERIES = {
 ORACLE = {
     "sim_topk_cosine": SIM_TOPK_COSINE_SQL,
     "sim_ann_lsh": SIM_ANN_LSH_SQL,
+    "sim_knn_graph": SIM_KNN_GRAPH_SQL,
     "sim_ann_ivf": SIM_ANN_IVF_SQL,
     "sim_label_centroids": SIM_LABEL_CENTROIDS_SQL,
     "sim_kmeans": SIM_KMEANS_SQL,
