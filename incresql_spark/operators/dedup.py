@@ -548,6 +548,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     band_bits = _embed_band_bits(e.count())
+    # Materialized once (eager localCheckpoint): the banded projection (norm
+    # fold + N_EMBED_BANDS sign-bit folds over literal hyperplanes —
+    # megabyte-scale expression trees) feeds every band's self-join plus both
+    # verify sides.  Lazily it would be recomputed by each of those ~6 scans,
+    # and every downstream task binary would re-ship the hyperplane literals
+    # (the 1-2 MB "broadcasting large task binary" warnings).  Checkpointing
+    # computes the folds exactly once and truncates the lineage so downstream
+    # stages see only the narrow (vec_id, embedding, norm, bands) relation —
+    # the signature table a 100 TB run would materialize to storage.
     banded = e.select(
         "vec_id",
         "embedding",
@@ -556,7 +565,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_embed_band_spark(b, band_bits)).alias(f"band{b}")
             for b in range(N_EMBED_BANDS)
         ],
-    )
+    ).localCheckpoint()
     cand = None
     for b in range(N_EMBED_BANDS):
         lhs = banded.select(F.col("vec_id").alias("vec_a"), F.col(f"band{b}").alias("bk"))
@@ -669,9 +678,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoints between rounds.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst")
+    # Materialized once (eager localCheckpoint): edges feed BOTH sides of
+    # every propagation iteration, and their lineage is the entire
+    # ngram-Jaccard candidate/verify pipeline — lazily Catalyst re-executes
+    # that pipeline ~2x per iteration (observed 87s -> ~13s at sf0.01 from
+    # this checkpoint alone; propagation itself is 0.7s).  This is the
+    # standard iterative-graph pattern: materialize the edge list, then each
+    # round is one cheap shuffle over it with lineage that starts at the
+    # checkpoint instead of the raw corpus.
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
     lbl = edges.select(F.col("src").alias("doc")).distinct().withColumn(
         "lbl", F.col("doc")
     )
