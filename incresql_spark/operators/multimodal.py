@@ -360,15 +360,160 @@ GROUP BY doc_id, chunk_idx
 ORDER BY doc_id, chunk_idx
 """
 
+# --- Image near-dup via perceptual hash (aHash) + banded Hamming LSH -------
+PHASH_BANDS = 4          # 64-bit hash split into 4 x 16-bit LSH bands
+PHASH_HAM_MAX = 6        # max Hamming distance to call two images near-dups
+PHASH_PREFIX = 80        # payload keyed on the doc's text prefix (see below)
+
+PHASH_SCHEMA = "doc_id BIGINT, b0 INT, b1 INT, b2 INT, b3 INT"
+
+
+def synthesize_prefix_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image payloads keyed on the document's {P}-char text prefix: re-posts
+    and boilerplate-prefixed docs carry the SAME image (the corpus has ~23
+    such docs at sf0.01), so the dedup below has true duplicates to find —
+    md5 of the full text would make every image unique."""
+    from ..catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.unhex(F.md5(F.substring("text", 1, PHASH_PREFIX))).alias("payload"),
+    )
+
+
+synthesize_prefix_media.__doc__ = synthesize_prefix_media.__doc__.replace(
+    "{P}", str(PHASH_PREFIX)
+)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Decode → 8x8 grayscale average-hash, emitted as 4 x 16-bit band ints.
+
+    The aHash: nearest-neighbour-downsample the 16x16 tensor to 8x8 (keep
+    even rows/cols), grayscale = channel sum (integer — no division, so the
+    SQL oracle is exact), bit k = 1 iff 64*gray_k > sum(gray).  Bit k lands
+    in band k//16 with weight 2^(k%16) — mirrored literally in the oracle.
+    """
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(16, dtype=np.int64)
+        for pdf in batches:
+            bands: list[list[int]] = [[] for _ in range(PHASH_BANDS)]
+            for payload in pdf["payload"]:
+                img = decode_image(bytes(payload), "fake/raw", fake=True)
+                gray = img.astype(np.int64)[::2, ::2, :].sum(axis=2).reshape(-1)
+                bits = (64 * gray > int(gray.sum())).astype(np.int64)
+                for b in range(PHASH_BANDS):
+                    bands[b].append(int((bits[16 * b : 16 * (b + 1)] * weights).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{
+                        f"b{b}": pd.Series(bands[b], dtype="int32")
+                        for b in range(PHASH_BANDS)
+                    },
+                }
+            )
+
+    return media.mapInPandas(phash, schema=PHASH_SCHEMA)
+
+
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: perceptual hash + banded Hamming LSH — the
+    image-modality twin of dedup_simhash, end-to-end through the multimodal
+    decode path (mapInPandas) with a full value oracle.
+
+    Scale: the 64-bit hash is computed once per image in a narrow Arrow map
+    and checkpointed (it feeds 4 band self-joins + 2 verify sides); each LSH
+    band is an equi-join on a 16-bit key (NO all-pairs comparison anywhere);
+    the popcount verify runs only on band-collision candidates.  Identical
+    images collide on every band (Hamming 0); random 16-bit collisions are
+    verified out by PHASH_HAM_MAX.
+    """
+    ph = image_phash(synthesize_prefix_media(spark, sf_dir)).localCheckpoint()
+    cand = None
+    for b in range(PHASH_BANDS):
+        lhs = ph.select(F.col("doc_id").alias("doc_a"), F.col(f"b{b}").alias("bk"))
+        rhs = ph.select(F.col("doc_id").alias("doc_b"), F.col(f"b{b}").alias("bk"))
+        pairs_b = (
+            lhs.join(rhs, "bk")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        cand = pairs_b if cand is None else cand.union(pairs_b)
+    cand = cand.distinct()
+    a = ph.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{b}").alias(f"a{b}") for b in range(PHASH_BANDS)],
+    )
+    c = ph.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{b}").alias(f"c{b}") for b in range(PHASH_BANDS)],
+    )
+    ham = " + ".join(f"bit_count(a{b} ^ c{b})" for b in range(PHASH_BANDS))
+    return (
+        cand.join(a, "doc_a")
+        .join(c, "doc_b")
+        .withColumn("hamming", F.expr(f"CAST({ham} AS INT)"))
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _phash_gray(i0: str) -> str:
+    h = f"md5(substr(d.text, 1, {PHASH_PREFIX}))"
+    return " + ".join(_pixel_sql(h, f"({i0}) + {ch}") for ch in range(3))
+
+
+MM_IMAGE_PHASH_SQL = f"""
+WITH gray AS (
+  SELECT d.doc_id, u.k AS k,
+         ({_phash_gray('96 * (u.k // 8) + 6 * (u.k % 8)')}) AS gray
+  FROM documents d, UNNEST(range(64)) AS u(k)
+),
+tot AS (
+  SELECT doc_id, SUM(gray) AS total FROM gray GROUP BY doc_id
+),
+bits AS (
+  SELECT g.doc_id, g.k,
+         CASE WHEN 64 * g.gray > t.total THEN 1 ELSE 0 END AS bit
+  FROM gray g JOIN tot t USING (doc_id)
+),
+bands AS (
+  SELECT doc_id, k // 16 AS band_idx,
+         CAST(SUM(bit * (1 << (k % 16))) AS INT) AS bval
+  FROM bits GROUP BY doc_id, k // 16
+),
+wide AS (
+  SELECT doc_id,
+         {", ".join(f"MAX(CASE WHEN band_idx = {b} THEN bval END) AS b{b}" for b in range(PHASH_BANDS))}
+  FROM bands GROUP BY doc_id
+),
+cand AS (
+{chr(10).join(("  UNION" + chr(10) if b else "") + f"  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b FROM wide a JOIN wide c ON a.b{b} = c.b{b} AND a.doc_id < c.doc_id" for b in range(PHASH_BANDS))}
+)
+SELECT p.doc_a, p.doc_b,
+       CAST({" + ".join(f"bit_count(xor(a.b{b}, c.b{b}))" for b in range(PHASH_BANDS))} AS INT) AS hamming
+FROM cand p
+JOIN wide a ON p.doc_a = a.doc_id
+JOIN wide c ON p.doc_b = c.doc_id
+WHERE {" + ".join(f"bit_count(xor(a.b{b}, c.b{b}))" for b in range(PHASH_BANDS))} <= {PHASH_HAM_MAX}
+ORDER BY doc_a, doc_b
+"""
+
 QUERIES = {
     "mm_features": mm_features,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
     "mm_audio_chunks": mm_audio_chunks,
+    "mm_image_phash": mm_image_phash,
 }
 ORACLE: dict[str, str] = {
     "mm_features": MM_FEATURES_SQL,
     "mm_resize": MM_RESIZE_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_audio_chunks": MM_AUDIO_CHUNKS_SQL,
+    "mm_image_phash": MM_IMAGE_PHASH_SQL,
 }

@@ -557,6 +557,127 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def op_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — arbitrary subtotal combinations in one pass
+    (CUBE/ROLLUP are special cases).  Spark expands the sets with one Expand
+    node feeding a single hash aggregation: rows x |sets| at the map side,
+    partials collapse before the shuffle, so the plan shape is scale-stable.
+    Sets here: (returnflag, linestatus), (returnflag), (linestatus)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.expr("CAST(l_quantity AS DECIMAL(12,2))"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+OP_GROUPING_SETS_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per order priority, one column per order status —
+    long-to-wide reshaping with an explicit value list.  With pivot values
+    declared up front this stays a single groupBy aggregation (no extra
+    pass to discover the columns) whose output width is fixed — the only
+    PIVOT shape that works on unbounded input.  Missing cells surface as
+    NULL counts, normalized to 0 to match the conditional-aggregation SQL
+    every engine can run."""
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    ).orderBy("o_orderpriority")
+
+
+OP_PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+FULL_OUTER_CUST_MAX_NATION = 15  # customers counted for nations < 15
+FULL_OUTER_SUPP_MIN_NATION = 10  # suppliers counted for nations >= 10
+
+
+def op_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with NULL padding on BOTH sides (the reference stops
+    at LEFT OUTER, hash_join.rs:147-160).  The two inputs are pre-aggregated
+    per nation over disjoint-but-overlapping nation ranges, so the output
+    exercises all three row classes: left-only, matched, right-only.
+    Aggregating BEFORE the join keeps the outer join to 25-ish rows a side
+    at any scale — the fact tables never meet the outer-join operator."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = (
+        c.filter(F.col("c_nationkey") < FULL_OUTER_CUST_MAX_NATION)
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        s.filter(F.col("s_nationkey") >= FULL_OUTER_SUPP_MIN_NATION)
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cn.join(sn, cn.ck == sn.sk, "full_outer")
+        .select(
+            F.coalesce(F.col("ck"), F.col("sk")).alias("nationkey"),
+            "n_cust",
+            "n_supp",
+        )
+        .orderBy("nationkey")
+    )
+
+
+OP_FULL_OUTER_JOIN_SQL = f"""
+WITH cn AS (
+  SELECT c_nationkey AS ck, COUNT(*) AS n_cust
+  FROM customer WHERE c_nationkey < {FULL_OUTER_CUST_MAX_NATION}
+  GROUP BY c_nationkey
+),
+sn AS (
+  SELECT s_nationkey AS sk, COUNT(*) AS n_supp
+  FROM supplier WHERE s_nationkey >= {FULL_OUTER_SUPP_MIN_NATION}
+  GROUP BY s_nationkey
+)
+SELECT COALESCE(ck, sk) AS nationkey, n_cust, n_supp
+FROM cn FULL OUTER JOIN sn ON cn.ck = sn.sk
+ORDER BY nationkey
+"""
+
+
 # --- As-of join (time-series enrichment; beyond the reference) -------------
 def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click joined to the user's latest view at-or-before its time.
@@ -955,6 +1076,9 @@ QUERIES = {
     "op_semi_anti_join": op_semi_anti_join,
     "op_intersect_except": op_intersect_except,
     "op_rollup": op_rollup,
+    "op_grouping_sets": op_grouping_sets,
+    "op_pivot": op_pivot,
+    "op_full_outer_join": op_full_outer_join,
 }
 
 ORACLE = {
@@ -984,6 +1108,9 @@ ORACLE = {
     "op_semi_anti_join": OP_SEMI_ANTI_JOIN_SQL,
     "op_intersect_except": OP_INTERSECT_EXCEPT_SQL,
     "op_rollup": OP_ROLLUP_SQL,
+    "op_grouping_sets": OP_GROUPING_SETS_SQL,
+    "op_pivot": OP_PIVOT_SQL,
+    "op_full_outer_join": OP_FULL_OUTER_JOIN_SQL,
 }
 
 BENCH_QUERIES = {
