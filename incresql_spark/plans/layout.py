@@ -37,6 +37,25 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: str | list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet sink (``path/col=value/...``).
+
+    The write-side half of partition pruning: a reader filtering on a
+    partition column touches only the matching directories — the scan's
+    ``PartitionFilters`` prune before any file is opened, so a one-day query
+    over a year of 100 TB events reads ~1/365th of the bytes.  Choose
+    partition columns with bounded cardinality (date, region — never a
+    high-cardinality key: millions of tiny directories kill the file
+    listing and the write amplification)."""
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
 def partitions_for_bytes(
     total_bytes: int, target_partition_bytes: int = 128 * 1024 * 1024
 ) -> int:

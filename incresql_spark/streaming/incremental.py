@@ -75,6 +75,44 @@ def stream_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_interval_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each click paired with every view by the
+    same user within ``max_gap`` BEFORE it — the streaming attribution join
+    (the continuous twin of the batch ``op_range_join``).
+
+    Both sides are watermarked and the join condition carries an explicit
+    event-time range, which is what lets Spark BOUND the join state: a
+    buffered view can be evicted once the click-side watermark passes
+    ``v_ts + max_gap``, so state is (rate x horizon), not stream history.
+    An inner interval join in append mode emits a pair exactly once, when
+    both sides have arrived — no retraction needed.  Inputs: ``views``
+    (user_id, ts, view_id), ``clicks`` (user_id, ts, click_id); works
+    identically on batch DataFrames (same declarative plan).
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        "view_id",
+    ).withWatermark("v_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        "click_id",
+    ).withWatermark("c_ts", watermark)
+    return c.join(
+        v,
+        F.expr(
+            f"v_user = c_user AND v_ts <= c_ts "
+            f"AND v_ts >= c_ts - INTERVAL {max_gap}"
+        ),
+    ).select("c_user", "click_id", "c_ts", "view_id", "v_ts")
+
+
 def windowed_counts(
     events: DataFrame,
     window: str = "1 hour",

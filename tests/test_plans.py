@@ -64,6 +64,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column must prune at the directory level
+    (PartitionFilters in the scan), not via row-level parquet filters."""
+    e = load_table(spark, SF_SMALL, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    layout.write_partitioned(e, out, "event_date")
+
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("event_date") == F.lit("2024-01-05").cast("date"))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # The date predicate must appear among the partition filters (pruned at
+    # listing time), and NOT as a pushed parquet row-group filter.
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_date" in pf, plan[:800]
+    assert one_day.count() == e.filter(
+        F.col("event_date") == F.lit("2024-01-05").cast("date")
+    ).count()
+
+
 def test_partition_sizing():
     assert layout.partitions_for_bytes(1) == 1
     assert layout.partitions_for_bytes(128 * 1024 * 1024) == 1

@@ -167,3 +167,70 @@ def test_multimodal_plumbing(spark):
     # real decode path is an explicit stub
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xx", "png")
+
+
+def test_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join in append mode must emit exactly the
+    batch join's pairs (inner join, bounded state via watermark + range)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("view_id", T.LongType()),
+        ]
+    )
+    cschema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("click_id", T.LongType()),
+        ]
+    )
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+    views = [
+        (1, t0, 100),
+        (1, t0 + 8 * m, 101),       # within 10 min of click at t0+9
+        (2, t0, 200),               # 15 min before user 2's click: too old
+        (3, t0 + 2 * m, 300),
+    ]
+    clicks = [
+        (1, t0 + 9 * m, 900),       # matches views 100 and 101
+        (2, t0 + 15 * m, 901),      # no view within 10 min
+        (3, t0 + 1 * m, 902),       # view 300 is AFTER the click: no match
+    ]
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    vdir.mkdir(); cdir.mkdir()
+    spark.createDataFrame(views, schema).repartition(1).write.parquet(
+        str(vdir / "b1.parquet")
+    )
+    spark.createDataFrame(clicks, cschema).repartition(1).write.parquet(
+        str(cdir / "b1.parquet")
+    )
+
+    vs = spark.readStream.schema(schema).format("parquet").load(str(vdir) + "/*")
+    cs = spark.readStream.schema(cschema).format("parquet").load(str(cdir) + "/*")
+    q = (
+        incremental.stream_interval_join(vs, cs)
+        .writeStream.format("memory")
+        .queryName("ij_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.click_id, r.view_id)
+        for r in spark.sql("SELECT * FROM ij_out").collect()
+    )
+    assert got == [(900, 100), (900, 101)]
+
+    # Same declarative plan on batch inputs gives the same pairs.
+    batch = incremental.stream_interval_join(
+        spark.createDataFrame(views, schema), spark.createDataFrame(clicks, cschema)
+    )
+    assert sorted((r.click_id, r.view_id) for r in batch.collect()) == got
