@@ -15,10 +15,11 @@ project → write, fully pipelined.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.hashing import hash60, hash60_sql
 
 TOKENS_SPARK = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 TOKENS_DUCK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -494,6 +495,160 @@ FROM flags GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- Sequence packing (concat-and-chunk) -----------------------------------
+PACK_CAP = 256     # tokens per training sequence (2048+ in production)
+PACK_SHARD = 100   # doc_ids per prefix-sum shard
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the corpus out in doc_id
+    order as one token stream and cut it into fixed-capacity training
+    sequences of PACK_CAP tokens; emit each document's first/last bin.
+    This is the standard pretraining packing (concatenate, split at
+    max_len, documents may span bins).
+
+    The global running token offset is a distributed two-level prefix sum —
+    the only scalable shape for a 100 TB cumsum: per-shard window cumsum
+    (shard = doc_id DIV {SH}, each shard sorts locally), per-shard totals
+    offset by a window over the tiny shard list (O(#shards) rows, broadcast
+    back).  A single global ``Window.orderBy(doc_id)`` would serialize the
+    corpus through one task.  The oracle uses DuckDB's global window — same
+    values, single-node shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.size(F.expr(TOKENS_SPARK)).alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("shard", F.expr(f"doc_id DIV {PACK_SHARD}"))
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = tok.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    w_sh = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        tok.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("shard_tokens"))
+        .withColumn("off", F.coalesce(F.sum("shard_tokens").over(w_sh), F.lit(0)))
+        .select("shard", "off")
+    )
+    return (
+        tok.join(F.broadcast(offsets), "shard")
+        .withColumn("cum_end", F.col("off") + F.col("cum_in"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"(cum_end - n_tokens) DIV {PACK_CAP}").alias("bin_first"),
+            F.expr(f"(cum_end - 1) DIV {PACK_CAP}").alias("bin_last"),
+        )
+        .withColumn("n_bins", F.col("bin_last") - F.col("bin_first") + F.lit(1))
+        .orderBy("doc_id")
+    )
+
+
+text_pack_sequences.__doc__ = text_pack_sequences.__doc__.replace(
+    "{SH}", str(PACK_SHARD)
+)
+
+
+TEXT_PACK_SEQUENCES_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, len({TOKENS_DUCK}) AS n_tokens FROM documents
+),
+nz AS (SELECT * FROM tok WHERE n_tokens > 0),
+cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_end
+  FROM nz
+)
+SELECT doc_id, n_tokens,
+       (cum_end - n_tokens) // {PACK_CAP} AS bin_first,
+       (cum_end - 1) // {PACK_CAP} AS bin_last,
+       (cum_end - 1) // {PACK_CAP} - (cum_end - n_tokens) // {PACK_CAP} + 1
+         AS n_bins
+FROM cum
+ORDER BY doc_id
+"""
+
+
+# --- Data mixing (token-budget source reweighting) -------------------------
+MIX_SEED = "mix"
+MIX_KEEP_DEN = 2  # global budget: keep ~1/2 of all tokens
+
+
+def text_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: hit a target per-source token share under a global
+    token budget.  Source s gets weight w_s = 1 + (src_num % 3); its
+    sampling rate is min(1, budget * w_s / (sum_w * actual_tokens_s)), and
+    documents are kept by deterministic hash threshold — stable under
+    reruns and backfills, exact in expectation.
+
+    Shape: one narrow token-count pass, a tiny per-source aggregate (20
+    rows), rates broadcast back, then a stateless filter — the corpus
+    itself is never shuffled.  Rates are quantized to basis points with a
+    single floor() so both engines compare identical integers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.size(F.expr(TOKENS_SPARK)).alias("n_tokens"))
+    per = (
+        tok.groupBy("source")
+        .agg(F.sum("n_tokens").alias("actual"))
+        .withColumn("w", F.expr("CAST(substring(source, 4, 10) AS INT) % 3 + 1"))
+    )
+    tot = per.agg(F.sum("actual").alias("total"), F.sum("w").alias("sumw"))
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(
+            "CAST(floor(least(1.0, (CAST(total AS DOUBLE) * CAST(w AS DOUBLE)) /"
+            f" ({float(MIX_KEEP_DEN)} * CAST(sumw AS DOUBLE) * CAST(actual AS DOUBLE)))"
+            " * 10000) AS BIGINT)"
+        ).alias("rate_bp"),
+    )
+    h = hash60(F.col("doc_id").cast("string"), seed=MIX_SEED)
+    return (
+        tok.join(F.broadcast(rates), "source")
+        .filter((h % 10000) < F.col("rate_bp"))
+        .select("doc_id", "source", "n_tokens", "rate_bp")
+        .orderBy("doc_id")
+    )
+
+
+def _mix_sql() -> str:
+    h = hash60_sql("CAST(doc_id AS VARCHAR)", seed=MIX_SEED)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, len({TOKENS_DUCK}) AS n_tokens FROM documents
+),
+per AS (
+  SELECT source, SUM(n_tokens) AS actual,
+         CAST(substr(source, 4) AS INT) % 3 + 1 AS w
+  FROM tok GROUP BY source
+),
+tot AS (SELECT SUM(actual) AS total, SUM(w) AS sumw FROM per),
+rates AS (
+  SELECT source,
+         CAST(floor(least(1.0, (CAST(total AS DOUBLE) * CAST(w AS DOUBLE)) /
+           ({float(MIX_KEEP_DEN)} * CAST(sumw AS DOUBLE) * CAST(actual AS DOUBLE)))
+           * 10000) AS BIGINT) AS rate_bp
+  FROM per, tot
+)
+SELECT t.doc_id, t.source, t.n_tokens, r.rate_bp
+FROM tok t JOIN rates r ON t.source = r.source
+WHERE {h} % 10000 < r.rate_bp
+ORDER BY t.doc_id
+"""
+
+
+TEXT_MIX_SOURCES_SQL = _mix_sql()
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_repetition": text_repetition,
@@ -504,6 +659,8 @@ QUERIES = {
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
     "text_pii_scrub": text_pii_scrub,
+    "text_pack_sequences": text_pack_sequences,
+    "text_mix_sources": text_mix_sources,
 }
 
 ORACLE = {
@@ -516,6 +673,8 @@ ORACLE = {
     "text_tokens": TEXT_TOKENS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_pii_scrub": TEXT_PII_SCRUB_SQL,
+    "text_pack_sequences": TEXT_PACK_SEQUENCES_SQL,
+    "text_mix_sources": TEXT_MIX_SOURCES_SQL,
 }
 
 BENCH_QUERIES = {"text_stats": text_stats, "text_repetition": text_repetition}
