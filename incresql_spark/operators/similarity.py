@@ -285,6 +285,94 @@ ORDER BY query_id, rank
 """
 
 
+# --- SemDeDup: semantic dedup from the kNN graph ---------------------------
+SEMDEDUP_TAU = 0.30   # cosine above which two vectors are "the same content"
+SEMDEDUP_ITERS = 3    # fixed label-propagation rounds (one Catalyst plan)
+
+
+def sim_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): drop semantically
+    redundant items by thresholding the embedding kNN graph at cosine >=
+    {TAU} and keeping ONE representative per connected component —
+    composed entirely from this module's primitives: sim_knn_graph
+    (bucketed LSH self-join, no all-pairs) -> threshold -> fixed-iteration
+    min-label propagation (the dedup_clusters dataflow) -> keeper = min
+    vec_id per cluster.
+
+    Scale: the kNN graph bounds candidate edges per vector at k; edges are
+    checkpointed once and each propagation round is one shuffle over them.
+    The paper clusters with k-means first purely to shard the cosine
+    search — the LSH bucketing here plays exactly that role.
+    """
+    knn = (
+        sim_knn_graph(spark, sf_dir)
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+        .select("query_id", "neighbor_id")
+    )
+    # Materialized once: both sides of every propagation round re-scan the
+    # edge list, whose lineage is the full bucketed kNN self-join.
+    edges = knn.union(
+        knn.select(F.col("neighbor_id"), F.col("query_id"))
+    ).toDF("src", "dst").localCheckpoint()
+    lbl = (
+        edges.select(F.col("src").alias("vid"))
+        .distinct()
+        .withColumn("lbl", F.col("vid"))
+    )
+    for _ in range(SEMDEDUP_ITERS):
+        nb = (
+            edges.join(lbl, edges.src == lbl.vid)
+            .groupBy(F.col("dst").alias("v2"))
+            .agg(F.min("lbl").alias("nl"))
+        )
+        lbl = lbl.join(nb, lbl.vid == nb.v2, "left").select(
+            "vid",
+            F.least(F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))).alias("lbl"),
+        )
+    return lbl.select(
+        F.col("lbl").alias("cluster_id"),
+        F.col("vid").alias("vec_id"),
+        (F.col("vid") == F.col("lbl")).alias("is_keeper"),
+    ).orderBy("cluster_id", "vec_id")
+
+
+sim_dedup_semantic.__doc__ = sim_dedup_semantic.__doc__.replace(
+    "{TAU}", str(SEMDEDUP_TAU)
+)
+
+
+def _semdedup_sql() -> str:
+    ctes = [
+        f"knn AS (SELECT query_id, neighbor_id FROM ({SIM_KNN_GRAPH_SQL}) "
+        f"WHERE cosine >= {SEMDEDUP_TAU})",
+        "edges AS (SELECT query_id AS src, neighbor_id AS dst FROM knn "
+        "UNION ALL SELECT neighbor_id, query_id FROM knn)",
+        "lbl0 AS (SELECT DISTINCT src AS vid, src AS lbl FROM edges)",
+    ]
+    for i in range(SEMDEDUP_ITERS):
+        ctes.append(
+            f"nb{i} AS (SELECT e.dst AS vid, MIN(l.lbl) AS nl "
+            f"FROM edges e JOIN lbl{i} l ON e.src = l.vid GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"lbl{i + 1} AS (SELECT l.vid, "
+            f"LEAST(l.lbl, COALESCE(n.nl, l.lbl)) AS lbl "
+            f"FROM lbl{i} l LEFT JOIN nb{i} n ON n.vid = l.vid)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT lbl AS cluster_id, vid AS vec_id, (vid = lbl) AS is_keeper
+FROM lbl{SEMDEDUP_ITERS}
+ORDER BY cluster_id, vec_id
+"""
+    )
+
+
+SIM_DEDUP_SEMANTIC_SQL = _semdedup_sql()
+
+
 N_CENTROIDS = 8  # deterministic seed vectors: vec_id 100..107
 N_PROBE = 2  # clusters searched per query
 
@@ -576,6 +664,7 @@ QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_ann_lsh": sim_ann_lsh,
     "sim_knn_graph": sim_knn_graph,
+    "sim_dedup_semantic": sim_dedup_semantic,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_label_centroids": sim_label_centroids,
     "sim_kmeans": sim_kmeans,
@@ -585,6 +674,7 @@ ORACLE = {
     "sim_topk_cosine": SIM_TOPK_COSINE_SQL,
     "sim_ann_lsh": SIM_ANN_LSH_SQL,
     "sim_knn_graph": SIM_KNN_GRAPH_SQL,
+    "sim_dedup_semantic": SIM_DEDUP_SEMANTIC_SQL,
     "sim_ann_ivf": SIM_ANN_IVF_SQL,
     "sim_label_centroids": SIM_LABEL_CENTROIDS_SQL,
     "sim_kmeans": SIM_KMEANS_SQL,
