@@ -11,6 +11,8 @@ import pytest
 
 from incresql_spark.operators import dedup, relational, text
 
+from .conftest import SF_SMALL
+
 
 def _write_documents(spark, tmp_path, rows):
     """rows: list of (doc_id, text). Writes the TESTDATA documents schema."""
@@ -202,3 +204,84 @@ def test_percentiles_rank_selection(spark, tmp_path):
     assert out["A"]["p90_price"] == 9.0
     assert out["B"]["median_price"] == 20.0
     assert out["B"]["p90_price"] == 30.0
+
+
+def test_image_phash_prefix_dups_are_hamming_zero(spark):
+    """Docs sharing their 80-char text prefix carry identical synthetic
+    images, so every such pair must surface with hamming == 0; and no
+    emitted pair may exceed the Hamming ceiling."""
+    from pyspark.sql import functions as F
+
+    from incresql_spark.catalog import load_table
+    from incresql_spark.operators import multimodal as mm
+
+    d = load_table(spark, SF_SMALL, "documents")
+    pref = d.select("doc_id", F.md5(F.substring("text", 1, mm.PHASH_PREFIX)).alias("p"))
+    a = pref.select(F.col("doc_id").alias("doc_a"), "p")
+    b = pref.select(F.col("doc_id").alias("doc_b"), "p")
+    expected_zero = sorted(
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, "p").filter(F.col("doc_a") < F.col("doc_b")).collect()
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming for r in mm.mm_image_phash(spark, SF_SMALL).collect()}
+    for pair in expected_zero:
+        assert got.get(pair) == 0, f"identical-image pair {pair} missing or nonzero"
+    assert all(h <= mm.PHASH_HAM_MAX for h in got.values())
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing must tile the token stream: bins are contiguous, the last
+    doc's bin_last is the total bin count - 1, and spans are consistent."""
+    from incresql_spark.operators import text
+
+    rows = text.text_pack_sequences(spark, SF_SMALL).collect()
+    total_tokens = sum(r.n_tokens for r in rows)
+    assert rows == sorted(rows, key=lambda r: r.doc_id)
+    # reconstruct the running offset and check each doc's span
+    cum = 0
+    for r in rows:
+        assert r.bin_first == cum // text.PACK_CAP
+        cum += r.n_tokens
+        assert r.bin_last == (cum - 1) // text.PACK_CAP
+        assert r.n_bins == r.bin_last - r.bin_first + 1
+    assert rows[-1].bin_last == (total_tokens - 1) // text.PACK_CAP
+
+
+def test_semdedup_one_keeper_per_cluster(spark):
+    from incresql_spark.operators import similarity as S
+
+    rows = S.sim_dedup_semantic(spark, SF_SMALL).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    # Labels only ever decrease from the node's own id, so cluster_id is a
+    # lower bound on member ids; a keeper is exactly the member whose id IS
+    # the label.  Chains longer than the fixed iteration count may leave a
+    # labeled group without its root (documented contract) — but never two
+    # keepers, and the root, when present, must be flagged.
+    n_keepers = 0
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m.is_keeper]
+        assert len(keepers) <= 1
+        assert all(m.vec_id >= cid for m in members)
+        if any(m.vec_id == cid for m in members):
+            assert len(keepers) == 1 and keepers[0].vec_id == cid
+        n_keepers += len(keepers)
+    assert n_keepers > 0
+
+
+def test_mix_sources_rates_and_budget(spark):
+    """Every kept doc's hash must clear its source rate, and the implied
+    token keep-fraction must be in the budget's neighbourhood."""
+    from incresql_spark.catalog import load_table
+    from incresql_spark.operators import text
+    from pyspark.sql import functions as F
+
+    kept = text.text_mix_sources(spark, SF_SMALL)
+    rows = kept.collect()
+    assert len(rows) > 0
+    d = load_table(spark, SF_SMALL, "documents")
+    total = d.select(F.sum(F.size(F.expr(text.TOKENS_SPARK)))).collect()[0][0]
+    kept_tokens = sum(r.n_tokens for r in rows)
+    frac = kept_tokens / total
+    assert 0.2 < frac < 0.8  # budget is 1/2; hash sampling wobbles
