@@ -187,12 +187,26 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     cutoff = F.lit("1998-03-15").cast("timestamp")
-    return (
-        customer.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
-        .join(lineitem.filter(F.col("l_shipdate") > cutoff), F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate")
+    # Aggregate lineitem revenue per orderkey BEFORE any join: map-side
+    # partials collapse an order's line items before the shuffle, and the
+    # join sees one row per unshipped order instead of raw line items
+    # (orderkey is unique in orders, so agg-then-join is exact).  The
+    # customer side is a pure filter — a semi-join carries no payload.
+    rev = (
+        lineitem.filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey")
         .agg(F.sum(F.expr(REV4_INT)).alias("_rev4"))
+    )
+    return (
+        rev.join(
+            orders.filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.filter(F.col("c_mktsegment") == "BUILDING"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        )
         .select("l_orderkey", "o_orderdate", plain4_out("_rev4").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -302,21 +316,28 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     nation = load_table(spark, sf_dir, "nation")
-    return (
-        customer.join(
+    # Pre-aggregate revenue per custkey from the two FILTERED facts before
+    # customer is touched: c_custkey is unique, so agg-then-join equals
+    # join-then-agg exactly, but the customer payload columns never ride
+    # through the lineitem shuffle and the final join's left side is one
+    # row per buying customer (AQE typically broadcasts it).  Catalyst does
+    # not push aggregates below joins itself — this ordering is the
+    # manual version of that rewrite.
+    rev = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
             orders.filter(
                 (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
                 & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
             ),
-            F.col("c_custkey") == F.col("o_custkey"),
-        )
-        .join(
-            lineitem.filter(F.col("l_returnflag") == "R"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .groupBy("o_custkey")
         .agg(F.sum(F.expr(REV4_INT)).alias("_rev4"))
+    )
+    return (
+        rev.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("n_nationkey") == F.col("c_nationkey"))
         .select(
             "c_custkey",
             "c_name",
