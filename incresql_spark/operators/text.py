@@ -578,6 +578,85 @@ ORDER BY doc_id
 """
 
 
+# --- Overlapping chunking (RAG / context-window splitting) -----------------
+CHUNK_SIZE = 64     # tokens per chunk
+CHUNK_STRIDE = 48   # new tokens per step; CHUNK_SIZE - CHUNK_STRIDE overlap
+
+
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping token windows (size
+    {C}, stride {S}) — the retrieval/context-window chunker.  A chunk
+    starts at every stride multiple that still contributes unseen tokens
+    (s == 0 or s + overlap < n), so coverage is total with no redundant
+    tail chunk.  The chunk content hash proves the actual token slice, not
+    just the offset arithmetic, and chunk_idx = tok_start / stride is
+    derived arithmetically so neither engine needs ordinal explode.
+
+    Scale: one narrow generate per doc (rows out ≈ n_tokens / stride), no
+    shuffle before the deterministic output sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    overlap = CHUNK_SIZE - CHUNK_STRIDE
+    return (
+        d.withColumn("tokens", F.expr(TOKENS_SPARK))
+        .withColumn("n", F.size("tokens"))
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "n",
+            "tokens",
+            F.explode(
+                F.expr(
+                    f"filter(sequence(0, n - 1, {CHUNK_STRIDE}), "
+                    f"s -> s = 0 OR s + {overlap} < n)"
+                )
+            ).alias("tok_start"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"tok_start DIV {CHUNK_STRIDE}").alias("chunk_idx"),
+            "tok_start",
+            F.expr(f"least({CHUNK_SIZE}, n - tok_start)").alias("chunk_len"),
+            F.expr(
+                f"md5(concat_ws(' ', slice(tokens, tok_start + 1, "
+                f"least({CHUNK_SIZE}, n - tok_start))))"
+            ).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+text_chunk_overlap.__doc__ = (
+    text_chunk_overlap.__doc__.replace("{C}", str(CHUNK_SIZE)).replace(
+        "{S}", str(CHUNK_STRIDE)
+    )
+)
+
+
+TEXT_CHUNK_OVERLAP_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, {TOKENS_DUCK} AS tokens, len({TOKENS_DUCK}) AS n
+  FROM documents
+),
+st AS (
+  SELECT doc_id, tokens, n,
+         unnest(list_filter(range(0, n, {CHUNK_STRIDE}),
+                            s -> s = 0 OR s + {CHUNK_SIZE - CHUNK_STRIDE} < n))
+           AS tok_start
+  FROM tk WHERE n > 0
+)
+SELECT doc_id,
+       tok_start // {CHUNK_STRIDE} AS chunk_idx,
+       tok_start,
+       least({CHUNK_SIZE}, n - tok_start) AS chunk_len,
+       md5(array_to_string(
+             tokens[tok_start + 1 : tok_start + least({CHUNK_SIZE}, n - tok_start)],
+             ' ')) AS chunk_hash
+FROM st
+ORDER BY doc_id, chunk_idx
+"""
+
+
 # --- Data mixing (token-budget source reweighting) -------------------------
 MIX_SEED = "mix"
 MIX_KEEP_DEN = 2  # global budget: keep ~1/2 of all tokens
@@ -660,6 +739,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_pii_scrub": text_pii_scrub,
     "text_pack_sequences": text_pack_sequences,
+    "text_chunk_overlap": text_chunk_overlap,
     "text_mix_sources": text_mix_sources,
 }
 
@@ -674,6 +754,7 @@ ORACLE = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_pii_scrub": TEXT_PII_SCRUB_SQL,
     "text_pack_sequences": TEXT_PACK_SEQUENCES_SQL,
+    "text_chunk_overlap": TEXT_CHUNK_OVERLAP_SQL,
     "text_mix_sources": TEXT_MIX_SOURCES_SQL,
 }
 
