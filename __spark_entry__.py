@@ -14,7 +14,7 @@ end-to-end curation dataflow (pipeline_curate), and the head of the text
 suite.  The tail of the text suite and the "free in Spark" relational demos
 (op_distinct, op_rollup, op_pivot, ...) fall past the cap; everything there
 is equally oracle-checked locally via ``tools/check_oracle.py`` and pytest
-(82 queries total, all value-hash-matched).
+(87 queries total, all value-hash-matched).
 """
 
 from __future__ import annotations
@@ -51,10 +51,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return tpch.q1(spark, SF0001)
 
 
+# Demoted below the gate cap: plain-groupBy demos whose mechanism is
+# already gate-covered by a richer sibling (sim_kmeans runs the same
+# centroid aggregation twice per iteration).
+_GATE_DEMOTED = ("sim_label_centroids",)
+
+
 def _ordered(registries: list[dict]) -> dict:
     out: dict = {}
     # Gate-priority block: TPC-H, core relational ops, then the full
-    # LLM-pipeline suite (dedup, similarity, multimodal, sessionize, text).
+    # LLM-pipeline suite (dedup, similarity, multimodal, sessionize,
+    # composed pipelines, head of text).
     (tpch_reg, rel_reg, text_reg, dedup_reg, sim_reg, mm_reg, sess_reg,
      pipe_reg) = registries
     out.update(tpch_reg)
@@ -62,15 +69,16 @@ def _ordered(registries: list[dict]) -> dict:
         if k in rel_reg:
             out[k] = rel_reg[k]
     out.update(dedup_reg)
-    out.update(sim_reg)
+    out.update({k: v for k, v in sim_reg.items() if k not in _GATE_DEMOTED})
     out.update(mm_reg)
     out.update(sess_reg)
     out.update(pipe_reg)
     out.update(text_reg)
     # Tail block: built-in-operator demos (driver-gate overflow is OK here).
-    for k, v in rel_reg.items():
-        if k not in out:
-            out[k] = v
+    for reg in (sim_reg, rel_reg):
+        for k, v in reg.items():
+            if k not in out:
+                out[k] = v
     return out
 
 

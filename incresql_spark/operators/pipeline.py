@@ -39,9 +39,10 @@ CURATE_MIN_STOPWORD_RATIO = 0.02
 CURATE_CONTAM_SHINGLES = 3
 
 
-def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curated-corpus rollup: (lang, n_docs, total_tokens) after quality,
-    dedup-keeper and decontamination passes."""
+def _curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared curation front half: quality filter → exact-dedup keeper →
+    decontamination.  Returns (doc_id, lang, source, n_tokens) of the clean
+    training docs."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.withColumn("tokens", F.expr(TOKENS_SPARK)).withColumn(
         "n_tokens", F.size("tokens")
@@ -63,7 +64,7 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = (
         quality.withColumn("keeper", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("keeper"))
-        .select("doc_id", "lang", "n_tokens")
+        .select("doc_id", "lang", "source", "n_tokens")
     )
     docsh = _doc_shingles(spark, sf_dir)
     ev = docsh.filter(F.col("doc_id") < EVAL_SET_MAX_DOC).select(
@@ -79,7 +80,13 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_common") >= CURATE_CONTAM_SHINGLES)
         .select(F.col("train_doc_id").alias("doc_id"))
     )
-    clean = keepers.join(contaminated, ["doc_id"], "left_anti")
+    return keepers.join(contaminated, ["doc_id"], "left_anti")
+
+
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated-corpus rollup: (lang, n_docs, total_tokens) after quality,
+    dedup-keeper and decontamination passes."""
+    clean = _curated_docs(spark, sf_dir)
     return (
         clean.groupBy("lang")
         .agg(
@@ -136,5 +143,167 @@ GROUP BY lang
 ORDER BY lang
 """
 
-QUERIES = {"pipeline_curate": pipeline_curate}
-ORACLE = {"pipeline_curate": PIPELINE_CURATE_SQL}
+def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining data-prep dataflow as ONE Catalyst plan:
+
+        curate (quality → dedup keeper → decontaminate)
+        → source mixing (token-budget reweighting, hash-threshold select)
+        → sequence packing (two-level distributed prefix sum into
+          fixed-capacity bins)
+        → per-source rollup (docs, tokens, bin span)
+
+    Every stage is the same building block its standalone operator uses
+    (text_mix_sources rates, text_pack_sequences prefix sums), so this is
+    the integration query over the whole curation surface; the driver gate
+    value-checks the composition end to end.  Shape: three tiny aggregates
+    (per-source, global scalar, per-shard offsets) broadcast back against
+    narrow passes over the corpus — the fact table shuffles once, for the
+    per-shard window sort.
+    """
+    from .text import MIX_KEEP_DEN, MIX_SEED, PACK_CAP, PACK_SHARD
+    from ..functions.hashing import hash60
+
+    clean = _curated_docs(spark, sf_dir)
+    per = (
+        clean.groupBy("source")
+        .agg(F.sum("n_tokens").alias("actual"))
+        .withColumn("w", F.expr("CAST(substring(source, 4, 10) AS INT) % 3 + 1"))
+    )
+    tot = per.agg(F.sum("actual").alias("total"), F.sum("w").alias("sumw"))
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(
+            "CAST(floor(least(1.0, (CAST(total AS DOUBLE) * CAST(w AS DOUBLE)) /"
+            f" ({float(MIX_KEEP_DEN)} * CAST(sumw AS DOUBLE) * CAST(actual AS DOUBLE)))"
+            " * 10000) AS BIGINT)"
+        ).alias("rate_bp"),
+    )
+    h = hash60(F.col("doc_id").cast("string"), seed=MIX_SEED)
+    sel = (
+        clean.join(F.broadcast(rates), ["source"])
+        .filter((h % 10000) < F.col("rate_bp"))
+        .withColumn("shard", F.expr(f"doc_id DIV {PACK_SHARD}"))
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = sel.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        sel.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("shard_tokens"))
+        .withColumn("off", F.coalesce(F.sum("shard_tokens").over(w_sh), F.lit(0)))
+        .select("shard", "off")
+    )
+    packed = (
+        sel.join(F.broadcast(offsets), ["shard"])
+        .withColumn("cum_end", F.col("off") + F.col("cum_in"))
+        .withColumn("bin_first", F.expr(f"(cum_end - n_tokens) DIV {PACK_CAP}"))
+        .withColumn("bin_last", F.expr(f"(cum_end - 1) DIV {PACK_CAP}"))
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("bin_first").alias("first_bin"),
+            F.max("bin_last").alias("last_bin"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pretrain_sql() -> str:
+    from .text import MIX_KEEP_DEN, MIX_SEED, PACK_CAP
+    from ..functions.hashing import hash60_sql
+
+    h = hash60_sql("CAST(doc_id AS VARCHAR)", seed=MIX_SEED)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, text, {TOKENS_DUCK} AS tokens
+  FROM documents
+),
+quality AS (
+  SELECT doc_id, lang, source, text, len(tokens) AS n_tokens
+  FROM toks
+  WHERE doc_id >= {EVAL_SET_MAX_DOC}
+    AND len(tokens) >= {CURATE_MIN_TOKENS}
+    AND len(list_filter(tokens, t -> t IN ({_sql_list(STOPWORDS)})))
+        * {int(round(1 / CURATE_MIN_STOPWORD_RATIO))} >= len(tokens)
+),
+keepers AS (
+  SELECT doc_id, lang, source, n_tokens
+  FROM (
+    SELECT doc_id, lang, source, n_tokens,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+    FROM quality
+  ) k
+  WHERE doc_id = keeper
+),
+docsh AS ({_DOC_SHINGLES_DUCK}),
+ev AS (
+  SELECT doc_id AS eval_doc_id, unnest(shingles) AS shingle
+  FROM docsh WHERE doc_id < {EVAL_SET_MAX_DOC}
+),
+tr AS (
+  SELECT doc_id AS train_doc_id, unnest(shingles) AS shingle
+  FROM docsh WHERE doc_id >= {EVAL_SET_MAX_DOC}
+),
+contaminated AS (
+  SELECT train_doc_id AS doc_id
+  FROM tr t JOIN ev e USING (shingle)
+  GROUP BY train_doc_id
+  HAVING count(DISTINCT t.shingle) >= {CURATE_CONTAM_SHINGLES}
+),
+clean AS (
+  SELECT k.* FROM keepers k
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = k.doc_id)
+),
+per AS (
+  SELECT source, SUM(n_tokens) AS actual,
+         CAST(substr(source, 4) AS INT) % 3 + 1 AS w
+  FROM clean GROUP BY source
+),
+tot AS (SELECT SUM(actual) AS total, SUM(w) AS sumw FROM per),
+rates AS (
+  SELECT source,
+         CAST(floor(least(1.0, (CAST(total AS DOUBLE) * CAST(w AS DOUBLE)) /
+           ({float(MIX_KEEP_DEN)} * CAST(sumw AS DOUBLE) * CAST(actual AS DOUBLE)))
+           * 10000) AS BIGINT) AS rate_bp
+  FROM per, tot
+),
+sel AS (
+  SELECT c.doc_id, c.source, c.n_tokens
+  FROM clean c JOIN rates r USING (source)
+  WHERE {h} % 10000 < r.rate_bp
+),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_end
+  FROM sel
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       MIN((cum_end - n_tokens) // {PACK_CAP}) AS first_bin,
+       MAX((cum_end - 1) // {PACK_CAP}) AS last_bin
+FROM cum
+GROUP BY source
+ORDER BY source
+"""
+
+
+PIPELINE_PRETRAIN_SQL = _pretrain_sql()
+
+QUERIES = {
+    "pipeline_curate": pipeline_curate,
+    "pipeline_pretrain": pipeline_pretrain,
+}
+ORACLE = {
+    "pipeline_curate": PIPELINE_CURATE_SQL,
+    "pipeline_pretrain": PIPELINE_PRETRAIN_SQL,
+}
