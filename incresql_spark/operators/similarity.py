@@ -222,12 +222,16 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB embedding-dedup job runs, just with trained hyperplanes."""
     e = load_table(spark, sf_dir, "embeddings")
     n_planes = bits_for_corpus(e.count())
+    # Materialized once (eager localCheckpoint): the norm fold + hyperplane
+    # sign bits feed BOTH sides of the self-join; lazily each side would
+    # re-evaluate the folds and re-ship the hyperplane-literal expression
+    # trees in its task binaries (same rationale as dedup_embedding).
     bucketed = e.select(
         "vec_id",
         "embedding",
         F.expr(_NORM_SPARK).alias("norm"),
         F.expr(bucket_expr_spark(n_planes)).alias("bucket"),
-    )
+    ).localCheckpoint()
     q = bucketed.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
