@@ -305,3 +305,46 @@ def test_round4_ops_plan_shapes(spark):
     # exactly one hash partitioning on the customer key feeds the window;
     # the only other exchange is the output ORDER BY's range partitioning
     assert rolling.count("Exchange hashpartitioning") == 1
+
+
+def test_late_round4_ops_have_no_quadratic_joins(spark):
+    """The session's new operators must candidate-generate via equi-joins,
+    never an all-pairs comparison."""
+    from incresql_spark.operators.multimodal import mm_image_phash
+    from incresql_spark.operators.similarity import sim_dedup_semantic
+
+    for fn in (mm_image_phash, sim_dedup_semantic):
+        plan = fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_pack_sequences_no_global_sort_of_corpus(spark):
+    """The distributed prefix sum must confine single-partition processing
+    to the tiny shard-offset frame: the corpus-side window partitions by
+    shard, so at most one SinglePartition exchange (over #shards rows)
+    appears in the plan."""
+    from incresql_spark.operators.text import text_pack_sequences
+
+    plan = (
+        text_pack_sequences(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange SinglePartition") <= 1, plan[:1200]
+    assert "Exchange hashpartitioning" in plan  # the per-shard window sort
+
+
+def test_mix_sources_rates_are_broadcast(spark):
+    """The per-source rate frame must reach the corpus filter as a
+    broadcast — the corpus itself never shuffles for the selection."""
+    from incresql_spark.operators.text import text_mix_sources
+
+    plan = (
+        text_mix_sources(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
