@@ -35,6 +35,7 @@ from ..functions.hashing import (
     hash60_spark_sql,
     hash60_sql,
 )
+from ..plans.layout import materialize
 from ..plans.lsh import (
     bits_for_corpus,
     dot_literal_duck,
@@ -575,7 +576,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     band_bits = _embed_band_bits(e.count())
-    # Materialized once (eager localCheckpoint): the banded projection (norm
+    # Materialized once (plans.layout.materialize; see its cluster fault-tolerance note): the banded projection (norm
     # fold + N_EMBED_BANDS sign-bit folds over literal hyperplanes —
     # megabyte-scale expression trees) feeds every band's self-join plus both
     # verify sides.  Lazily it would be recomputed by each of those ~6 scans,
@@ -584,15 +585,17 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computes the folds exactly once and truncates the lineage so downstream
     # stages see only the narrow (vec_id, embedding, norm, bands) relation —
     # the signature table a 100 TB run would materialize to storage.
-    banded = e.select(
-        "vec_id",
-        "embedding",
-        F.expr(_NORM_SPARK).alias("norm"),
-        *[
-            F.expr(_embed_band_spark(b, band_bits)).alias(f"band{b}")
-            for b in range(N_EMBED_BANDS)
-        ],
-    ).localCheckpoint()
+    banded = materialize(
+        e.select(
+            "vec_id",
+            "embedding",
+            F.expr(_NORM_SPARK).alias("norm"),
+            *[
+                F.expr(_embed_band_spark(b, band_bits)).alias(f"band{b}")
+                for b in range(N_EMBED_BANDS)
+            ],
+        )
+    )
     cand = None
     for b in range(N_EMBED_BANDS):
         lhs = banded.select(F.col("vec_id").alias("vec_a"), F.col(f"band{b}").alias("bk"))
@@ -705,7 +708,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoints between rounds.
     """
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    # Materialized once (eager localCheckpoint): edges feed BOTH sides of
+    # Materialized once (plans.layout.materialize; see its cluster fault-tolerance note): edges feed BOTH sides of
     # every propagation iteration, and their lineage is the entire
     # ngram-Jaccard candidate/verify pipeline — lazily Catalyst re-executes
     # that pipeline ~2x per iteration (observed 87s -> ~13s at sf0.01 from
@@ -713,12 +716,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # standard iterative-graph pattern: materialize the edge list, then each
     # round is one cheap shuffle over it with lineage that starts at the
     # checkpoint instead of the raw corpus.
-    edges = (
+    edges = materialize(
         pairs.union(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .toDF("src", "dst")
-        .localCheckpoint()
+        ).toDF("src", "dst")
     )
     lbl = edges.select(F.col("src").alias("doc")).distinct().withColumn(
         "lbl", F.col("doc")

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.layout import materialize
+
 FEATURE_DIM = 8
 
 MEDIA_SCHEMA = (
@@ -431,7 +433,7 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     images collide on every band (Hamming 0); random 16-bit collisions are
     verified out by PHASH_HAM_MAX.
     """
-    ph = image_phash(synthesize_prefix_media(spark, sf_dir)).localCheckpoint()
+    ph = materialize(image_phash(synthesize_prefix_media(spark, sf_dir)))
     cand = None
     for b in range(PHASH_BANDS):
         lhs = ph.select(F.col("doc_id").alias("doc_a"), F.col(f"b{b}").alias("bk"))

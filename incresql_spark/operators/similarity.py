@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..plans.layout import materialize
 from ..plans.lsh import (
     bits_for_corpus,
     bucket_expr_duck,
@@ -222,16 +223,18 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB embedding-dedup job runs, just with trained hyperplanes."""
     e = load_table(spark, sf_dir, "embeddings")
     n_planes = bits_for_corpus(e.count())
-    # Materialized once (eager localCheckpoint): the norm fold + hyperplane
+    # Materialized once (plans.layout.materialize; see its cluster fault-tolerance note): the norm fold + hyperplane
     # sign bits feed BOTH sides of the self-join; lazily each side would
     # re-evaluate the folds and re-ship the hyperplane-literal expression
     # trees in its task binaries (same rationale as dedup_embedding).
-    bucketed = e.select(
-        "vec_id",
-        "embedding",
-        F.expr(_NORM_SPARK).alias("norm"),
-        F.expr(bucket_expr_spark(n_planes)).alias("bucket"),
-    ).localCheckpoint()
+    bucketed = materialize(
+        e.select(
+            "vec_id",
+            "embedding",
+            F.expr(_NORM_SPARK).alias("norm"),
+            F.expr(bucket_expr_spark(n_planes)).alias("bucket"),
+        )
+    )
     q = bucketed.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -315,9 +318,11 @@ def sim_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Materialized once: both sides of every propagation round re-scan the
     # edge list, whose lineage is the full bucketed kNN self-join.
-    edges = knn.union(
-        knn.select(F.col("neighbor_id"), F.col("query_id"))
-    ).toDF("src", "dst").localCheckpoint()
+    edges = materialize(
+        knn.union(knn.select(F.col("neighbor_id"), F.col("query_id"))).toDF(
+            "src", "dst"
+        )
+    )
     lbl = (
         edges.select(F.col("src").alias("vid"))
         .distinct()

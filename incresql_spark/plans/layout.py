@@ -37,6 +37,24 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize an intermediate that multiple downstream branches reuse
+    (LSH signature tables, iterative-graph edge lists): compute it exactly
+    once and truncate its lineage so re-scans read rows instead of
+    re-running the producing pipeline.
+
+    Implementation is an eager ``localCheckpoint`` — right for local mode
+    and modest clusters.  Fault-tolerance note for 1000-executor runs:
+    localCheckpoint blocks live on executor-local storage and die with the
+    executor; swap for reliable checkpointing
+    (``sc.setCheckpointDir(...)`` + ``df.checkpoint()``) or an explicit
+    parquet round-trip when executor loss must be survivable.  The calling
+    dataflow is identical either way — this helper is the single seam to
+    change.
+    """
+    return df.localCheckpoint()
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
