@@ -678,6 +678,56 @@ ORDER BY nationkey
 """
 
 
+RETENTION_EPOCH = "2024-01-01"  # Monday-aligned week origin; <= min(events.ts)
+
+
+def op_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week, counted
+    in each subsequent week — the classic product-analytics rollup.
+
+    Weeks are integer arithmetic (days since the epoch DIV 7) so both
+    engines agree exactly; the epoch is at or before the data's start so
+    the truncation-vs-floor division difference for negatives never
+    triggers.  Shape: distinct (user, week) shrinks events ~per-week-
+    activity-fold, the per-user MIN is one key shuffle, and the final
+    rollup is |cohorts| x |offsets| rows — all partial-aggregated.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wk = F.expr(
+        f"datediff(CAST(ts AS DATE), DATE '{RETENTION_EPOCH}') DIV 7"
+    )
+    act = e.select("user_id", wk.alias("week")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(cohort, ["user_id"])
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+OP_RETENTION_COHORTS_SQL = f"""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '{RETENTION_EPOCH}', CAST(ts AS DATE)) // 7
+           AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+)
+SELECT c.cohort_week,
+       a.week - c.cohort_week AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM act a JOIN cohort c USING (user_id)
+GROUP BY c.cohort_week, a.week - c.cohort_week
+ORDER BY cohort_week, week_offset
+"""
+
+
 # --- As-of join (time-series enrichment; beyond the reference) -------------
 def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click joined to the user's latest view at-or-before its time.
@@ -1079,6 +1129,7 @@ QUERIES = {
     "op_grouping_sets": op_grouping_sets,
     "op_pivot": op_pivot,
     "op_full_outer_join": op_full_outer_join,
+    "op_retention_cohorts": op_retention_cohorts,
 }
 
 ORACLE = {
@@ -1111,6 +1162,7 @@ ORACLE = {
     "op_grouping_sets": OP_GROUPING_SETS_SQL,
     "op_pivot": OP_PIVOT_SQL,
     "op_full_outer_join": OP_FULL_OUTER_JOIN_SQL,
+    "op_retention_cohorts": OP_RETENTION_COHORTS_SQL,
 }
 
 BENCH_QUERIES = {
