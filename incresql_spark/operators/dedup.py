@@ -995,6 +995,108 @@ ORDER BY doc_id
 """
 
 
+# --- Substring-level dedup via winnowing fingerprints ----------------------
+WINNOW_K = 20        # character k-gram length
+WINNOW_W = 10        # winnowing window (consecutive grams) per fingerprint
+WINNOW_MIN_SHARED = 2  # fingerprints two docs must share to pair
+WINNOW_DF_CAP = 64   # hot-fingerprint cap (same rationale as SHINGLE_DF_CAP)
+
+
+def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup pairs via winnowing fingerprints
+    (Schleimer et al., SIGMOD'03 — the MOSS algorithm; the substring-dedup
+    idea of Lee et al., arXiv:2107.06499, made alignment-robust).
+
+    Character {K}-gram hashes at EVERY position, then each window of {W}
+    consecutive gram-hashes contributes its minimum as a fingerprint: the
+    selection depends only on content, so a long shared substring selects
+    the same fingerprints in both documents REGARDLESS of where it starts
+    — the property stride-sampled windows lack.  Guarantee: any shared
+    substring of length >= K + W - 1 ({G} chars) yields at least one
+    shared fingerprint.
+
+    Shape: fingerprinting is a narrow per-doc expression (O(len·W) integer
+    mins, no explode until the distinct fingerprint set); candidates come
+    from the same capped inverted-index self-join as the shingle pipeline,
+    counting shared fingerprints per pair in the join itself.
+    """
+    gram = hash60_spark_sql(f"substr(text, i, {WINNOW_K})")
+    d = load_table(spark, sf_dir, "documents")
+    fp = (
+        d.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
+        .withColumn(
+            "grams",
+            F.expr(
+                f"transform(sequence(1, length(text) - {WINNOW_K - 1}), "
+                f"i -> {gram})"
+            ),
+        )
+        .withColumn(
+            "fps",
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(grams) - {WINNOW_W - 1}), "
+                    f"j -> array_min(slice(grams, j, {WINNOW_W})))"
+                )
+            ),
+        )
+        .select("doc_id", F.explode("fps").alias("fp"))
+    )
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .select("fp")
+    )
+    idx = fp.join(rare, ["fp"])
+    a = idx.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = idx.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+dedup_substring_winnow.__doc__ = (
+    dedup_substring_winnow.__doc__.replace("{K}", str(WINNOW_K))
+    .replace("{W}", str(WINNOW_W))
+    .replace("{G}", str(WINNOW_K + WINNOW_W - 1))
+)
+
+
+DEDUP_SUBSTRING_WINNOW_SQL = f"""
+WITH grams AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {WINNOW_K - 1} + 1),
+                        i -> {hash60_sql(f"substr(text, CAST(i AS INT), {WINNOW_K})")})
+           AS grams
+  FROM documents
+  WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+),
+fps AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, len(grams) - {WINNOW_W - 1} + 1),
+                          j -> list_min(grams[CAST(j AS INT):CAST(j + {WINNOW_W - 1} AS INT)]))
+         )) AS fp
+  FROM grams
+),
+rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {WINNOW_DF_CAP}
+),
+idx AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM idx a JOIN idx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_passages": dedup_passages,
@@ -1005,6 +1107,7 @@ QUERIES = {
     "dedup_url": dedup_url,
     "dedup_contamination": dedup_contamination,
     "dedup_clusters": dedup_clusters,
+    "dedup_substring_winnow": dedup_substring_winnow,
 }
 
 ORACLE = {
@@ -1017,6 +1120,7 @@ ORACLE = {
     "dedup_url": DEDUP_URL_SQL,
     "dedup_contamination": DEDUP_CONTAMINATION_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_substring_winnow": DEDUP_SUBSTRING_WINNOW_SQL,
 }
 
 BENCH_QUERIES = {
