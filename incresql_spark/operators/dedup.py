@@ -1,18 +1,23 @@
 """Deduplication operators over ``documents`` / ``embeddings`` — the dedup
 stage of a training-data pipeline (BASELINE.json north star).
 
-Five operators, every one oracle-matched against DuckDB (no weaker rows-only
+Every operator is oracle-matched against DuckDB (no weaker rows-only
 checks) because all randomness is derived from the cross-engine hash60
 primitive (functions/hashing.py):
 
-- ``dedup_exact``          — hash-groupBy on raw content
-- ``dedup_ngram_jaccard``  — exact 3-gram-shingle Jaccard over pairs sharing
-                             a shingle (the ground-truth near-dup measure)
-- ``dedup_minhash_lsh``    — 16 MinHashes → 4 LSH bands → candidate pairs →
-                             exact-Jaccard verification (the scale path:
-                             candidates only, never all pairs)
-- ``dedup_simhash``        — 60-bit SimHash + banded Hamming-distance pairs
-- ``dedup_embedding``      — embedding-cosine near-dup pairs (exact fold)
+- ``dedup_exact``            — hash-groupBy on raw content
+- ``dedup_passages``         — C4-style cross-doc passage/boilerplate dedup
+- ``dedup_ngram_jaccard``    — exact 3-gram-shingle Jaccard over pairs
+                               sharing a rare shingle (ground truth)
+- ``dedup_minhash_lsh``      — 16 MinHashes → 4 LSH bands → candidates →
+                               exact-Jaccard verification (the scale path)
+- ``dedup_simhash``          — 60-bit SimHash + banded Hamming pairs
+- ``dedup_embedding``        — embedding-cosine near-dup pairs (exact fold)
+- ``dedup_substring_winnow`` — alignment-robust substring-level dedup
+                               (winnowing fingerprints, MOSS)
+- ``dedup_url``              — canonicalized-URL dedup
+- ``dedup_contamination``    — eval-set decontamination (broadcast overlap)
+- ``dedup_clusters``         — pairs → clusters via min-label propagation
 
 Scale design: every stage is groupBy/join on keys that Spark shuffles
 hash-partitioned; nothing collects to the driver.  MinHash signatures are 16
