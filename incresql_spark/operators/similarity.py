@@ -1,10 +1,15 @@
 """Similarity search over the ``embeddings`` table (``array<float>`` column).
 
-- ``sim_topk_cosine`` — brute-force exact top-k cosine neighbours for a query
-  set (the correctness baseline).
-- ``sim_ann_lsh``     — random-hyperplane LSH: 8 signed projections → 8-bit
-  bucket → search only the query's bucket → exact top-k within it (the scale
-  path: bucket join instead of cross product).
+- ``sim_topk_cosine``     — brute-force exact top-k cosine for a BOUNDED
+  query set (the correctness baseline; hard-gated on |queries|).
+- ``sim_ann_lsh``         — random-hyperplane LSH: search only the query's
+  bucket, exact top-k within it (bucket join instead of cross product).
+- ``sim_knn_graph``       — full-corpus kNN via the bucketed self-join.
+- ``sim_dedup_semantic``  — SemDeDup: kNN graph → cosine threshold →
+  connected components → one keeper per cluster.
+- ``sim_ann_ivf``         — IVF coarse quantization + multi-probe search.
+- ``sim_label_centroids`` / ``sim_kmeans`` — centroid aggregation and
+  fixed-iteration Lloyd's k-means as pure DataFrame plans.
 
 Oracle-matching strategy: hyperplane components are deterministic pseudo-
 randoms derived from md5 (functions/hashing.unit_interval), embedded as

@@ -2,15 +2,22 @@
 quality-scoring / token-counting / fingerprinting stage of a training-data
 pipeline (BASELINE.json north star; beyond the reference's own surface).
 
-All four operators are pure Column expressions (JVM-side, whole-stage
+All operators are built from Column expressions (JVM-side, whole-stage
 codegen, no Python) and oracle-matched against DuckDB.  The shared token
 convention is ``regexp_extract_all(lower(text), '[a-z0-9]+')`` — identical
-semantics in both engines for ASCII input.
+semantics in both engines for ASCII input.  Beyond the per-doc scorers
+(stats, langid, tokens, fingerprint, repetition, OOV, PII scrub), the
+module covers corpus-level preparation: vocabulary (``text_vocab``),
+stratified sampling, token-budget source mixing (``text_mix_sources``),
+concat-and-chunk sequence packing (``text_pack_sequences``), and
+overlapping retrieval chunking (``text_chunk_overlap``).
 
-Scale: each operator is a narrow map over documents — no shuffle at all
-except the final ORDER BY (which exists only for test determinism and would
-be dropped in production).  At 100 TB this is the ideal shape: scan →
-project → write, fully pipelined.
+Scale: the per-doc scorers are narrow maps — no shuffle except the final
+ORDER BY (test determinism only).  The corpus-level ops confine their
+shuffles to tiny aggregate frames (per-source rates, per-shard prefix
+offsets) broadcast back against narrow passes; the corpus itself shuffles
+at most once.  At 100 TB this is the ideal shape: scan → project → write,
+fully pipelined.
 """
 
 from __future__ import annotations
