@@ -285,3 +285,22 @@ def test_mix_sources_rates_and_budget(spark):
     kept_tokens = sum(r.n_tokens for r in rows)
     frac = kept_tokens / total
     assert 0.2 < frac < 0.8  # budget is 1/2; hash sampling wobbles
+
+
+def test_winnow_finds_shared_substring_regardless_of_alignment(spark, tmp_path):
+    """The winnowing guarantee: two docs sharing a substring of length >=
+    K + W - 1 must pair, even when the shared region sits at completely
+    different offsets in each doc (the case stride-sampled windows miss);
+    docs with no shared region must not pair."""
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        # same substring, shifted by an arbitrary prefix (mis-aligned)
+        (2, "a totally different and much longer preamble here: " + shared),
+        (3, "completely unrelated content with no overlap whatsoever "
+            "zebra xylophone quartz vortex blitz " * 3),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    got = {(r.doc_a, r.doc_b) for r in dedup.dedup_substring_winnow(spark, sf).collect()}
+    assert (1, 2) in got
+    assert all(3 not in pair for pair in got)
