@@ -678,6 +678,59 @@ ORDER BY nationkey
 """
 
 
+HIST_BUCKETS = 10
+
+
+def op_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals — the data-profiling /
+    optimizer-statistics primitive.  Two passes: a scalar MIN/MAX aggregate
+    (broadcast back — one row), then a narrow bucket projection + count.
+    Bucket arithmetic is the identical IEEE-754 expression in both engines
+    (one subtraction, one division, floor), with the top edge clamped into
+    the last bucket; the degenerate lo == hi case is filtered identically
+    rather than left to engine-specific NaN casts."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    mm = o.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    bucket = F.expr(
+        f"least({HIST_BUCKETS - 1}, "
+        f"CAST(floor((v - lo) / ((hi - lo) / {HIST_BUCKETS})) AS INT))"
+    )
+    return (
+        o.crossJoin(F.broadcast(mm))
+        .filter(F.col("hi") > F.col("lo"))
+        .select(
+            bucket.alias("bucket"),
+            F.expr(f"lo + ((hi - lo) / {HIST_BUCKETS}) * "
+                   f"least({HIST_BUCKETS - 1}, "
+                   f"CAST(floor((v - lo) / ((hi - lo) / {HIST_BUCKETS})) AS INT))"
+                   ).alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("bucket")
+    )
+
+
+OP_HISTOGRAM_SQL = f"""
+WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v)
+SELECT least({HIST_BUCKETS - 1},
+             CAST(floor((v - lo) / ((hi - lo) / {HIST_BUCKETS})) AS INT))
+         AS bucket,
+       lo + ((hi - lo) / {HIST_BUCKETS}) *
+         least({HIST_BUCKETS - 1},
+               CAST(floor((v - lo) / ((hi - lo) / {HIST_BUCKETS})) AS INT))
+         AS bucket_lo,
+       COUNT(*) AS n_orders
+FROM v, mm
+WHERE hi > lo
+GROUP BY 1, 2
+ORDER BY bucket
+"""
+
+
 RETENTION_EPOCH = "2024-01-01"  # Monday-aligned week origin; <= min(events.ts)
 
 
@@ -1130,6 +1183,7 @@ QUERIES = {
     "op_pivot": op_pivot,
     "op_full_outer_join": op_full_outer_join,
     "op_retention_cohorts": op_retention_cohorts,
+    "op_histogram": op_histogram,
 }
 
 ORACLE = {
@@ -1163,6 +1217,7 @@ ORACLE = {
     "op_pivot": OP_PIVOT_SQL,
     "op_full_outer_join": OP_FULL_OUTER_JOIN_SQL,
     "op_retention_cohorts": OP_RETENTION_COHORTS_SQL,
+    "op_histogram": OP_HISTOGRAM_SQL,
 }
 
 BENCH_QUERIES = {
