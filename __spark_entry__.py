@@ -14,7 +14,7 @@ end-to-end curation dataflow (pipeline_curate), and the head of the text
 suite.  The tail of the text suite and the "free in Spark" relational demos
 (op_distinct, op_rollup, op_pivot, ...) fall past the cap; everything there
 is equally oracle-checked locally via ``tools/check_oracle.py`` and pytest
-(90 queries total, all value-hash-matched).
+(91 queries total, all value-hash-matched).
 """
 
 from __future__ import annotations

@@ -678,6 +678,58 @@ ORDER BY nationkey
 """
 
 
+def op_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of lineitem quantity vs extended price — the
+    two-variable statistics primitive, computed from exact-decimal moment
+    sums (n, Σx, Σy, Σxy, Σx², Σy²).
+
+    Distributed safety: each moment is a DECIMAL sum (associative — shuffle
+    order can't change it), so unlike a naive double Σxy the result is
+    bit-stable across partitionings AND engines; the final r is a fixed
+    sequence of double ops over those exact moments.  This is also the
+    mergeable-moments shape a streaming/MV variant would keep as state."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(l_quantity AS DECIMAL(12,2))").alias("x"),
+        F.expr("CAST(l_extendedprice AS DECIMAL(14,2))").alias("y"),
+    )
+    m = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x * y AS DECIMAL(30,4))")).alias("sxy"),
+        F.sum(F.expr("CAST(x * x AS DECIMAL(28,4))")).alias("sxx"),
+        F.sum(F.expr("CAST(y * y AS DECIMAL(32,4))")).alias("syy"),
+    )
+    r = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+        "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return m.select("n", F.expr(r).alias("corr_qty_price"))
+
+
+OP_CORR_SQL = """
+WITH l AS (
+  SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+         CAST(l_extendedprice AS DECIMAL(14,2)) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * y AS DECIMAL(30,4))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(28,4))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(32,4))) AS syy
+  FROM l
+)
+SELECT n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_qty_price
+FROM m
+"""
+
+
 HIST_BUCKETS = 10
 
 
@@ -1184,6 +1236,7 @@ QUERIES = {
     "op_full_outer_join": op_full_outer_join,
     "op_retention_cohorts": op_retention_cohorts,
     "op_histogram": op_histogram,
+    "op_corr": op_corr,
 }
 
 ORACLE = {
@@ -1218,6 +1271,7 @@ ORACLE = {
     "op_full_outer_join": OP_FULL_OUTER_JOIN_SQL,
     "op_retention_cohorts": OP_RETENTION_COHORTS_SQL,
     "op_histogram": OP_HISTOGRAM_SQL,
+    "op_corr": OP_CORR_SQL,
 }
 
 BENCH_QUERIES = {
