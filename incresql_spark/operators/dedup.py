@@ -160,8 +160,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays — a handful of boilerplate shingles per doc — travel through the
     verify join.  The naive alternative (carry both docs' full shingle
     arrays to every candidate pair) shuffles ~|pairs| x 2 x |doc| strings:
-    measured 190s -> 46s at the tiled sf1 (5.2M candidates, 50k docs) with
-    byte-identical output.  A 3*min(na,nb) >= na+nb length prefilter
+    measured 190s -> 88.5s end-to-end at the tiled sf1 (5.2M candidates,
+    50k docs, DuckDB needs 467s) with byte-identical output.  A 3*min(na,nb) >= na+nb length prefilter
     (necessary for J >= 0.5 since n_common <= min) prunes pairs before the
     residual intersect; the oracle keeps the straightforward full-array
     formulation — values are provably identical.
