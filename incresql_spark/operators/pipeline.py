@@ -167,7 +167,7 @@ def pipeline_pretrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         clean.groupBy("source")
         .agg(F.sum("n_tokens").alias("actual"))
-        .withColumn("w", F.expr("CAST(substring(source, 4, 10) AS INT) % 3 + 1"))
+        .withColumn("w", F.expr("coalesce(try_cast(substring(source, 4, 10) AS INT), 0) % 3 + 1"))
     )
     tot = per.agg(F.sum("actual").alias("total"), F.sum("w").alias("sumw"))
     rates = per.crossJoin(F.broadcast(tot)).select(
@@ -263,7 +263,7 @@ clean AS (
 ),
 per AS (
   SELECT source, SUM(n_tokens) AS actual,
-         CAST(substr(source, 4) AS INT) % 3 + 1 AS w
+         coalesce(TRY_CAST(substr(source, 4) AS INT), 0) % 3 + 1 AS w
   FROM clean GROUP BY source
 ),
 tot AS (SELECT SUM(actual) AS total, SUM(w) AS sumw FROM per),

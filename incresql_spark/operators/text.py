@@ -686,7 +686,7 @@ def text_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         tok.groupBy("source")
         .agg(F.sum("n_tokens").alias("actual"))
-        .withColumn("w", F.expr("CAST(substring(source, 4, 10) AS INT) % 3 + 1"))
+        .withColumn("w", F.expr("coalesce(try_cast(substring(source, 4, 10) AS INT), 0) % 3 + 1"))
     )
     tot = per.agg(F.sum("actual").alias("total"), F.sum("w").alias("sumw"))
     rates = per.crossJoin(F.broadcast(tot)).select(
@@ -714,7 +714,7 @@ WITH tok AS (
 ),
 per AS (
   SELECT source, SUM(n_tokens) AS actual,
-         CAST(substr(source, 4) AS INT) % 3 + 1 AS w
+         coalesce(TRY_CAST(substr(source, 4) AS INT), 0) % 3 + 1 AS w
   FROM tok GROUP BY source
 ),
 tot AS (SELECT SUM(actual) AS total, SUM(w) AS sumw FROM per),
