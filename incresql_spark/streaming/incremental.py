@@ -23,7 +23,7 @@ driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
@@ -73,6 +73,58 @@ def stream_dedup(
     """
     keys = keys or ["event_id"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+CURATE_STREAM_MIN_TOKENS = 20
+
+
+def stream_curate_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    table: FreqTable,
+    checkpoint_dir: str,
+    min_tokens: int = CURATE_STREAM_MIN_TOKENS,
+) -> StreamingQuery:
+    """Streaming corpus ingestion with curation: each micro-batch of
+    documents is quality-filtered, exact-deduped within the batch AND
+    against everything already ingested, then appended to ``table`` — the
+    shape a production training-data feed runs (dedup against the corpus
+    so far, not just the stream window).
+
+    The already-ingested side is the FreqTable itself: a 16-byte
+    content-hash anti-join per batch (only hashes travel, never bodies).
+    State is the table — durable, exact, unbounded-horizon — where
+    dropDuplicatesWithinWatermark (stream_dedup) bounds state by TIME.
+    availableNow trigger for deterministic tests; drop for continuous mode.
+    """
+    from ..operators.text import TOKENS_SPARK
+
+    stream = spark.readStream.schema(schema).format("parquet").load(source_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not table.exists():
+            table.create(batch_df.schema)
+        clean = batch_df.filter(F.expr(f"size({TOKENS_SPARK}) >= {min_tokens}"))
+        # in-batch keeper: min doc_id per content hash
+        w = Window.partitionBy(F.md5("text"))
+        keepers = clean.withColumn("__keep", F.min("doc_id").over(w)).filter(
+            F.col("doc_id") == F.col("__keep")
+        ).drop("__keep")
+        existing = table.scan()
+        if existing is not None and existing.take(1):
+            seen = existing.select(F.md5("text").alias("__h")).distinct()
+            keepers = keepers.join(
+                seen, F.md5(keepers["text"]) == seen["__h"], "left_anti"
+            )
+        table.insert(keepers)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def stream_interval_join(

@@ -234,3 +234,49 @@ def test_stream_interval_join(spark, tmp_path):
         spark.createDataFrame(views, schema), spark.createDataFrame(clicks, cschema)
     )
     assert sorted((r.click_id, r.view_id) for r in batch.collect()) == got
+
+
+def test_stream_curate_ingest_dedupes_against_history(spark, tmp_path):
+    """Batch 2's duplicate of a batch-1 doc must not be re-ingested; short
+    docs must be quality-filtered; in-batch dup keeps the min doc_id."""
+    src = tmp_path / "docs-in"
+    src.mkdir()
+    schema_ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    long_text = " ".join(f"tok{i}" for i in range(30))
+    other_text = " ".join(f"w{i}" for i in range(30))
+
+    table = FreqTable(spark, str(tmp_path / "curated"))
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema_ddl).repartition(1).write.parquet(
+            str(src / name)
+        )
+
+    write_batch(
+        "b1.parquet",
+        [
+            (1, long_text, "en", "s", len(long_text)),
+            (2, long_text, "en", "s", len(long_text)),   # in-batch dup of 1
+            (3, "too short", "en", "s", 9),               # quality-filtered
+        ],
+    )
+    q = incremental.stream_curate_ingest(
+        spark, str(src) + "/*", spark.createDataFrame([], schema_ddl).schema,
+        table, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in table.scan().collect()) == [1]
+
+    write_batch(
+        "b2.parquet",
+        [
+            (4, long_text, "en", "s", len(long_text)),    # dup vs history
+            (5, other_text, "en", "s", len(other_text)),  # genuinely new
+        ],
+    )
+    q2 = incremental.stream_curate_ingest(
+        spark, str(src) + "/*", spark.createDataFrame([], schema_ddl).schema,
+        table, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert sorted(r.doc_id for r in table.scan().collect()) == [1, 5]
