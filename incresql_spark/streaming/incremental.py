@@ -6,15 +6,21 @@ Structured Streaming IS that machinery on Spark: a file-source stream tails
 a directory of appended files (≈ log sections), and ``foreachBatch`` applies
 each micro-batch as a signed-frequency delta to downstream state.
 
-Two maintenance patterns:
+The patterns:
 
-- ``stream_into_table``  — continuous ingestion into a FreqTable: each
+- ``stream_into_table``     — continuous ingestion into a FreqTable: each
   micro-batch becomes one segment (append-only, O(batch)); a downstream
-  MaterializedView.refresh() then consumes those segments as deltas.  This
-  chains file-stream → multiset table → incremental MV end-to-end.
-- ``windowed_counts``    — native watermarked tumbling-window aggregation in
-  update mode (late data handled by Spark state store), the idiomatic
-  replacement for hand-rolled retractable window state.
+  MaterializedView.refresh() consumes those segments as deltas, chaining
+  file-stream → multiset table → incremental MV end-to-end.
+- ``stream_curate_ingest``  — the same ingestion with curation: quality
+  filter + exact dedup against ALL history (content-hash anti-join on the
+  table itself).
+- ``stream_dedup``          — time-bounded streaming dedup
+  (dropDuplicatesWithinWatermark; state = rate × watermark horizon).
+- ``stream_interval_join``  — watermarked stream-stream attribution join
+  with bounded join state.
+- ``windowed_counts``       — native watermarked tumbling-window
+  aggregation, the idiomatic replacement for hand-rolled window state.
 
 Scale: file-source streaming distributes file splits across executors;
 state-store aggregations shard by key.  Nothing below collects to the
