@@ -69,8 +69,9 @@ SHINGLES_DUCK = (
 )
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles array<string> distinct, n_shingles).
+def doc_shingles_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles array<string> distinct, n_shingles) from a raw
+    ``documents``-shaped DataFrame (needs doc_id + text).
 
     The >=3-token guard is applied to the RAW rows, not as ``n_shingles > 0``
     after the shingle projection (the two are equivalent): a filter placed
@@ -83,13 +84,16 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per row (observed 100x wall-clock blowup at a tiled sf1).  Filtering
     on ``size(tokens) >= 3`` keeps the pushed predicate a single regex run
     and leaves the shingle projection in its own codegen stage."""
-    d = load_table(spark, sf_dir, "documents")
     return (
-        d.filter(F.expr(f"size({TOKENS_SPARK}) >= 3"))
+        docs.filter(F.expr(f"size({TOKENS_SPARK}) >= 3"))
         .withColumn("tokens", F.expr(TOKENS_SPARK))
         .withColumn("shingles", F.array_distinct(F.expr(SHINGLES_SPARK)))
         .select("doc_id", "shingles", F.size("shingles").alias("n_shingles"))
     )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_shingles_df(load_table(spark, sf_dir, "documents"))
 
 
 _DOC_SHINGLES_DUCK = f"""
@@ -254,33 +258,26 @@ ORDER BY doc_a, doc_b
 
 
 # --- MinHash + LSH ---------------------------------------------------------
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures → LSH band buckets → candidates → exact verify.
+def minhash_bands_long(docsh: DataFrame) -> DataFrame:
+    """(doc_id, band_id, bk) LSH band table from a shingle table.
 
-    16 hash functions (seeded hash60 family), 4 bands × 4 rows — collision
-    probability ≈ 1-(1-j⁴)⁴, steep around j≈0.5.  Candidates from any band
-    are verified with exact Jaccard via array intersection, so the output is
-    deterministic (and oracle-checkable); LSH only prunes the search space.
+    Kirsch-Mitzenmacher family: 16 minhashes from ONE md5 per shingle
+    (h1 + i*h2 < 2^53, overflow-free in both engines).  Long format: ONE
+    explode + ONE equi-join on (band_id, bk) instead of N_BANDS separate
+    joins (which would recompute the signature pipeline 2×N_BANDS times).
+    Shared by the batch operator and the incremental maintainer so both
+    produce byte-identical band keys.
     """
-    # Persist the shingle table: it feeds the signature build AND the final
-    # exact-verify join (on a cluster this is the signature/shingle table
-    # you would materialize once per corpus snapshot anyway).
-    docsh = _doc_shingles(spark, sf_dir).persist()
     h1, h2 = double_hash_spark("shingle")
     exploded = docsh.select("doc_id", F.explode("shingles").alias("shingle")).select(
         "doc_id", F.expr(h1).alias("h1"), F.expr(h2).alias("h2")
     )
-    # Kirsch-Mitzenmacher family: 16 minhashes from ONE md5 per shingle
-    # (h1 + i*h2 < 2^53, overflow-free in both engines).
     sig = exploded.groupBy("doc_id").agg(
         *[
             F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
             for i in range(N_MINHASH)
         ]
     )
-    # Long-format band table: ONE explode + ONE self-join on (band_id, key)
-    # instead of N_BANDS separate joins (which would recompute the signature
-    # pipeline 2×N_BANDS times).  Shuffles once, on the band key.
     band_structs = [
         F.struct(
             F.lit(j).alias("band_id"),
@@ -294,25 +291,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(N_BANDS)
     ]
-    bands_long = (
+    return (
         sig.select("doc_id", F.explode(F.array(*band_structs)).alias("band"))
         .select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.bk").alias("bk"))
-        .persist()
     )
-    a = bands_long.select(F.col("doc_id").alias("doc_a"), "band_id", "bk")
-    b = bands_long.select(F.col("doc_id").alias("doc_b"), "band_id", "bk")
-    candidates = (
-        a.join(b, ["band_id", "bk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = docsh.select(
+
+
+def verify_jaccard_pairs(
+    candidates: DataFrame, shingles_a: DataFrame, shingles_b: DataFrame
+) -> DataFrame:
+    """Exact-Jaccard verification of (doc_a, doc_b) candidate pairs against
+    two shingle tables (may be the same DataFrame for a self-dedup).  Output
+    is deterministic — LSH only pruned the search space."""
+    sa = shingles_a.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shingles").alias("sha"),
         F.col("n_shingles").alias("na"),
     )
-    sb = docsh.select(
+    sb = shingles_b.select(
         F.col("doc_id").alias("doc_b"),
         F.col("shingles").alias("shb"),
         F.col("n_shingles").alias("nb"),
@@ -328,8 +324,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "n_common", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures → LSH band buckets → candidates → exact verify.
+
+    16 hash functions (seeded hash60 family), 4 bands × 4 rows — collision
+    probability ≈ 1-(1-j⁴)⁴, steep around j≈0.5.  Candidates from any band
+    are verified with exact Jaccard via array intersection, so the output is
+    deterministic (and oracle-checkable); LSH only prunes the search space.
+    """
+    # Persist the shingle table: it feeds the signature build AND the final
+    # exact-verify join (on a cluster this is the signature/shingle table
+    # you would materialize once per corpus snapshot anyway).
+    docsh = _doc_shingles(spark, sf_dir).persist()
+    bands_long = minhash_bands_long(docsh).persist()
+    a = bands_long.select(F.col("doc_id").alias("doc_a"), "band_id", "bk")
+    b = bands_long.select(F.col("doc_id").alias("doc_b"), "band_id", "bk")
+    candidates = (
+        a.join(b, ["band_id", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return verify_jaccard_pairs(candidates, docsh, docsh).orderBy("doc_a", "doc_b")
 
 
 def _minhash_lsh_oracle() -> str:

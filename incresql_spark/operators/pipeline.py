@@ -263,7 +263,7 @@ clean AS (
 ),
 per AS (
   SELECT source, SUM(n_tokens) AS actual,
-         coalesce(TRY_CAST(substr(source, 4) AS INT), 0) % 3 + 1 AS w
+         coalesce(TRY_CAST(substr(source, 4, 10) AS INT), 0) % 3 + 1 AS w
   FROM clean GROUP BY source
 ),
 tot AS (SELECT SUM(actual) AS total, SUM(w) AS sumw FROM per),
@@ -289,8 +289,8 @@ cum AS (
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       MIN((cum_end - n_tokens) // {PACK_CAP}) AS first_bin,
-       MAX((cum_end - 1) // {PACK_CAP}) AS last_bin
+       CAST(MIN((cum_end - n_tokens) // {PACK_CAP}) AS BIGINT) AS first_bin,
+       CAST(MAX((cum_end - 1) // {PACK_CAP}) AS BIGINT) AS last_bin
 FROM cum
 GROUP BY source
 ORDER BY source

@@ -576,10 +576,10 @@ cum AS (
   FROM nz
 )
 SELECT doc_id, n_tokens,
-       (cum_end - n_tokens) // {PACK_CAP} AS bin_first,
-       (cum_end - 1) // {PACK_CAP} AS bin_last,
-       (cum_end - 1) // {PACK_CAP} - (cum_end - n_tokens) // {PACK_CAP} + 1
-         AS n_bins
+       CAST((cum_end - n_tokens) // {PACK_CAP} AS BIGINT) AS bin_first,
+       CAST((cum_end - 1) // {PACK_CAP} AS BIGINT) AS bin_last,
+       CAST((cum_end - 1) // {PACK_CAP} - (cum_end - n_tokens) // {PACK_CAP} + 1
+         AS BIGINT) AS n_bins
 FROM cum
 ORDER BY doc_id
 """
@@ -714,7 +714,7 @@ WITH tok AS (
 ),
 per AS (
   SELECT source, SUM(n_tokens) AS actual,
-         coalesce(TRY_CAST(substr(source, 4) AS INT), 0) % 3 + 1 AS w
+         coalesce(TRY_CAST(substr(source, 4, 10) AS INT), 0) % 3 + 1 AS w
   FROM tok GROUP BY source
 ),
 tot AS (SELECT SUM(actual) AS total, SUM(w) AS sumw FROM per),

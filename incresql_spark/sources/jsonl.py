@@ -39,7 +39,12 @@ def read_jsonl(
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         if keep_corrupt:
-            schema = schema.add("_corrupt_record", T.StringType())
+            # Copy: StructType.add mutates in place, which would leak the
+            # corrupt column into a caller-supplied schema object.
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField("_corrupt_record", T.StringType())]
+            )
         reader = reader.schema(schema)
     return reader.json(path)
 

@@ -94,7 +94,7 @@ sessions AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM marked
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        MIN(event_id) AS first_event,
        MAX(event_id) AS last_event,
        COUNT(*) AS n_events,

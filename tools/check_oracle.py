@@ -19,6 +19,35 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# Oracle output-type allowlist.  The driver's value normalizer and this
+# replica's str(int) agree on these; anything outside — HUGEINT above all
+# (DuckDB's window SUM / int aggregates widen to int128) — has hashed
+# differently on the driver while hashing identically here, producing three
+# rounds of false local greens (VERDICT r4 §What's wrong).  DuckDB relation
+# .types is lazy, so linting never executes the query.
+ALLOWED_ORACLE_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+    "DOUBLE", "FLOAT", "DECIMAL",
+    "VARCHAR", "BOOLEAN", "BLOB", "DATE", "TIMESTAMP",
+}
+
+
+def _base_type(t: str) -> str:
+    t = t.strip()
+    while t.endswith("[]"):  # unwrap list types to their element type
+        t = t[:-2]
+    return t.split("(")[0]
+
+
+def lint_oracle_types(con, sql: str) -> list[tuple[str, str]]:
+    """Return (column, type) pairs whose DuckDB output type is off-allowlist."""
+    rel = con.sql(sql)
+    return [
+        (col, str(typ))
+        for col, typ in zip(rel.columns, rel.types)
+        if _base_type(str(typ)) not in ALLOWED_ORACLE_TYPES
+    ]
+
 
 def _norm_cell(v) -> str:
     import datetime
@@ -52,9 +81,30 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def lint_main(sf_dir: str) -> int:
+    """Lint every oracle's output types without starting Spark (fast)."""
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    failures = []
+    for name, sql in entry_mod.oracle_sql().items():
+        bad = lint_oracle_types(con, sql)
+        if bad:
+            failures.append(name)
+            print(f"  {name:28s} TYPE-LINT FAIL: {bad}")
+    print("LINT FAILURES:", failures if failures else "none")
+    return 1 if failures else 0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--lint"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if "--lint" in sys.argv:
+        return lint_main(sf_dir)
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
@@ -81,9 +131,18 @@ def main() -> int:
             continue
         t0 = time.time()
         rel = con.sql(oracles[name])
+        bad_types = [
+            (col, str(typ))
+            for col, typ in zip(rel.columns, rel.types)
+            if _base_type(str(typ)) not in ALLOWED_ORACLE_TYPES
+        ]
         orows = [tuple(r) for r in rel.fetchall()]
         ocols = list(rel.columns)
         duck_s = time.time() - t0
+        if bad_types:
+            print(f"  {name:28s} TYPE-LINT FAIL: {bad_types}")
+            failures.append(name)
+            continue
         ok_cols = sorted(scols) == sorted(ocols)
         ok_rows = len(srows) == len(orows)
         sh = value_hash(scols, srows)
