@@ -37,21 +37,31 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+CHECKPOINT_DIR_CONF = "incresql.checkpoint.dir"
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Materialize an intermediate that multiple downstream branches reuse
     (LSH signature tables, iterative-graph edge lists): compute it exactly
     once and truncate its lineage so re-scans read rows instead of
     re-running the producing pipeline.
 
-    Implementation is an eager ``localCheckpoint`` — right for local mode
-    and modest clusters.  Fault-tolerance note for 1000-executor runs:
-    localCheckpoint blocks live on executor-local storage and die with the
-    executor; swap for reliable checkpointing
-    (``sc.setCheckpointDir(...)`` + ``df.checkpoint()``) or an explicit
-    parquet round-trip when executor loss must be survivable.  The calling
-    dataflow is identical either way — this helper is the single seam to
-    change.
+    Default is an eager ``localCheckpoint`` — right for local mode and
+    modest clusters, but its blocks live on executor-local storage and die
+    with the executor.  For 1000-executor runs set the session conf
+    ``incresql.checkpoint.dir`` to a reliable location (HDFS/object store):
+    this helper then switches to ``sc.setCheckpointDir`` +
+    ``df.checkpoint()``, whose RDD blocks survive executor loss.  The
+    calling dataflow is identical either way — this helper is the single
+    seam, and every operator that materializes goes through it.
     """
+    spark = df.sparkSession
+    ckpt_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+    if ckpt_dir:
+        sc = spark.sparkContext
+        # setCheckpointDir is idempotent for the same path; cheap to re-call.
+        sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=True)
     return df.localCheckpoint()
 
 

@@ -348,3 +348,30 @@ def test_mix_sources_rates_are_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_materialize_reliable_checkpoint_mode(spark, tmp_path):
+    """materialize() honors incresql.checkpoint.dir: same rows either way,
+    and the reliable mode writes RDD checkpoint files under the configured
+    dir (the executor-loss-survivable variant for cluster runs)."""
+    import os
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    expected = sorted(tuple(r) for r in df.collect())
+
+    local = layout.materialize(df)
+    assert sorted(tuple(r) for r in local.collect()) == expected
+
+    ckpt = str(tmp_path / "reliable_ckpt")
+    spark.conf.set(layout.CHECKPOINT_DIR_CONF, ckpt)
+    try:
+        reliable = layout.materialize(df)
+        assert sorted(tuple(r) for r in reliable.collect()) == expected
+        written = [
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(ckpt)
+            for f in files
+        ]
+        assert written, "reliable mode must write under the configured dir"
+    finally:
+        spark.conf.unset(layout.CHECKPOINT_DIR_CONF)

@@ -280,3 +280,78 @@ def test_stream_curate_ingest_dedupes_against_history(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert sorted(r.doc_id for r in table.scan().collect()) == [1, 5]
+
+
+def test_sessionize_stream_multibatch_equivalence(spark, tmp_path):
+    """VERDICT r4 task 7: batch↔streaming sessionize equivalence across
+    MICRO-BATCH boundaries.  Events are split into three consecutive
+    time slices delivered one file per trigger, so open sessions must be
+    carried through the state store between micro-batches; the emitted
+    closed sessions must equal the batch operator's sessions minus each
+    user's final (still-open) session."""
+    from incresql_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF_SMALL, "events").filter(F.col("user_id") <= 5)
+    src = tmp_path / "mb_src"
+    slices = [
+        events.filter(F.col("ts") <= F.lit("2024-01-10")),
+        events.filter(
+            (F.col("ts") > F.lit("2024-01-10")) & (F.col("ts") <= F.lit("2024-01-20"))
+        ),
+        events.filter(F.col("ts") > F.lit("2024-01-20")),
+    ]
+    for i, sl in enumerate(slices):
+        sl.select("user_id", "event_id", "ts", "value").coalesce(1).write.parquet(
+            str(src / f"slice-{i}")
+        )
+        time.sleep(1.1)  # strictly increasing mtimes → deterministic file order
+
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    # Fewer state-store partitions → fewer Python-worker launches per
+    # micro-batch (the partition count is captured at checkpoint creation).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sessionize.sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName("sessions_mb")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_mb"))
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    assert len(q.recentProgress) >= 3, "expected one micro-batch per file"
+
+    got = {
+        (r.user_id, r.first_event): (r.last_event, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_mb").collect()
+    }
+    batch_rows = [
+        r for r in sessionize.sessionize(spark, SF_SMALL).collect() if r.user_id <= 5
+    ]
+    last_open = {}
+    for r in batch_rows:
+        if r.user_id not in last_open or r.first_event > last_open[r.user_id]:
+            last_open[r.user_id] = r.first_event
+    expected = {
+        (r.user_id, r.first_event): (r.last_event, r.n_events)
+        for r in batch_rows
+        if last_open[r.user_id] != r.first_event
+    }
+    # Exact set equality: every closed session, none missing, none invented,
+    # including the sessions whose events straddled a micro-batch boundary.
+    assert got == expected
+    assert any(
+        u in last_open for (u, _fe) in got
+    ), "fixture should produce multiple sessions per user"
