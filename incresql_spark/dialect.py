@@ -205,6 +205,41 @@ def _rewrite_col_int_division(sql: str, type_of) -> str:
 _SPECIAL_VARS = {"@@max_allowed_packet": "16777215", "@@socket": "''"}
 
 _COUNT0 = re.compile(r"\bcount\s*\(\s*\)", re.IGNORECASE)
+_JSONPATH_AS = re.compile(r"\bAS\s+JSONPATH\s*$", re.IGNORECASE)
+
+
+def _rewrite_jsonpath_cast(sql: str) -> str:
+    """``CAST(expr AS JSONPATH)`` → ``to_jsonpath(expr)``.
+
+    JSONPATH is a first-class reference type (datatype.rs:19, SQL name at
+    :56/:79) with no Spark spelling, so the cast becomes the constructor
+    call — which also carries the reference's invalid-path → NULL semantics
+    (casts/to_jsonpath.rs:17-26).  Balanced-paren scan: the expr may itself
+    contain calls; only a depth-0 trailing AS JSONPATH is rewritten."""
+    while True:
+        replaced = False
+        for m in list(_CAST_OPEN.finditer(sql)):
+            depth, i = 1, m.end()
+            while i < len(sql) and depth:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                i += 1
+            inner = sql[m.end() : i - 1]
+            tail = _JSONPATH_AS.search(inner)
+            if tail:
+                sql = (
+                    sql[: m.start()]
+                    + f"to_jsonpath({inner[: tail.start()].strip()})"
+                    + sql[i:]
+                )
+                replaced = True
+                break  # spans shifted — rescan
+        if not replaced:
+            return sql
+
+
 _TYPE_OF = re.compile(r"\btype_of\s*\(", re.IGNORECASE)
 _DATABASE_FN = re.compile(r"\bdatabase\s*\(\s*\)", re.IGNORECASE)
 _LIMIT_COMMA = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)", re.IGNORECASE)
@@ -267,6 +302,7 @@ def rewrite(
     # backticked identifiers ONCE so none of them can corrupt literal text
     # (e.g. a literal containing 'count()', 'CAST(x AS TEXT)' or '@@socket')
     out, stash = mask_literals(out)
+    out = _rewrite_jsonpath_cast(out)
     out = _rewrite_cast_types(out)
     out = _rewrite_int_division(out)
     if int_col_type is not None:

@@ -91,6 +91,11 @@ class EngineResult:
                 return "NULL"
             if isinstance(v, bool):
                 return "TRUE" if v else "FALSE"
+            # JSONPATH datum (a tagged struct on Spark): the reference
+            # displays the original path single-quoted
+            # (jsonpath_utils.rs:68-72)
+            if hasattr(v, "__fields__") and list(v.__fields__) == ["__jsonpath"]:
+                return f"'{v['__jsonpath']}'"
             return str(v)
 
         return ["|" + "|".join(fmt(v) for v in r) + "|" for r in self.rows]

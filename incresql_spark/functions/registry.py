@@ -60,9 +60,25 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
     ("to_bigint", "x STRING", "BIGINT", "CAST(x AS BIGINT)"),
     ("to_decimal", "x STRING", "DECIMAL(28,14)", "CAST(x AS DECIMAL(28,14))"),
     ("to_text", "x STRING", "STRING", "CAST(x AS STRING)"),
-    # to_jsonpath compiles a path literal in the reference (datum.rs:31-32);
-    # paths stay strings on Spark, so this validates shape and passes through
-    ("to_jsonpath", "x STRING", "STRING", "x"),
+    # to_jsonpath compiles a path literal into a first-class JSONPATH datum
+    # (datum.rs:31-32; casts/to_jsonpath.rs:17-26 — invalid paths → NULL).
+    # Spark has no JSONPATH type, so the datum is a tagged single-field
+    # struct: type_of() maps its typeof() spelling to JSONPATH, the engine
+    # renders it as the reference's Display does ('<original>',
+    # jsonpath_utils.rs:68-72), and struct ordering == the reference's
+    # Ord-on-original-string (datum.rs:182-184).  The validity regex mirrors
+    # the nom grammar (jsonpath_utils.rs:195-217): '$' then any of  .*  [*]
+    # [int]  .int  ["key"]  ['key']  .name(no-dot-no-bracket); quoted-key
+    # escapes are approximated (no embedded quotes).
+    (
+        "to_jsonpath",
+        "x STRING",
+        "STRUCT<__jsonpath: STRING>",
+        r"CASE WHEN x RLIKE "
+        r"'^\\$(\\.\\*|\\[\\*\\]|\\[-?[0-9]+\\]|\\.-?[0-9]+"
+        r"|\\[\"[^\"]*\"\\]|\\[''[^'']*''\\]|\\.[^.\\[]+)*$' "
+        r"THEN named_struct('__jsonpath', x) END",
+    ),
     # casts/type_of.rs:20 — reference type spellings over Spark typeof names
     (
         "incre_type_name",
@@ -72,6 +88,7 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
         "WHEN 'string' THEN 'TEXT' WHEN 'boolean' THEN 'BOOLEAN' "
         "WHEN 'void' THEN 'NULL' WHEN 'binary' THEN 'BYTEA' "
         "WHEN 'date' THEN 'DATE' WHEN 'timestamp_ntz' THEN 'TIMESTAMP' "
+        "WHEN 'struct<__jsonpath:string>' THEN 'JSONPATH' "
         "ELSE upper(t) END",
     ),
 ]

@@ -935,6 +935,29 @@ PASSAGE_SHARED_MIN_DOCS = 2
 PASSAGE_MAX_SHARED_FRAC = 0.5
 
 
+#: chunk list expression shared by the batch and incremental passage dedup.
+#: sequence(0, -1) DESCENDS in Spark, so short docs are guarded to an empty
+#: chunk list (DuckDB's range(0, 0) is already empty).
+_CHUNK_EXPR = (
+    f"CASE WHEN size(tokens) >= {PASSAGE_TOKENS} THEN "
+    f"transform(sequence(0, int(size(tokens) / {PASSAGE_TOKENS}) - 1), "
+    f"ci -> concat_ws(' ', slice(tokens, ci * {PASSAGE_TOKENS} + 1, {PASSAGE_TOKENS}))) "
+    "ELSE array() END"
+)
+
+
+def doc_chunks_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_hash) — one row per 16-token chunk INSTANCE of a raw
+    ``documents``-shaped DataFrame (needs doc_id + text).  Shared by the
+    batch operator and ``IncrementalPassagesDedup`` so chunk digests are
+    byte-identical between the two."""
+    return (
+        docs.withColumn("tokens", F.expr(TOKENS_SPARK))
+        .select("doc_id", F.explode(F.expr(_CHUNK_EXPR)).alias("chunk"))
+        .select("doc_id", F.md5("chunk").alias("chunk_hash"))
+    )
+
+
 def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document passage (chunk) boilerplate removal, C4-style.
 
@@ -951,20 +974,7 @@ def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk concentrates only its (hash, count) pair, never row pairs, so
     there is no quadratic blowup anywhere.
     """
-    d = load_table(spark, sf_dir, "documents")
-    # sequence(0, -1) DESCENDS in Spark, so guard short docs to an empty
-    # chunk list (DuckDB's range(0, 0) is already empty).
-    chunk_expr = (
-        f"CASE WHEN size(tokens) >= {PASSAGE_TOKENS} THEN "
-        f"transform(sequence(0, int(size(tokens) / {PASSAGE_TOKENS}) - 1), "
-        f"ci -> concat_ws(' ', slice(tokens, ci * {PASSAGE_TOKENS} + 1, {PASSAGE_TOKENS}))) "
-        "ELSE array() END"
-    )
-    chunks = (
-        d.withColumn("tokens", F.expr(TOKENS_SPARK))
-        .select("doc_id", F.explode(F.expr(chunk_expr)).alias("chunk"))
-        .select("doc_id", F.md5("chunk").alias("chunk_hash"))
-    )
+    chunks = doc_chunks_df(load_table(spark, sf_dir, "documents"))
     shared = (
         chunks.groupBy("chunk_hash")
         .agg(F.countDistinct("doc_id").alias("n_docs"))

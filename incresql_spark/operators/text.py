@@ -735,6 +735,108 @@ ORDER BY t.doc_id
 TEXT_MIX_SOURCES_SQL = _mix_sql()
 
 
+# --- Character-trigram LM plausibility score -------------------------------
+#: docs whose trigrams average below this document frequency (ppm of docs)
+#: are flagged as gibberish / out-of-distribution for the corpus.
+LM_MIN_AVG_DF_PPM = 1000
+
+
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-model plausibility score (the KenLM /
+    CCNet-style perplexity filter, re-expressed with integer-exact corpus
+    statistics so both engines hash identically — no ``ln``/float sums).
+
+    A document made of frequent corpus trigrams is in-distribution text; a
+    document of rare trigrams is gibberish, wrong-charset, or a language
+    the corpus does not contain.  Score = average document frequency of
+    the doc's trigram instances, in ppm of corpus docs:
+    ``(1e6 * Σ cnt·df) DIV (n_instances · n_docs)`` — all BIGINT
+    arithmetic, one final truncating division spelled identically in both
+    engines (int64-safe while Σ cnt·df < 9.2e12 · corpus docs).
+
+    Scale shape: the per-position explode is collapsed map-side by the
+    (doc_id, trigram, cnt) partial aggregate before anything shuffles; the
+    trigram key space is bounded (≤ charset³ — tens of thousands), so the
+    df table is dimension-sized and AQE broadcasts the score join; the
+    n_docs scalar rides a broadcast cross join (op_histogram's pattern).
+    One fact shuffle total, keyed on 3-char trigrams whose bounded
+    cardinality keeps partial aggregation collapsing at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.length("text") >= 3).withColumn("lt", F.lower("text"))
+    # persisted: feeds BOTH the df aggregate and the score join — without
+    # it the position explode runs three times (measured 5.4s → 1.4s at
+    # sf0.001 for the downstream plan)
+    per_doc = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, length(lt) - 2), i -> substr(lt, i, 3))")
+            ).alias("tri"),
+        )
+        .groupBy("doc_id", "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    dfs = per_doc.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        per_doc.join(dfs, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_trigrams"),
+            F.sum(F.col("cnt") * F.col("df")).alias("sum_df"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.expr("(1000000 * sum_df) DIV (n_trigrams * n_docs)").alias(
+                "lm_avg_df_ppm"
+            ),
+            F.expr(
+                f"(1000000 * sum_df) DIV (n_trigrams * n_docs) >= {LM_MIN_AVG_DF_PPM}"
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_LM_SCORE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS lt FROM documents WHERE length(text) >= 3
+),
+inst AS (
+  SELECT doc_id, substr(lt, CAST(ci AS INT), 3) AS tri
+  FROM base, unnest(range(1, length(lt) - 1)) AS u(ci)
+),
+per_doc AS (
+  SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS cnt
+  FROM inst GROUP BY doc_id, tri
+),
+dfs AS (
+  SELECT tri, CAST(count(*) AS BIGINT) AS df FROM per_doc GROUP BY tri
+),
+nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base
+),
+agg AS (
+  SELECT p.doc_id,
+         CAST(sum(p.cnt) AS BIGINT)        AS n_trigrams,
+         CAST(sum(p.cnt * d.df) AS BIGINT) AS sum_df
+  FROM per_doc p JOIN dfs d USING (tri) GROUP BY p.doc_id
+)
+SELECT a.doc_id,
+       a.n_trigrams,
+       CAST((1000000 * a.sum_df) // (a.n_trigrams * nd.n_docs) AS BIGINT)
+         AS lm_avg_df_ppm,
+       (1000000 * a.sum_df) // (a.n_trigrams * nd.n_docs) >= {LM_MIN_AVG_DF_PPM}
+         AS keep
+FROM agg a, nd
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_repetition": text_repetition,
@@ -748,6 +850,7 @@ QUERIES = {
     "text_pack_sequences": text_pack_sequences,
     "text_chunk_overlap": text_chunk_overlap,
     "text_mix_sources": text_mix_sources,
+    "text_lm_score": text_lm_score,
 }
 
 ORACLE = {
@@ -763,6 +866,7 @@ ORACLE = {
     "text_pack_sequences": TEXT_PACK_SEQUENCES_SQL,
     "text_chunk_overlap": TEXT_CHUNK_OVERLAP_SQL,
     "text_mix_sources": TEXT_MIX_SOURCES_SQL,
+    "text_lm_score": TEXT_LM_SCORE_SQL,
 }
 
 BENCH_QUERIES = {"text_stats": text_stats, "text_repetition": text_repetition}

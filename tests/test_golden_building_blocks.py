@@ -313,6 +313,40 @@ def test_json_unquote_golden(engine):
     assert q(engine, 'select json_unquote(cast("123" as json))') == ["|123|"]
 
 
+# ---- casts/to_jsonpath.rs + the JSONPATH first-class datum ----------------
+# (datum.rs:31-32, datatype.rs:19/:79, jsonpath_utils.rs:68-72/:195-217)
+
+def test_jsonpath_datum_display(engine):
+    # Display is the single-quoted original expression
+    assert q(engine, "SELECT to_jsonpath('$.foo')") == ["|'$.foo'|"]
+    # the CAST spelling (SQL type name JSONPATH) is the same constructor
+    assert q(engine, "SELECT CAST('$.a.b[0]' AS JSONPATH)") == ["|'$.a.b[0]'|"]
+    assert q(engine, 'SELECT CAST("$[*].k" AS JSONPATH)') == ["|'$[*].k'|"]
+
+
+def test_jsonpath_invalid_is_null(engine):
+    # parse failure → NULL, not an error (casts/to_jsonpath.rs:19-23)
+    assert q(engine, "SELECT to_jsonpath('foo')") == ["|NULL|"]
+    assert q(engine, "SELECT to_jsonpath('$..')") == ["|NULL|"]
+    assert q(engine, "SELECT CAST('$.a[' AS JSONPATH)") == ["|NULL|"]
+
+
+def test_jsonpath_type_of(engine):
+    assert q(engine, "SELECT type_of(to_jsonpath('$.a'))") == ["|JSONPATH|"]
+    assert q(engine, "SELECT type_of(CAST('$[0]' AS JSONPATH))") == [
+        "|JSONPATH|"
+    ]
+
+
+def test_jsonpath_compare(engine):
+    # jsonpath datums compare on the original string (datum.rs:119, :182-184)
+    assert q(
+        engine,
+        "SELECT to_jsonpath('$.a') = to_jsonpath('$.a'), "
+        "to_jsonpath('$.a') < to_jsonpath('$.b')",
+    ) == ["|TRUE|TRUE|"]
+
+
 # ---- views/mod.rs — view over a SYSTEM table, cross-db context ------------
 
 def test_view_with_system_table_context(engine):

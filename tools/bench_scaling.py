@@ -42,6 +42,13 @@ HEADLINE = [
 if os.environ.get("SPARK_GRAFT_HEADLINE"):
     HEADLINE = os.environ["SPARK_GRAFT_HEADLINE"].split(",")
 
+# Queries to time on Spark only (no DuckDB sample): oracles that are frozen
+# to the gate SF (sim_knn_graph / sim_dedup_semantic embed a corpus-width
+# guard) or whose DuckDB form is impractically slow at the measured SF.
+SPARK_ONLY = set(
+    os.environ.get("SPARK_GRAFT_SPARK_ONLY", "").split(",")
+) - {""}
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -80,19 +87,23 @@ def bench_sf(spark, queries, oracles, sf_dir: str) -> dict:
             t0 = time.time()
             queries[name](spark, sf_dir).collect()
             s_samples[name].append(time.time() - t0)
+            if name in SPARK_ONLY:
+                continue
             t0 = time.time()
             con.execute(oracles[name]).fetchall()
             d_samples[name].append(time.time() - t0)
 
     out = {}
     for name in HEADLINE:
-        s, d = min(s_samples[name]), min(d_samples[name])
+        s = min(s_samples[name])
+        d = min(d_samples[name]) if d_samples[name] else None
         out[name] = {
             "spark_s": round(s, 3),
-            "duckdb_s": round(d, 3),
-            "ratio": round(s / d, 2) if d > 0 else None,
+            "duckdb_s": round(d, 3) if d is not None else None,
+            "ratio": round(s / d, 2) if d else None,
         }
-        print(f"  {name:20s} spark={s:7.3f}s duck={d:7.3f}s ratio={s/d:6.2f}x", file=sys.stderr)
+        dtxt = f"{d:7.3f}s ratio={s/d:6.2f}x" if d else "   (spark-only)"
+        print(f"  {name:20s} spark={s:7.3f}s duck={dtxt}", file=sys.stderr)
     return out
 
 
@@ -117,7 +128,9 @@ def main() -> None:
             "sf_dir": sf_dir,
             "queries": per,
             "total_spark_s": round(sum(v["spark_s"] for v in per.values()), 3),
-            "total_duckdb_s": round(sum(v["duckdb_s"] for v in per.values()), 3),
+            "total_duckdb_s": round(
+                sum(v["duckdb_s"] for v in per.values() if v["duckdb_s"]), 3
+            ),
             "geomean_ratio": round(geo, 2),
         }
     print(json.dumps(results))
