@@ -15,6 +15,9 @@ The patterns:
 - ``stream_curate_ingest``  — the same ingestion with curation: quality
   filter + exact dedup against ALL history (content-hash anti-join on the
   table itself).
+- ``stream_neardup_ingest`` — ingestion with history-wide NEAR-dup dedup:
+  each micro-batch runs through the incremental MinHash-LSH maintainer
+  and only docs that near-duplicate nothing seen before are appended.
 - ``stream_dedup``          — time-bounded streaming dedup
   (dropDuplicatesWithinWatermark; state = rate × watermark horizon).
 - ``stream_interval_join``  — watermarked stream-stream attribution join
@@ -124,6 +127,81 @@ def stream_curate_ingest(
                 seen, F.md5(keepers["text"]) == seen["__h"], "left_anti"
             )
         table.insert(keepers)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_neardup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    corpus_table: FreqTable,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming corpus ingestion with history-wide NEAR-duplicate dedup:
+    each micro-batch of documents runs through the incremental MinHash-LSH
+    maintainer (delta signatures joined against the materialized band
+    table), and only docs that are not near-duplicates of anything seen
+    before are appended to ``corpus_table``.
+
+    This upgrades ``stream_curate_ingest``'s exact content-hash anti-join
+    to semantic near-dup matching — the C4/RefinedWeb ingestion shape —
+    while keeping the same unbounded-horizon state model (durable FreqTable
+    segments, not a time-bounded state store).
+
+    Drop policy (standard keep-first): a batch doc is dropped when it
+    near-dup-pairs with ANY previously ingested doc (kept or dropped —
+    signature state remembers everything seen, so a chain of near-dups
+    collapses to its first member), or with a smaller-doc_id doc in its
+    own batch.  The pair evidence is byte-identical to batch
+    ``dedup_minhash_lsh`` (tests/test_minhash_incremental.py).
+
+    Scale: per batch, signature work is O(batch); history participates
+    through 16-byte band keys only; the kept-doc append is one O(batch)
+    segment write.  Nothing collects to the driver except the batch's own
+    pair list (bounded by batch size × neighbors).
+    """
+    from .minhash_incremental import IncrementalMinHashDedup
+
+    dedup = IncrementalMinHashDedup(spark, state_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.format("parquet").load(source_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not corpus_table.exists():
+            corpus_table.create(batch_df.schema)
+        batch_df = batch_df.localCheckpoint()  # stable across the two uses
+        # pairs is already a small local frame (add_batch pins its output);
+        # the batch side stays distributed — no batch-sized collect.
+        pairs = dedup.add_batch(batch_df)
+        ids = batch_df.select("doc_id")
+        # Every pair involves >=1 batch doc.  Drop set, per the policy:
+        # - doc_b of ANY pair, if it is a batch doc (both-in-batch pairs
+        #   keep the smaller id; history-partner pairs where the batch doc
+        #   sorted last);
+        # - doc_a of pairs whose doc_b is HISTORY (then doc_a is the batch
+        #   doc and the history partner wins regardless of id order).
+        hist_b = pairs.join(ids, pairs["doc_b"] == ids["doc_id"], "left_anti")
+        drop_df = (
+            pairs.select("doc_b")
+            .unionByName(hist_b.select(F.col("doc_a").alias("doc_b")))
+            .distinct()
+        )
+        kept = batch_df.join(
+            F.broadcast(drop_df),
+            batch_df["doc_id"] == drop_df["doc_b"],
+            "left_anti",
+        )
+        corpus_table.insert(kept)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -355,3 +355,65 @@ def test_sessionize_stream_multibatch_equivalence(spark, tmp_path):
     assert any(
         u in last_open for (u, _fe) in got
     ), "fixture should produce multiple sessions per user"
+
+
+def test_stream_neardup_ingest_drops_history_neardups(spark, tmp_path):
+    """Near-dup (not just exact) ingestion dedup: the kept corpus after a
+    3-micro-batch stream must equal replaying the keep-first policy over
+    the batch operator's pair list — including a batch-2 doc dropped for
+    near-duplicating (not equalling) a batch-1 doc, and chains collapsing
+    to their first member because dropped docs stay in signature state."""
+    from incresql_spark.catalog import load_table
+    from incresql_spark.operators.dedup import dedup_minhash_lsh
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    schema = docs.schema
+    src = tmp_path / "nd-in"
+    src.mkdir()
+    table = FreqTable(spark, str(tmp_path / "nd-corpus"))
+
+    slices = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    batch_of = {}
+    for i, sl in enumerate(slices):
+        sl.repartition(1).write.parquet(str(src / f"b{i}.parquet"))
+        for r in sl.select("doc_id").collect():
+            batch_of[r.doc_id] = i
+        time.sleep(1.1)
+
+    q = incremental.stream_neardup_ingest(
+        spark,
+        str(src) + "/*",
+        schema,
+        table,
+        str(tmp_path / "nd-state"),
+        str(tmp_path / "nd-ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    assert len(q.recentProgress) >= 3, "expected one micro-batch per file"
+    got = sorted(r.doc_id for r in table.scan().collect())
+
+    # Replay the policy from the BATCH operator's pairs (the incremental
+    # pair stream is byte-identical to it — test_minhash_incremental):
+    # scan docs in (batch, doc_id) order; drop a doc iff it pairs with any
+    # doc seen before it (kept OR dropped).
+    pairs = [(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, SF_SMALL).collect()]
+    partners = {}
+    for a, b in pairs:
+        partners.setdefault(a, set()).add(b)
+        partners.setdefault(b, set()).add(a)
+    seen, expected = set(), []
+    for doc_id in sorted(batch_of, key=lambda d: (batch_of[d], d)):
+        if partners.get(doc_id, set()) & seen:
+            pass  # near-dups something already seen: dropped
+        else:
+            expected.append(doc_id)
+        seen.add(doc_id)
+
+    assert got == sorted(expected)
+    # the fixture must actually exercise a cross-batch drop
+    dropped = set(batch_of) - set(expected)
+    assert any(
+        batch_of[d] > min(batch_of[p] for p in partners[d]) for d in dropped
+    ), "fixture should drop at least one doc for a PRIOR-batch near-dup"
