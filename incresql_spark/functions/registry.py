@@ -68,15 +68,24 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
     # jsonpath_utils.rs:68-72), and struct ordering == the reference's
     # Ord-on-original-string (datum.rs:182-184).  The validity regex mirrors
     # the nom grammar (jsonpath_utils.rs:195-217): '$' then any of  .*  [*]
-    # [int]  .int  ["key"]  ['key']  .name(no-dot-no-bracket); quoted-key
-    # escapes are approximated (no embedded quotes).
+    # [int]  .int  ["key"]  .name(no-dot-no-bracket).  (Keys quote with
+    # DOUBLE quotes only — jsonpath_utils.rs:233-241's alt has no
+    # single-quote branch despite its comment.)  The
+    # selector is an ATOMIC group ((?>...)) with a POSSESSIVE repetition
+    # (*+) because nom's many0(alt(...)) COMMITS to the first alternative
+    # that succeeds and never re-parses it: '$.*abc' and '$.5x' are parse
+    # failures in the reference, but a backtracking regex would re-read
+    # them as name selectors and falsely validate.  Property-tested against
+    # a faithful Python model of the nom grammar
+    # (tests/test_golden_building_blocks.py::test_jsonpath_grammar_model).
     (
         "to_jsonpath",
         "x STRING",
         "STRUCT<__jsonpath: STRING>",
         r"CASE WHEN x RLIKE "
-        r"'^\\$(\\.\\*|\\[\\*\\]|\\[-?[0-9]+\\]|\\.-?[0-9]+"
-        r"|\\[\"[^\"]*\"\\]|\\[''[^'']*''\\]|\\.[^.\\[]+)*$' "
+        r"'^\\$(?>\\.\\*|\\[\\*\\]|\\[-?[0-9]+\\]|\\.-?[0-9]+"
+        r"|\\[\"(?:[^\"\\\\]|\\\\.)*\"\\]"
+        r"|\\.[^.\\[]+)*+$' "
         r"THEN named_struct('__jsonpath', x) END",
     ),
     # casts/type_of.rs:20 — reference type spellings over Spark typeof names

@@ -347,6 +347,91 @@ def test_jsonpath_compare(engine):
     ) == ["|TRUE|TRUE|"]
 
 
+def _nom_jsonpath_valid(s: str) -> bool:
+    """Faithful Python model of the reference's jsonpath parser
+    (jsonpath_utils.rs:195-251): '$' then many0 of a COMMITTED alternation
+    — once a branch succeeds nom never re-parses it, so '$.5x' fails (the
+    .int branch eats '.5' and 'x' matches nothing) even though a global
+    backtracker could read '.5x' as a name selector."""
+    import re as _re
+
+    _int = _re.compile(r"-?[0-9]+")
+    _dq = _re.compile(r'"(?:[^"\\]|\\.)*"')
+    _name = _re.compile(r"[^.\[]+")
+
+    if not s.startswith("$"):
+        return False
+    i, n = 1, len(s)
+    while i < n:
+        if s.startswith(".*", i):
+            i += 2
+        elif s.startswith("[*]", i):
+            i += 3
+        elif s.startswith("[", i):
+            m = _int.match(s, i + 1)
+            if m and s.startswith("]", m.end()):
+                i = m.end() + 1
+                continue
+            m = _dq.match(s, i + 1)
+            if m and s.startswith("]", m.end()):
+                i = m.end() + 1
+                continue
+            return False
+        elif s.startswith(".", i):
+            m = _int.match(s, i + 1)
+            if m:
+                i = m.end()  # committed, even if the rest now fails
+                continue
+            m = _name.match(s, i + 1)
+            if m:
+                i = m.end()
+                continue
+            return False
+        else:
+            return False
+    return True
+
+
+def test_jsonpath_grammar_model(spark):
+    """The SQL-side validity regex (atomic groups + possessive repetition)
+    must agree with the nom-grammar model on tricky and fuzzed inputs —
+    including the committed-alternation cases a backtracking regex gets
+    wrong."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from incresql_spark.functions.registry import register_all
+
+    register_all(spark)
+    tricky = [
+        "$", "$.a", "$.a.b", "$[0]", "$[-3]", "$.5", "$.-5", "$.*", "$[*]",
+        "$.*.*", '$["k"]', '$[""]', '$["a\\"b"]', '$["a\\\\"]', "$.a[0].b",
+        # committed-alternation failures a backtracker would falsely accept
+        "$.*abc", "$.5x", "$[*]x", "$.-5x",
+        # plain failures
+        "", "a", "$.", "$..", "$[", "$[]", "$[-]", "$[5", "$[5x]",
+        '$["a]', '$["a"x]', "$]", "$x", "$$",
+        # names may contain odd chars (anything but . and [)
+        "$.-a", "$.a-b", "$.a b", "$.a]b", '$.a"b', "$.*x.y",
+    ]
+    rng = random.Random(20260814)
+    alphabet = '$.[]"\\*-05ab'
+    fuzz = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+        for _ in range(400)
+    ]
+    cases = tricky + fuzz
+    got = {
+        r.s: r.ok
+        for r in spark.createDataFrame([(c,) for c in cases], "s string")
+        .select("s", F.expr("to_jsonpath(s) IS NOT NULL").alias("ok"))
+        .collect()
+    }
+    bad = {c for c in set(cases) if got[c] != _nom_jsonpath_valid(c)}
+    assert not bad, f"regex/grammar disagreement on: {sorted(bad)[:10]}"
+
+
 # ---- views/mod.rs — view over a SYSTEM table, cross-db context ------------
 
 def test_view_with_system_table_context(engine):
