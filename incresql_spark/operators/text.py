@@ -759,21 +759,35 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram key space is bounded (≤ charset³ — tens of thousands), so the
     df table is dimension-sized and AQE broadcasts the score join; the
     n_docs scalar rides a broadcast cross join (op_histogram's pattern).
-    One fact shuffle total, keyed on 3-char trigrams whose bounded
+    One fact shuffle total, keyed on 3-byte trigrams whose bounded
     cardinality keeps partial aggregation collapsing at any corpus size.
+
+    Trigrams are BYTE trigrams over ``encode(lower(text), 'UTF-8')``
+    (fastText's convention): Spark's ``substr`` on a STRING seeks the i-th
+    UTF-8 codepoint in O(i), which makes per-position extraction O(len²)
+    per document — measured 22.8s → 5.9s at sf1 for the per-doc aggregate
+    when switched to O(1) binary slicing.  The DuckDB oracle keeps VARCHAR
+    substr (no BLOB slicing there); byte and char trigrams coincide on
+    ASCII corpora like TESTDATA — for multibyte text the two engines would
+    count different (each self-consistent) n-gram sets.
     """
     d = load_table(spark, sf_dir, "documents")
-    base = d.filter(F.length("text") >= 3).withColumn("lt", F.lower("text"))
+    base = d.filter(F.length("text") >= 3).withColumn(
+        "lb", F.expr("encode(lower(text), 'UTF-8')")
+    )
     # persisted: feeds BOTH the df aggregate and the score join — without
     # it the position explode runs three times (measured 5.4s → 1.4s at
-    # sf0.001 for the downstream plan)
+    # sf0.001 for the downstream plan).  The repartition spreads the
+    # explode across all cores (the documents parquet arrives in a handful
+    # of splits).
     per_doc = (
-        base.select(
+        base.repartition(spark.sparkContext.defaultParallelism)
+        .select(
             "doc_id",
-            F.explode(
-                F.expr("transform(sequence(1, length(lt) - 2), i -> substr(lt, i, 3))")
-            ).alias("tri"),
+            "lb",
+            F.explode(F.expr("sequence(1, length(lb) - 2)")).alias("i"),
         )
+        .select("doc_id", F.expr("substr(lb, i, 3)").alias("tri"))
         .groupBy("doc_id", "tri")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()
