@@ -82,10 +82,12 @@ _FUNCTIONS: list[tuple[str, str, str, str]] = [
         "to_jsonpath",
         "x STRING",
         "STRUCT<__jsonpath: STRING>",
+        # \A/\z anchors, not ^/$: Java's '$' matches BEFORE a final line
+        # terminator, so '$[0]\n' would falsely validate with '$'.
         r"CASE WHEN x RLIKE "
-        r"'^\\$(?>\\.\\*|\\[\\*\\]|\\[-?[0-9]+\\]|\\.-?[0-9]+"
+        r"'\\A\\$(?>\\.\\*|\\[\\*\\]|\\[-?[0-9]+\\]|\\.-?[0-9]+"
         r"|\\[\"(?:[^\"\\\\]|\\\\.)*\"\\]"
-        r"|\\.[^.\\[]+)*+$' "
+        r"|\\.[^.\\[]+)*+\\z' "
         r"THEN named_struct('__jsonpath', x) END",
     ),
     # casts/type_of.rs:20 — reference type spellings over Spark typeof names

@@ -54,6 +54,13 @@ def materialize(df: DataFrame) -> DataFrame:
     ``df.checkpoint()``, whose RDD blocks survive executor loss.  The
     calling dataflow is identical either way — this helper is the single
     seam, and every operator that materializes goes through it.
+
+    Cleanup: reliable checkpoint files are only reclaimed when the
+    checkpointed RDD is garbage-collected AND
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is true —
+    ``session.get_spark`` sets it; a session built elsewhere should too,
+    or a long-lived loop of materialize() calls leaks one intermediate
+    copy per call onto shared storage.
     """
     spark = df.sparkSession
     ckpt_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)

@@ -39,6 +39,11 @@ def get_spark(app_name: str = "incresql_spark", cpus: int | None = None) -> Spar
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # reliable-checkpoint mode (plans/layout.materialize with
+        # incresql.checkpoint.dir) writes RDD checkpoints to shared storage;
+        # without this, Spark never deletes them and a long-lived session
+        # leaks a full intermediate copy per materialize() call
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )

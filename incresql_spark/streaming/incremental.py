@@ -32,6 +32,9 @@ driver.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -167,6 +170,16 @@ def stream_neardup_ingest(
     through 16-byte band keys only; the kept-doc append is one O(batch)
     segment write.  Nothing collects to the driver except the batch's own
     pair list (bounded by batch size × neighbors).
+
+    Replay safety: foreachBatch is at-least-once — after a crash between
+    the state/corpus writes and the streaming checkpoint commit, the SAME
+    batch_id is re-delivered on restart.  A high-water batch_id marker in
+    ``state_dir`` makes the re-delivery a no-op instead of double-ingesting
+    (the exact-dedup variant survives replays through its content-hash
+    anti-join; near-dup state has no such natural key).  The marker is
+    written after all writes, so the unprotected window is a crash INSIDE
+    a batch's two state inserts — the same partial-write exposure as the
+    reference's single-writer table lock.
     """
     from .minhash_incremental import IncrementalMinHashDedup
 
@@ -177,31 +190,7 @@ def stream_neardup_ingest(
     stream = reader.format("parquet").load(source_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not corpus_table.exists():
-            corpus_table.create(batch_df.schema)
-        batch_df = batch_df.localCheckpoint()  # stable across the two uses
-        # pairs is already a small local frame (add_batch pins its output);
-        # the batch side stays distributed — no batch-sized collect.
-        pairs = dedup.add_batch(batch_df)
-        ids = batch_df.select("doc_id")
-        # Every pair involves >=1 batch doc.  Drop set, per the policy:
-        # - doc_b of ANY pair, if it is a batch doc (both-in-batch pairs
-        #   keep the smaller id; history-partner pairs where the batch doc
-        #   sorted last);
-        # - doc_a of pairs whose doc_b is HISTORY (then doc_a is the batch
-        #   doc and the history partner wins regardless of id order).
-        hist_b = pairs.join(ids, pairs["doc_b"] == ids["doc_id"], "left_anti")
-        drop_df = (
-            pairs.select("doc_b")
-            .unionByName(hist_b.select(F.col("doc_a").alias("doc_b")))
-            .distinct()
-        )
-        kept = batch_df.join(
-            F.broadcast(drop_df),
-            batch_df["doc_id"] == drop_df["doc_b"],
-            "left_anti",
-        )
-        corpus_table.insert(kept)
+        _apply_neardup_batch(corpus_table, dedup, state_dir, batch_df, batch_id)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -209,6 +198,53 @@ def stream_neardup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _neardup_marker(state_dir: str) -> str:
+    return os.path.join(state_dir, "_applied_batch.json")
+
+
+def _apply_neardup_batch(
+    corpus_table: FreqTable,
+    dedup,
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> None:
+    """One micro-batch of near-dup ingestion (see stream_neardup_ingest).
+    Idempotent per batch_id via the high-water marker in ``state_dir``."""
+    marker = _neardup_marker(state_dir)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if batch_id <= json.load(fh)["batch_id"]:
+                return  # at-least-once replay of an already-applied batch
+    if not corpus_table.exists():
+        corpus_table.create(batch_df.schema)
+    batch_df = batch_df.localCheckpoint()  # stable across the two uses
+    # pairs is already a small local frame (add_batch pins its output);
+    # the batch side stays distributed — no batch-sized collect.
+    pairs = dedup.add_batch(batch_df)
+    ids = batch_df.select("doc_id")
+    # Every pair involves >=1 batch doc.  Drop set, per the policy:
+    # - doc_b of ANY pair, if it is a batch doc (both-in-batch pairs
+    #   keep the smaller id; history-partner pairs where the batch doc
+    #   sorted last);
+    # - doc_a of pairs whose doc_b is HISTORY (then doc_a is the batch
+    #   doc and the history partner wins regardless of id order).
+    hist_b = pairs.join(ids, pairs["doc_b"] == ids["doc_id"], "left_anti")
+    drop_df = (
+        pairs.select("doc_b")
+        .unionByName(hist_b.select(F.col("doc_a").alias("doc_b")))
+        .distinct()
+    )
+    kept = batch_df.join(
+        F.broadcast(drop_df),
+        batch_df["doc_id"] == drop_df["doc_b"],
+        "left_anti",
+    )
+    corpus_table.insert(kept)
+    with open(marker, "w") as fh:
+        json.dump({"batch_id": batch_id}, fh)
 
 
 def stream_interval_join(

@@ -107,27 +107,23 @@ class IncrementalMinHashDedup:
         )
 
         # delta vs history: pair ordered (min, max) so output matches the
-        # batch operator regardless of which side arrived first.
-        if hist_bands is not None:
-            hb = hist_bands.select(F.col("doc_id").alias("h_id"), "band_id", "bk")
-            cand_dh = (
-                da.join(hb, ["band_id", "bk"])
-                .filter(F.col("d_id") != F.col("h_id"))
-                .select(
-                    F.least("d_id", "h_id").alias("doc_a"),
-                    F.greatest("d_id", "h_id").alias("doc_b"),
-                )
+        # batch operator regardless of which side arrived first.  (scan()
+        # of an empty table is an empty relation, never None — no
+        # first-batch special case needed.)
+        hb = hist_bands.select(F.col("doc_id").alias("h_id"), "band_id", "bk")
+        cand_dh = (
+            da.join(hb, ["band_id", "bk"])
+            .filter(F.col("d_id") != F.col("h_id"))
+            .select(
+                F.least("d_id", "h_id").alias("doc_a"),
+                F.greatest("d_id", "h_id").alias("doc_b"),
             )
-            candidates = cand_dd.unionByName(cand_dh).distinct()
-        else:
-            candidates = cand_dd.distinct()
+        )
+        candidates = cand_dd.unionByName(cand_dh).distinct()
 
         # Verification shingles: delta docs + (only the referenced) history
         # docs.  The union is the lookup table; the candidate join prunes it.
-        hist_sh = self.shingles.scan()
-        all_sh = (
-            delta_sh if hist_sh is None else delta_sh.unionByName(hist_sh)
-        )
+        all_sh = delta_sh.unionByName(self.shingles.scan())
         pairs = verify_jaccard_pairs(candidates, all_sh, all_sh).orderBy(
             "doc_a", "doc_b"
         )

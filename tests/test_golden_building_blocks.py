@@ -414,9 +414,14 @@ def test_jsonpath_grammar_model(spark):
         '$["a]', '$["a"x]', "$]", "$x", "$$",
         # names may contain odd chars (anything but . and [)
         "$.-a", "$.a-b", "$.a b", "$.a]b", '$.a"b', "$.*x.y",
+        # trailing newline: Java '$' matches BEFORE a final \n — the RLIKE
+        # must use \z anchoring so these stay invalid like nom's
+        # all_consuming (a name selector may CONTAIN \n, so '$.a\n' is
+        # valid in both, but '$\n' / '$[0]\n' are not)
+        "$\n", "$[0]\n", "$.a\n", "$.*\n",
     ]
     rng = random.Random(20260814)
-    alphabet = '$.[]"\\*-05ab'
+    alphabet = '$.[]"\\*-05ab\n'
     fuzz = [
         "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
         for _ in range(400)

@@ -417,3 +417,36 @@ def test_stream_neardup_ingest_drops_history_neardups(spark, tmp_path):
     assert any(
         batch_of[d] > min(batch_of[p] for p in partners[d]) for d in dropped
     ), "fixture should drop at least one doc for a PRIOR-batch near-dup"
+
+
+def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-applied
+    batch_id must be a no-op (no duplicate corpus rows, no duplicate
+    signature state), while the NEXT batch_id still applies."""
+    from incresql_spark.catalog import load_table
+    from incresql_spark.streaming.incremental import _apply_neardup_batch
+    from incresql_spark.streaming.minhash_incremental import IncrementalMinHashDedup
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(50).localCheckpoint()
+    table = FreqTable(spark, str(tmp_path / "corpus"))
+    state = str(tmp_path / "state")
+    dedup = IncrementalMinHashDedup(spark, state)
+
+    _apply_neardup_batch(table, dedup, state, docs, 0)
+    rows = table.scan().count()
+    bands = dedup.bands.scan(expand=False).count()
+
+    # replay of batch 0: everything unchanged
+    _apply_neardup_batch(table, dedup, state, docs, 0)
+    assert table.scan().count() == rows
+    assert dedup.bands.scan(expand=False).count() == bands
+
+    # the next batch still applies
+    more = load_table(spark, SF_SMALL, "documents").filter(
+        "doc_id > 1000000"
+    )  # empty delta is fine — only the marker must advance
+    _apply_neardup_batch(table, dedup, state, more, 1)
+    import json as _json
+
+    with open(f"{state}/_applied_batch.json") as fh:
+        assert _json.load(fh)["batch_id"] == 1

@@ -121,9 +121,8 @@ def main() -> None:
         label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         print(f"[sf{label}] {sf_dir}", file=sys.stderr)
         per = bench_sf(spark, queries, oracles, sf_dir)
-        geo = statistics.geometric_mean(
-            [v["ratio"] for v in per.values() if v["ratio"]]
-        )
+        ratios = [v["ratio"] for v in per.values() if v["ratio"]]
+        geo = statistics.geometric_mean(ratios) if ratios else None
         results[label] = {
             "sf_dir": sf_dir,
             "queries": per,
@@ -131,7 +130,7 @@ def main() -> None:
             "total_duckdb_s": round(
                 sum(v["duckdb_s"] for v in per.values() if v["duckdb_s"]), 3
             ),
-            "geomean_ratio": round(geo, 2),
+            "geomean_ratio": round(geo, 2) if geo is not None else None,
         }
     print(json.dumps(results))
 

@@ -130,19 +130,16 @@ def main() -> int:
             print(f"  {name:28s} rows={len(srows):6d} (no oracle — rows-only) {spark_s:5.1f}s")
             continue
         t0 = time.time()
-        rel = con.sql(oracles[name])
-        bad_types = [
-            (col, str(typ))
-            for col, typ in zip(rel.columns, rel.types)
-            if _base_type(str(typ)) not in ALLOWED_ORACLE_TYPES
-        ]
-        orows = [tuple(r) for r in rel.fetchall()]
-        ocols = list(rel.columns)
-        duck_s = time.time() - t0
+        # lint BEFORE executing: a type failure shouldn't pay the oracle run
+        bad_types = lint_oracle_types(con, oracles[name])
         if bad_types:
             print(f"  {name:28s} TYPE-LINT FAIL: {bad_types}")
             failures.append(name)
             continue
+        rel = con.sql(oracles[name])
+        orows = [tuple(r) for r in rel.fetchall()]
+        ocols = list(rel.columns)
+        duck_s = time.time() - t0
         ok_cols = sorted(scols) == sorted(ocols)
         ok_rows = len(srows) == len(orows)
         sh = value_hash(scols, srows)
