@@ -851,6 +851,124 @@ ORDER BY doc_id
 """
 
 
+# --- BPE tokenizer-vocabulary induction -------------------------------------
+#: merge steps to learn; fixed so the DuckDB oracle can unroll the loop.
+BPE_N_MERGES = 8
+
+
+def bpe_merges_from_words(words: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """Learn ``n_merges`` byte-pair-encoding merges from a (token, wfreq)
+    vocabulary DataFrame — the classic Sennrich et al. get_stats /
+    merge_vocab loop (arXiv:1508.07909), the algorithm every production
+    tokenizer (BPE/WordPiece-style) trains with.
+
+    State encoding: a word's symbol sequence is one string of
+    ``#sym ``-prefixed segments (``'abc'`` → ``'#a #b #c '``).  '#' cannot
+    occur inside a symbol ([a-z0-9] tokens), so the merge step is a plain
+    ``replace(state, '#x #y ', '#xy ')`` — both engines' replace scans
+    left-to-right without overlap, which is EXACTLY BPE's merge order
+    (verified on the '#a #a #a #a ' → '#aa #aa ' case in both).  Pair
+    counts weight every adjacent position by word frequency; the argmax
+    tie-breaks (count DESC, pair ASC — binary string order in both
+    engines).
+
+    Scale: the vocabulary is dimension-sized at any corpus scale (counts
+    come from one token groupBy); the n_merges-iteration loop runs on that
+    small frame with ONE driver-side scalar (the winning pair) per
+    iteration — the sim_kmeans pattern, O(iterations) tiny actions, never
+    O(data).
+    """
+    spark = words.sparkSession
+    w = words.select(
+        F.expr("regexp_replace(token, '(.)', '#$1 ')").alias("state"),
+        F.col("wfreq").cast("long").alias("wfreq"),
+    ).persist()
+    pair_expr = (
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1), ' '))"
+    )
+    out = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            w.select(F.split(F.trim(F.col("state")), " ").alias("syms"), "wfreq")
+            .filter(F.size("syms") >= 2)
+            .select(F.explode(F.expr(pair_expr)).alias("pat"), "wfreq")
+            .groupBy("pat")
+            .agg(F.sum("wfreq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pat").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pat, cnt = best[0]["pat"], best[0]["cnt"]
+        merged = "#" + pat.replace("#", "").replace(" ", "") + " "
+        out.append((rank, pat.strip(), merged.strip().lstrip("#"), int(cnt)))
+        w = w.withColumn(
+            "state", F.expr(f"replace(state, '{pat}', '{merged}')")
+        )
+    return spark.createDataFrame(
+        out, "merge_rank INT, pair STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge table learned from the corpus token vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("wfreq"))
+    )
+    return bpe_merges_from_words(words).orderBy("merge_rank")
+
+
+def _bpe_sql(n_merges: int = BPE_N_MERGES) -> str:
+    """Unrolled DuckDB twin: one CTE trio (state → pair counts → argmax)
+    per merge step; the winning pair enters the next stage's replace() as
+    a scalar subquery."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and this chain references
+    # each stage several times (b{k} appears twice in w{k+1}) — inlining
+    # makes the unrolled plan exponential in n_merges and the query hang.
+    stages = [
+        f"""w0 AS MATERIALIZED (
+  SELECT regexp_replace(token, '(.)', '#\\1 ', 'g') AS state,
+         CAST(count(*) AS BIGINT) AS wfreq
+  FROM (SELECT unnest({TOKENS_DUCK}) AS token FROM documents) t
+  GROUP BY token
+)"""
+    ]
+    for k in range(n_merges):
+        stages.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT syms[CAST(i AS INT)] || ' ' || syms[CAST(i AS INT) + 1] || ' ' AS pat,
+         CAST(sum(wfreq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(state), ' ') AS syms, wfreq FROM w{k}
+        WHERE len(string_split(trim(state), ' ')) >= 2) s,
+       unnest(range(1, len(syms))) u(i)
+  GROUP BY 1
+),
+b{k} AS MATERIALIZED (SELECT pat, cnt FROM p{k} ORDER BY cnt DESC, pat ASC LIMIT 1),
+w{k + 1} AS MATERIALIZED (
+  SELECT replace(state, (SELECT pat FROM b{k}),
+                 '#' || replace(replace((SELECT pat FROM b{k}), '#', ''), ' ', '') || ' ') AS state,
+         wfreq
+  FROM w{k}
+)"""
+        )
+        # one output row per stage
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k + 1} AS merge_rank, trim(pat) AS pair, "
+        f"replace(replace(trim(pat), '#', ''), ' ', '') AS merged, "
+        f"cnt AS pair_count FROM b{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + selects + "\nORDER BY merge_rank"
+
+
+TEXT_BPE_MERGES_SQL = _bpe_sql()
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_repetition": text_repetition,
@@ -865,6 +983,7 @@ QUERIES = {
     "text_chunk_overlap": text_chunk_overlap,
     "text_mix_sources": text_mix_sources,
     "text_lm_score": text_lm_score,
+    "text_bpe_merges": text_bpe_merges,
 }
 
 ORACLE = {
@@ -881,6 +1000,7 @@ ORACLE = {
     "text_chunk_overlap": TEXT_CHUNK_OVERLAP_SQL,
     "text_mix_sources": TEXT_MIX_SOURCES_SQL,
     "text_lm_score": TEXT_LM_SCORE_SQL,
+    "text_bpe_merges": TEXT_BPE_MERGES_SQL,
 }
 
 BENCH_QUERIES = {"text_stats": text_stats, "text_repetition": text_repetition}

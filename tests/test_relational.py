@@ -26,3 +26,51 @@ def test_semi_join_plan_has_no_payload_shuffle(spark):
         .toString()
     )
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """bpe_merges_from_words must reproduce the classic Sennrich
+    get_stats/merge_vocab loop (count desc / pair asc tie-break,
+    left-to-right non-overlapping merges) on a handcrafted vocabulary
+    that exercises overlap ('aaaa') and second-order merges."""
+    from incresql_spark.operators.text import bpe_merges_from_words
+
+    vocab = {"aaaa": 3, "aab": 2, "banana": 2, "bandana": 1}
+
+    def py_bpe(vocab, n):
+        words = {tuple(w): f for w, f in vocab.items()}
+        out = []
+        for rank in range(1, n + 1):
+            stats = {}
+            for syms, f in words.items():
+                for i in range(len(syms) - 1):
+                    stats[(syms[i], syms[i + 1])] = (
+                        stats.get((syms[i], syms[i + 1]), 0) + f
+                    )
+            if not stats:
+                break
+            best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), cnt = best
+            out.append((rank, f"#{a} #{b}", a + b, cnt))
+            new_words = {}
+            for syms, f in words.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                new_words[tuple(merged)] = new_words.get(tuple(merged), 0) + f
+            words = new_words
+        return out
+
+    words_df = spark.createDataFrame(
+        list(vocab.items()), "token string, wfreq long"
+    )
+    got = [
+        (r.merge_rank, r.pair, r.merged, r.pair_count)
+        for r in bpe_merges_from_words(words_df, 6).orderBy("merge_rank").collect()
+    ]
+    assert got == py_bpe(vocab, 6)
