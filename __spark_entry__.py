@@ -14,7 +14,7 @@ end-to-end curation dataflow (pipeline_curate), and the head of the text
 suite.  The tail of the text suite and the "free in Spark" relational demos
 (op_distinct, op_rollup, op_pivot, ...) fall past the cap; everything there
 is equally oracle-checked locally via ``tools/check_oracle.py`` and pytest
-(93 queries total, all locally value-hash-matched; oracle output types are
+(94 queries total, all locally value-hash-matched; oracle output types are
 additionally linted against a BIGINT-only integer allowlist — see
 ``tools/check_oracle.py --lint`` — after uncast DuckDB HUGEINT window sums
 caused driver-only hash mismatches in rounds 2-4).

@@ -969,6 +969,74 @@ w{k + 1} AS MATERIALIZED (
 TEXT_BPE_MERGES_SQL = _bpe_sql()
 
 
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges corpus-wide: per document, the subword
+    piece count after segmenting every token with the merge table — the
+    train-then-apply loop a real tokenizer pipeline runs, and the number
+    that sizes a training run's token budget.
+
+    Scale: the learned merge list is O(BPE_N_MERGES) plan-time constants,
+    so the apply pass is a NARROW map over documents (a replace() chain
+    inside codegen, one row per doc out, no shuffle but the final
+    aggregate) — training cost is amortized over the dimension-sized
+    vocabulary exactly once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("wfreq"))
+    )
+    merges = bpe_merges_from_words(words).collect()  # O(BPE_N_MERGES) rows
+    state = "regexp_replace(tok, '(.)', '#$1 ')"
+    for m in merges:
+        state = f"replace({state}, '{m.pair} ', '#{m.merged} ')"
+    n_pieces = f"size(split(trim({state}), ' '))"
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.expr(TOKENS_SPARK)).alias("tok"),
+        )
+        .select("doc_id", F.expr(n_pieces).alias("np"), F.length("tok").alias("nc"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("np").alias("n_pieces"),
+            F.sum("nc").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_tokenize_sql(n_merges: int = BPE_N_MERGES) -> str:
+    """Oracle: the b0..b{n-1} argmax chain from _bpe_sql, then the same
+    replace() chain applied to every token instance."""
+    base = _bpe_sql(n_merges)
+    ctes = base[len("WITH ") : base.index("\nSELECT 1 AS merge_rank")]
+    state = "regexp_replace(tok, '(.)', '#\\1 ', 'g')"
+    for k in range(n_merges):
+        merged = (
+            f"'#' || replace(replace((SELECT pat FROM b{k}), '#', ''), ' ', '') || ' '"
+        )
+        # b{k}.pat already carries its trailing space (see _bpe_sql's p{k})
+        state = f"replace({state}, (SELECT pat FROM b{k}), {merged})"
+    return f"""WITH {ctes},
+toks AS (
+  SELECT doc_id, unnest({TOKENS_DUCK}) AS tok FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(len(string_split(trim({state}), ' '))) AS BIGINT) AS n_pieces,
+       CAST(sum(length(tok)) AS BIGINT) AS n_chars
+FROM toks
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+TEXT_BPE_TOKENIZE_SQL = _bpe_tokenize_sql()
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_repetition": text_repetition,
@@ -984,6 +1052,7 @@ QUERIES = {
     "text_mix_sources": text_mix_sources,
     "text_lm_score": text_lm_score,
     "text_bpe_merges": text_bpe_merges,
+    "text_bpe_tokenize": text_bpe_tokenize,
 }
 
 ORACLE = {
@@ -1001,6 +1070,7 @@ ORACLE = {
     "text_mix_sources": TEXT_MIX_SOURCES_SQL,
     "text_lm_score": TEXT_LM_SCORE_SQL,
     "text_bpe_merges": TEXT_BPE_MERGES_SQL,
+    "text_bpe_tokenize": TEXT_BPE_TOKENIZE_SQL,
 }
 
 BENCH_QUERIES = {"text_stats": text_stats, "text_repetition": text_repetition}
