@@ -756,11 +756,11 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the per-position explode is collapsed map-side by the
     (doc_id, trigram, cnt) partial aggregate before anything shuffles; the
-    trigram key space is bounded (≤ charset³ — tens of thousands), so the
-    df table is dimension-sized and AQE broadcasts the score join; the
-    n_docs scalar rides a broadcast cross join (op_histogram's pattern).
-    One fact shuffle total, keyed on 3-byte trigrams whose bounded
-    cardinality keeps partial aggregation collapsing at any corpus size.
+    per-trigram document frequency is a window count OVER that aggregate
+    (one linear pipeline — no self-join, no cache to leak), partitioned on
+    3-byte trigrams whose bounded key space (≤ charset³) keeps every
+    partition small at any corpus size; the n_docs scalar rides a
+    broadcast cross join (op_histogram's pattern).
 
     Trigrams are BYTE trigrams over ``encode(lower(text), 'UTF-8')``
     (fastText's convention): Spark's ``substr`` on a STRING seeks the i-th
@@ -775,9 +775,11 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.filter(F.length("text") >= 3).withColumn(
         "lb", F.expr("encode(lower(text), 'UTF-8')")
     )
-    # persisted: feeds BOTH the df aggregate and the score join — without
-    # it the position explode runs three times (measured 5.4s → 1.4s at
-    # sf0.001 for the downstream plan).  The repartition spreads the
+    # The per-doc trigram aggregate is computed ONCE and its per-trigram
+    # document frequency is a window count over it — one linear pipeline,
+    # so the position explode never re-runs and nothing needs persist()
+    # (an earlier aggregate-then-self-join shape cached per_doc, which a
+    # long-lived session never released).  The repartition spreads the
     # explode across all cores (the documents parquet arrives in a handful
     # of splits).
     per_doc = (
@@ -790,12 +792,15 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr("substr(lb, i, 3)").alias("tri"))
         .groupBy("doc_id", "tri")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
     )
-    dfs = per_doc.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
+    # df(tri) = rows per trigram in per_doc (one row per (doc, tri) pair
+    # == distinct-doc count), as a window so the aggregate isn't re-read.
+    scored = per_doc.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tri"))
+    )
     n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        per_doc.join(dfs, "tri")
+        scored
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_trigrams"),
@@ -854,6 +859,9 @@ ORDER BY doc_id
 # --- BPE tokenizer-vocabulary induction -------------------------------------
 #: merge steps to learn; fixed so the DuckDB oracle can unroll the loop.
 BPE_N_MERGES = 8
+#: truncate the training loop's lineage every this many merges — merge
+#: step k otherwise replays k replace stages (O(n²) total in merge count).
+BPE_CHECKPOINT_EVERY = 16
 
 
 def bpe_merges_from_words(words: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
@@ -876,13 +884,20 @@ def bpe_merges_from_words(words: DataFrame, n_merges: int = BPE_N_MERGES) -> Dat
     come from one token groupBy); the n_merges-iteration loop runs on that
     small frame with ONE driver-side scalar (the winning pair) per
     iteration — the sim_kmeans pattern, O(iterations) tiny actions, never
-    O(data).
+    O(data).  Every ``BPE_CHECKPOINT_EVERY`` merges the loop state is
+    materialized and its predecessor's blocks released, so plan depth and
+    executor storage stay bounded however high ``n_merges`` is raised
+    (without this, step k replays k replace stages — O(n²) lineage).
     """
+    from ..plans.layout import materialize, release
+
     spark = words.sparkSession
-    w = words.select(
+    base = words.select(
         F.expr("regexp_replace(token, '(.)', '#$1 ')").alias("state"),
         F.col("wfreq").cast("long").alias("wfreq"),
     ).persist()
+    w = base
+    ckpt = None  # current materialized loop state, released when superseded
     pair_expr = (
         "transform(sequence(1, size(syms) - 1), "
         "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1), ' '))"
@@ -907,6 +922,14 @@ def bpe_merges_from_words(words: DataFrame, n_merges: int = BPE_N_MERGES) -> Dat
         w = w.withColumn(
             "state", F.expr(f"replace(state, '{pat}', '{merged}')")
         )
+        if rank % BPE_CHECKPOINT_EVERY == 0:
+            new_ckpt = materialize(w)  # eager: old state fully consumed
+            if ckpt is not None:
+                release(ckpt)
+            ckpt = w = new_ckpt
+    base.unpersist()
+    if ckpt is not None:
+        release(ckpt)  # the merge table below is plain driver data
     return spark.createDataFrame(
         out, "merge_rank INT, pair STRING, merged STRING, pair_count BIGINT"
     )
@@ -969,11 +992,19 @@ w{k + 1} AS MATERIALIZED (
 TEXT_BPE_MERGES_SQL = _bpe_sql()
 
 
-def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_bpe_tokenize(
+    spark: SparkSession, sf_dir: str, merges: DataFrame | None = None
+) -> DataFrame:
     """Apply the learned BPE merges corpus-wide: per document, the subword
     piece count after segmenting every token with the merge table — the
     train-then-apply loop a real tokenizer pipeline runs, and the number
     that sizes a training run's token budget.
+
+    ``merges`` — a pre-trained merge table (``text_bpe_merges`` output, or
+    any frame with merge_rank/pair/merged columns).  A pipeline that has
+    already trained passes it in so the apply pass costs zero driver-loop
+    jobs; when omitted (the standalone registry entry) the table is
+    trained here, once.
 
     Scale: the learned merge list is O(BPE_N_MERGES) plan-time constants,
     so the apply pass is a NARROW map over documents (a replace() chain
@@ -982,14 +1013,18 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary exactly once.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.expr(TOKENS_SPARK)).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("wfreq"))
-    )
-    merges = bpe_merges_from_words(words).collect()  # O(BPE_N_MERGES) rows
+    if merges is None:
+        words = (
+            d.select(F.explode(F.expr(TOKENS_SPARK)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("wfreq"))
+        )
+        merges = bpe_merges_from_words(words)
+    # merge application order is semantically significant — make it
+    # explicit rather than relying on collect() preserving build order.
+    rows = merges.orderBy("merge_rank").collect()  # O(BPE_N_MERGES) rows
     state = "regexp_replace(tok, '(.)', '#$1 ')"
-    for m in merges:
+    for m in rows:
         state = f"replace({state}, '{m.pair} ', '#{m.merged} ')"
     n_pieces = f"size(split(trim({state}), ' '))"
     return (

@@ -72,6 +72,29 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+def release(df: DataFrame) -> None:
+    """Free the storage blocks of a ``materialize()``d DataFrame once every
+    consumer has read it.
+
+    ``localCheckpoint`` persists an internal RDD that ``DataFrame.unpersist``
+    cannot reach (the Dataset was never ``persist()``ed — the blocks hang off
+    the ``LogicalRDD`` node), so a long-lived maintainer that materializes a
+    delta per batch would otherwise accumulate one block set per batch for
+    the life of the session.  This reaches through the analyzed plan to the
+    checkpointed RDD and unpersists it.  AFTER release the frame is
+    unreadable (its lineage was truncated — there is nothing to recompute
+    from), so call it only when the materialized value is fully consumed.
+
+    Safe on reliable-checkpoint frames too (files are reclaimed separately
+    by the ContextCleaner on GC; unpersisting cached blocks is harmless) and
+    a silent no-op on anything whose plan is not a bare LogicalRDD.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -22,7 +22,8 @@ tests/test_embedding_incremental.py).
 Scale: per batch, projection work is O(|delta| · bands · bits); history
 contributes band keys (16 bytes/row) through the candidate joins and only
 the candidates' embeddings through the verify join.  Nothing collects to
-the driver except the batch's own pair list.
+the driver — the per-batch pair list is pinned executor-side
+(``plans.layout.materialize``) and handed back as a distributed frame.
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ from ..operators.dedup import (
     _NORM_SPARK,
     _embed_band_spark,
 )
-from ..plans.layout import materialize
+from ..plans.layout import materialize, release
 
 _BANDS_SCHEMA = T.StructType(
     [
@@ -147,12 +148,18 @@ class IncrementalEmbeddingDedup:
             .select("vec_a", "vec_b", "cosine")
             .orderBy("vec_a", "vec_b")
         )
-        # Pin results before mutating state (ordering hygiene, as in the
-        # minhash maintainer).
-        out = self.spark.createDataFrame(pairs.collect(), schema=pairs.schema)
+        # Pin results before mutating state (as in the minhash maintainer):
+        # materialize() computes the pair set once, executor-side — it never
+        # round-trips the driver, so pair-heavy deltas scale.  Callers that
+        # fully consume the result may reclaim it with layout.release(out).
+        out = materialize(pairs)
 
         self.bands.insert(delta_bands)
         self.vectors.insert(delta_vecs)
+        # Both state inserts have read the materialized delta — free its
+        # blocks now, or a long-lived maintainer accumulates one block set
+        # per batch (the leak the minhash/passages unpersists already avoid).
+        release(delta)
         return out
 
     def drop(self) -> None:

@@ -41,6 +41,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..frequency import FreqTable
+from ..plans.layout import release as layout_release
 
 
 def stream_into_table(
@@ -173,13 +174,27 @@ def stream_neardup_ingest(
 
     Replay safety: foreachBatch is at-least-once — after a crash between
     the state/corpus writes and the streaming checkpoint commit, the SAME
-    batch_id is re-delivered on restart.  A high-water batch_id marker in
-    ``state_dir`` makes the re-delivery a no-op instead of double-ingesting
-    (the exact-dedup variant survives replays through its content-hash
-    anti-join; near-dup state has no such natural key).  The marker is
-    written after all writes, so the unprotected window is a crash INSIDE
-    a batch's two state inserts — the same partial-write exposure as the
-    reference's single-writer table lock.
+    batch_id is re-delivered on restart.  Three layers make that safe:
+
+    * a high-water ``(run_id, batch_id)`` marker in ``state_dir``, written
+      atomically (temp file + ``os.replace``) AFTER all writes, makes a
+      replay of a fully-applied batch a no-op.  The marker is keyed on the
+      streaming checkpoint's query ``run id`` (``checkpoint_dir/metadata``),
+      so wiping ``checkpoint_dir`` while keeping ``state_dir`` — which
+      resets batch_id numbering to 0 — is detected as a NEW run rather than
+      silently no-opping every redelivered batch against a stale high-water
+      mark;
+    * the corpus append itself is idempotent: kept docs anti-join the
+      corpus table on doc_id (8-byte keys), so a crash AFTER
+      ``corpus_table.insert`` but BEFORE the marker write cannot duplicate
+      corpus rows on replay (the exact-dedup variant gets this from its
+      content-hash anti-join; doc_id is the near-dup equivalent);
+    * the remaining window — a crash BETWEEN ``add_batch``'s two state
+      inserts — leaves the band/shingle state with freq-2 rows for one
+      batch on replay.  Candidate generation is ``distinct()``-folded, so
+      dedup DECISIONS stay correct; only the replayed batch's own pair
+      LIST may carry duplicates.  This equals the partial-write exposure of
+      the reference's single-writer table lock.
     """
     from .minhash_incremental import IncrementalMinHashDedup
 
@@ -190,7 +205,14 @@ def stream_neardup_ingest(
     stream = reader.format("parquet").load(source_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _apply_neardup_batch(corpus_table, dedup, state_dir, batch_df, batch_id)
+        _apply_neardup_batch(
+            corpus_table,
+            dedup,
+            state_dir,
+            batch_df,
+            batch_id,
+            run_id=_checkpoint_run_id(checkpoint_dir),
+        )
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
@@ -204,25 +226,45 @@ def _neardup_marker(state_dir: str) -> str:
     return os.path.join(state_dir, "_applied_batch.json")
 
 
+def _checkpoint_run_id(checkpoint_dir: str) -> str | None:
+    """The streaming query id from ``checkpoint_dir/metadata`` — stable for
+    the life of a checkpoint, regenerated if the checkpoint is wiped.  That
+    makes it the right key for the high-water marker: batch_id numbering
+    restarts with the checkpoint, so a marker from an old run must not
+    suppress the new run's batches."""
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as fh:
+            return json.load(fh)["id"]
+    except Exception:
+        return None
+
+
 def _apply_neardup_batch(
     corpus_table: FreqTable,
     dedup,
     state_dir: str,
     batch_df: DataFrame,
     batch_id: int,
+    run_id: str | None = None,
 ) -> None:
     """One micro-batch of near-dup ingestion (see stream_neardup_ingest).
-    Idempotent per batch_id via the high-water marker in ``state_dir``."""
+    Idempotent per (run_id, batch_id) via the high-water marker in
+    ``state_dir``; an unreadable/truncated marker is treated as absent so a
+    crash mid-write can never brick the stream."""
     marker = _neardup_marker(state_dir)
-    if os.path.exists(marker):
+    try:
         with open(marker) as fh:
-            if batch_id <= json.load(fh)["batch_id"]:
-                return  # at-least-once replay of an already-applied batch
+            m = json.load(fh)
+        if m.get("run_id") == run_id and batch_id <= m["batch_id"]:
+            return  # at-least-once replay of an already-applied batch
+    except Exception:
+        pass  # no marker, or torn write — fall through and rely on
+        # the doc_id anti-join below for corpus idempotency
     if not corpus_table.exists():
         corpus_table.create(batch_df.schema)
     batch_df = batch_df.localCheckpoint()  # stable across the two uses
-    # pairs is already a small local frame (add_batch pins its output);
-    # the batch side stays distributed — no batch-sized collect.
+    # pairs is pinned executor-side by add_batch (materialize) — neither
+    # the batch nor its pair set ever collects to the driver.
     pairs = dedup.add_batch(batch_df)
     ids = batch_df.select("doc_id")
     # Every pair involves >=1 batch doc.  Drop set, per the policy:
@@ -242,9 +284,23 @@ def _apply_neardup_batch(
         batch_df["doc_id"] == drop_df["doc_b"],
         "left_anti",
     )
+    # Idempotent append: a replay of a batch whose corpus insert already
+    # landed (crash before the marker write) must not duplicate rows.
+    seen_ids = corpus_table.scan().select("doc_id").distinct()
+    kept = kept.join(seen_ids, "doc_id", "left_anti")
     corpus_table.insert(kept)
-    with open(marker, "w") as fh:
-        json.dump({"batch_id": batch_id}, fh)
+    # The corpus insert consumed every materialized intermediate — free
+    # their blocks so a long-lived stream doesn't accumulate one set per
+    # micro-batch.
+    layout_release(pairs)
+    layout_release(batch_df)
+    # Atomic marker update: write-then-rename so a crash mid-write leaves
+    # the OLD marker (or none), never a truncated JSON that would make
+    # every restart die in json.load.
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"run_id": run_id, "batch_id": batch_id}, fh)
+    os.replace(tmp, marker)
 
 
 def stream_interval_join(

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..frequency import FreqTable
+from ..plans.layout import materialize
 from ..operators.dedup import (
     doc_shingles_df,
     minhash_bands_long,
@@ -127,14 +128,17 @@ class IncrementalMinHashDedup:
         pairs = verify_jaccard_pairs(candidates, all_sh, all_sh).orderBy(
             "doc_a", "doc_b"
         )
-        # Materialize results BEFORE appending state: the pairs plan reads
-        # the pre-batch state scan, and FreqTable segments are immutable, so
-        # this is ordering hygiene (lazy evaluation after insert would still
-        # read only the old segments), but collecting the small pair set to
-        # a local DataFrame keeps the contract obvious.
-        out = self.spark.createDataFrame(
-            pairs.collect(), schema=pairs.schema
-        )
+        # Materialize results BEFORE appending state (the pairs plan reads
+        # the pre-batch state scan; FreqTable segments are immutable, so a
+        # lazy read after insert would still see only the old segments — the
+        # eager pin keeps the contract obvious).  materialize() computes the
+        # pair set ONCE and truncates lineage executor-side: the pairs never
+        # round-trip the driver, so a near-dup-heavy delta whose pair set
+        # exceeds driver memory is fine — the reference keeps deltas in
+        # storage, never in the client (storage/src/storage.rs:26-65).
+        # Callers that fully consume the result may reclaim its blocks with
+        # ``plans.layout.release(out)``.
+        out = materialize(pairs)
 
         self.bands.insert(delta_bands)
         self.shingles.insert(delta_sh)

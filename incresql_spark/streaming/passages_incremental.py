@@ -40,7 +40,9 @@ Scale: per batch, tokenization is O(|delta|); every join keys on 16-byte
 md5 digests or doc_ids; the history side contributes one segment scan of
 (doc_id, chunk_hash) pairs (merged map-side by the FreqTable scan), and
 only crossing chunks / changed docs flow any further.  Nothing collects
-to the driver except the changed-row batch itself.
+to the driver — the changed-row batch is pinned executor-side
+(``plans.layout.materialize``), since a threshold-crossing boilerplate
+chunk can flip arbitrarily many history rows at once.
 
 Assumes doc_ids are unique across batches (an upsert of a CHANGED body
 for an existing doc_id would need a chunks-state retraction first —
@@ -54,6 +56,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..frequency import FREQ, FreqTable
+from ..plans.layout import materialize
 from ..operators.dedup import (
     PASSAGE_MAX_SHARED_FRAC,
     PASSAGE_SHARED_MIN_DOCS,
@@ -170,9 +173,12 @@ class IncrementalPassagesDedup:
         # Pin the changed-row batch before mutating the results state (the
         # retraction below must see the PRE-update rows, and returning a
         # plan that re-reads state after two more segments land would be a
-        # lazy-evaluation trap for callers).
-        out = self.spark.createDataFrame(
-            new_rows.collect(), schema=_RESULTS_SCHEMA
+        # lazy-evaluation trap for callers).  materialize() pins it
+        # executor-side — a threshold-crossing chunk in a boilerplate-heavy
+        # crawl can flip millions of history rows, which must never
+        # round-trip the driver.  Callers may layout.release(out) when done.
+        out = materialize(
+            new_rows.select(*[f.name for f in _RESULTS_SCHEMA.fields])
         )
 
         # Upsert = retraction segment (freq −1 of the old rows) + insert.

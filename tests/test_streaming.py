@@ -450,3 +450,52 @@ def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
 
     with open(f"{state}/_applied_batch.json") as fh:
         assert _json.load(fh)["batch_id"] == 1
+
+
+def test_neardup_marker_torn_write_and_run_id(spark, tmp_path):
+    """Marker robustness: (a) a truncated marker must not brick ingestion —
+    it is treated as absent and the doc_id anti-join keeps the corpus
+    exact on the resulting replay; (b) a marker from an OLD checkpoint run
+    (different run_id) must not suppress the new run's restarted batch
+    numbering; (c) a same-run replay stays a no-op."""
+    from incresql_spark.catalog import load_table
+    from incresql_spark.streaming.incremental import _apply_neardup_batch
+    from incresql_spark.streaming.minhash_incremental import IncrementalMinHashDedup
+
+    all_docs = load_table(spark, SF_SMALL, "documents")
+    docs = all_docs.limit(40).localCheckpoint()
+    table = FreqTable(spark, str(tmp_path / "corpus"))
+    state = str(tmp_path / "state")
+    dedup = IncrementalMinHashDedup(spark, state)
+    marker = f"{state}/_applied_batch.json"
+
+    _apply_neardup_batch(table, dedup, state, docs, 0, run_id="run1")
+    rows = table.scan().count()
+    assert rows > 0
+
+    # same-run replay: suppressed by the marker
+    _apply_neardup_batch(table, dedup, state, docs, 0, run_id="run1")
+    assert table.scan().count() == rows
+
+    # torn marker (crash mid-write of a legacy non-atomic writer): the
+    # replay must RUN (no json.load crash) and must not duplicate corpus
+    # rows — the doc_id anti-join absorbs it.
+    with open(marker, "w") as fh:
+        fh.write('{"batch_id":')
+    _apply_neardup_batch(table, dedup, state, docs, 0, run_id="run1")
+    assert table.scan().count() == rows
+    import json as _json
+
+    with open(marker) as fh:  # marker healed, atomically rewritten
+        m = _json.load(fh)
+    assert m == {"run_id": "run1", "batch_id": 0}
+
+    # new checkpoint run: batch ids restart at 0; the old run's high-water
+    # mark must not swallow the new run's first batch.
+    fresh = (
+        all_docs.orderBy("doc_id", ascending=False).limit(10).localCheckpoint()
+    )
+    _apply_neardup_batch(table, dedup, state, fresh, 0, run_id="run2")
+    assert table.scan().count() > rows
+    with open(marker) as fh:
+        assert _json.load(fh)["run_id"] == "run2"
