@@ -193,6 +193,11 @@ class MaterializedView:
         self._save_meta(meta)
         return n
 
+    def _empty_delta(self) -> DataFrame:
+        """A zero-row signed-delta frame with the view's input schema —
+        subclasses with a different input shape (joins) override this."""
+        return self._delta_agg(self.base.scan(expand=False).limit(0))
+
     def _merge_agg(self, delta_state: DataFrame) -> None:
         keys = [c for c in delta_state.columns if not c.startswith("__")]
         old = self.state.read()
@@ -221,9 +226,8 @@ class MaterializedView:
             self.refresh()
             st = self.state.read()
         if st is None:
-            # base table empty so far: empty state with the delta-agg schema
-            empty = self._delta_agg(self.base.scan(expand=False).limit(0))
-            st = self.spark.createDataFrame([], empty.schema)
+            # base table(s) empty so far: empty state with the delta-agg schema
+            st = self.spark.createDataFrame([], self._empty_delta().schema)
         out = []
         for kind, arg, alias in self.items:
             if kind == "key":
@@ -317,3 +321,115 @@ class JoinMaterializedView:
 
     def drop(self) -> None:
         shutil.rmtree(self.state_dir, ignore_errors=True)
+
+
+class AggregateJoinMaterializedView(MaterializedView):
+    """Aggregate over an N-way chain equi-join, maintained O(delta) — the
+    reference's unrealized differential goal (storage/src/storage.rs:26-65)
+    one step past Q1: the Q3/Q10 shape (GROUP BY + aggregates over a
+    multi-table join) refreshed from signed deltas, never recomputed.
+
+    Delta rule: the N-way generalization of the bilinear join delta
+    (JoinMaterializedView; reference hash_join.rs:85,137) telescopes as
+
+        Δ(T1 ⋈ … ⋈ TN) = Σ_i  T1_new ⋈ … ⋈ T(i-1)_new ⋈ ΔTi
+                                ⋈ T(i+1)_old ⋈ … ⋈ TN_old
+
+    with output freq = Π freq_i.  Each term's signed join delta feeds the
+    SAME retractable aggregate state merge Q1 uses (``_delta_agg`` /
+    ``_merge_agg`` — (sum, count) pairs absorbing negative frequencies), so
+    inserts AND retractions (DELETE) on ANY base table propagate in one
+    O(|delta| + touched groups) refresh.
+
+    ``table_filters`` are per-table predicates applied BEFORE the join —
+    the pushdown that keeps a dimension filter (Q3's
+    ``c_mktsegment = 'BUILDING'``) from dragging the whole dimension
+    through the delta joins.  The post-join ``where`` (if any) runs inside
+    ``_delta_agg`` as usual.
+
+    Scale: term i joins a (small) delta against the other tables'
+    point-in-time snapshots; AQE broadcasts the delta side, and snapshot
+    scans prune to the segments at their seq cursor.  On a cluster the
+    state FreqTables would be bucketed on their join keys so every term's
+    probe is co-located — the layout ``plans.layout.write_bucketed``
+    provides; at 100 TB that turns each refresh into delta-sized work plus
+    bucket-local lookups.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        tables: list[FreqTable],
+        join_conds: list[str],
+        select_list: str,
+        where: str | None,
+        group_by: str,
+        state_dir: str,
+        table_filters: list[str | None] | None = None,
+    ):
+        if len(join_conds) != len(tables) - 1:
+            raise ValueError("need exactly one join condition per adjacent pair")
+        super().__init__(
+            spark, name, tables[0], select_list, where, group_by, state_dir
+        )
+        if not self.is_aggregate:
+            raise ValueError("use JoinMaterializedView for non-aggregate joins")
+        self.tables = tables
+        self.join_conds = join_conds
+        self.table_filters = table_filters or [None] * len(tables)
+
+    def _side(self, i: int, df: DataFrame) -> DataFrame:
+        """Apply table i's pushdown filter and give its freq a unique name
+        (the chain join must carry every side's multiplicity)."""
+        flt = self.table_filters[i]
+        if flt:
+            df = df.filter(flt)
+        return df.withColumnRenamed(FREQ, f"__f{i}")
+
+    def _chain_join(self, parts: list[DataFrame]) -> DataFrame:
+        joined = parts[0]
+        for i in range(1, len(parts)):
+            joined = joined.join(parts[i], F.expr(self.join_conds[i - 1]))
+        freq = F.col("__f0")
+        for i in range(1, len(parts)):
+            freq = freq * F.col(f"__f{i}")
+        drop = [f"__f{i}" for i in range(len(parts))]
+        return joined.withColumn(FREQ, freq).drop(*drop)
+
+    def _empty_delta(self) -> DataFrame:
+        parts = [
+            self._side(i, t.scan(expand=False).limit(0))
+            for i, t in enumerate(self.tables)
+        ]
+        return self._delta_agg(self._chain_join(parts))
+
+    def refresh(self) -> int:
+        """One incremental refresh over ALL tables' outstanding deltas.
+        Returns the number of signed join-delta rows aggregated."""
+        meta = self._load_meta()
+        olds = meta.get("seqs", [-1] * len(self.tables))
+        news = [t.last_seq() for t in self.tables]
+        terms = []
+        for i, t in enumerate(self.tables):
+            if news[i] <= olds[i]:
+                continue  # no new segments for this table — term is empty
+            parts = []
+            for j, u in enumerate(self.tables):
+                if j < i:
+                    parts.append(self._side(j, u.scan(as_of_seq=news[j], expand=False)))
+                elif j == i:
+                    parts.append(self._side(i, t.delta(olds[i], news[i])))
+                else:
+                    parts.append(self._side(j, u.scan(as_of_seq=olds[j], expand=False)))
+            terms.append(self._chain_join(parts))
+        if not terms:
+            return 0
+        delta_join = terms[0]
+        for term in terms[1:]:
+            delta_join = delta_join.unionByName(term)
+        n = delta_join.count()
+        if n:
+            self._merge_agg(self._delta_agg(delta_join))
+        self._save_meta({"seqs": news})
+        return n
