@@ -407,10 +407,39 @@ class Engine:
         "CREATE", "DROP", "USE ", "INSERT", "DELETE", "COMPACT", "REFRESH"
     )
 
+    # ---- cancellation ------------------------------------------------------
+    def _group(self, session_id: int | str) -> str:
+        return f"incresql-session-{session_id}"
+
+    def cancel(self, session_id: int | str) -> None:
+        """Kill the running query of ``session_id`` — the reference's
+        per-session kill_flag (data/src/session.rs:10) set by the runtime
+        kill path (runtime/src/lib.rs:90-131).  On Spark the session's
+        statements run under a job group, so the kill maps to
+        ``cancelJobGroup``: every active job of that session aborts (its
+        ``collect`` raises, surfaced as an error result) while the session
+        itself stays usable — cancellation is one-shot, future jobs under
+        the same group run normally.  A kill with no running query is a
+        no-op, like the reference's flag nobody checks."""
+        self.spark.sparkContext.cancelJobGroup(self._group(session_id))
+
     # ---- statements --------------------------------------------------------
-    def execute_statement(self, sql: str) -> EngineResult:
+    def execute_statement(
+        self, sql: str, session_id: int | str | None = None
+    ) -> EngineResult:
         s = sql.strip().rstrip(";").strip()
         u = s.upper()
+        m = re.match(r"KILL\s+(?:QUERY\s+)?(\d+)$", s, re.IGNORECASE)
+        if m:
+            self.cancel(int(m.group(1)))
+            return EngineResult()
+        if session_id is not None:
+            # every Spark job this statement launches is tagged with the
+            # session's group so cancel()/KILL can find it; interruption
+            # aborts compute-bound tasks mid-partition
+            self.spark.sparkContext.setJobGroup(
+                self._group(session_id), s[:200], interruptOnCancel=True
+            )
         self._in_mutation = u.startswith(self._MUTATING)
         if self._in_mutation:
             self._catalog_dirty = True

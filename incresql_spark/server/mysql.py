@@ -10,7 +10,11 @@ surface re-expressed in Python over the Spark-backed Engine:
   reference likewise does no real auth),
 - COM_QUERY → column-definition packets + text rows (lenenc encoding),
 - OK / ERR packets for DDL/DML and failures,
-- one engine per server, one session db per connection (COM_INIT_DB / USE).
+- one engine per server, one session db per connection (COM_INIT_DB / USE),
+- ``KILL [QUERY] <connection_id>`` cancels that connection's running
+  statement (the reference's per-session kill_flag, data/src/session.rs:10,
+  set by the runtime kill path runtime/src/lib.rs:90-131) — handled outside
+  the statement lock so it reaches the engine while the victim runs.
 
 Everything here is the public documented protocol (packet framing, lenenc
 integers, handshake/OK/EOF/ERR layouts, text resultset flow) — no
@@ -26,11 +30,16 @@ socket, matching the reference's collect-then-send contract
 
 from __future__ import annotations
 
+import re
 import socket
 import socketserver
 import struct
 import threading
 from typing import Iterable
+
+#: ``KILL [QUERY] <connection_id>`` — MySQL's kill syntax mapped onto the
+#: engine's per-session cancel (reference kill path, runtime/src/lib.rs:90-131)
+_KILL_RE = re.compile(r"\s*KILL\s+(?:QUERY\s+)?(\d+)\s*;?\s*$", re.IGNORECASE)
 
 # ---- capability flags (public protocol constants) --------------------------
 CLIENT_PROTOCOL_41 = 0x0200
@@ -222,17 +231,29 @@ class MySqlServer:
         self._server: socketserver.ThreadingTCPServer | None = None
         self._threads = 0
         self._lock = threading.Lock()  # Engine mutates session state per stmt
+        self._id_lock = threading.Lock()  # connection-id counter only —
+        # handshakes must not wait behind a long-running statement
 
     # one statement at a time: the engine holds per-session current_db and
     # temp-view registrations; serialize statements like the reference's
     # per-connection executor (concurrent Spark jobs gain little on one
-    # SparkContext and would interleave USE/DDL state).
-    def _execute(self, sql: str):
+    # SparkContext and would interleave USE/DDL state).  KILL is the one
+    # exception: it is a control command that must reach the engine WHILE
+    # another connection's statement holds the lock (that statement is
+    # exactly what it kills) — the reference's kill path likewise bypasses
+    # the session executor (runtime/src/lib.rs:90-131).
+    def _execute(self, sql: str, session_id: int | None = None):
+        m = _KILL_RE.match(sql)
+        if m:
+            self.engine.cancel(int(m.group(1)))
+            from ..engine import EngineResult
+
+            return EngineResult()
         with self._lock:
-            return self.engine.execute_statement(sql)
+            return self.engine.execute_statement(sql, session_id=session_id)
 
     def _handle(self, sock: socket.socket) -> None:
-        with self._lock:
+        with self._id_lock:
             self._threads += 1
             thread_id = self._threads
         seq = write_packet(sock, 0, handshake_v10(thread_id, self.SERVER_CAPS))
@@ -263,13 +284,16 @@ class MySqlServer:
                 continue
             if cmd == COM_QUERY:
                 self._query(sock, body.decode("utf-8", "replace"), client_caps,
-                            deprecate_eof)
+                            deprecate_eof, thread_id)
                 continue
             write_packet(sock, 1, err_packet("unknown command", code=1047))
 
-    def _query(self, sock, sql: str, caps: int, deprecate_eof: bool) -> None:
+    def _query(
+        self, sock, sql: str, caps: int, deprecate_eof: bool,
+        session_id: int | None = None,
+    ) -> None:
         try:
-            res = self._execute(sql)
+            res = self._execute(sql, session_id=session_id)
         except Exception as exc:  # noqa: BLE001 — every engine error → ERR packet
             write_packet(sock, 1, err_packet(str(exc).splitlines()[0][:500]))
             return

@@ -32,7 +32,9 @@ class MiniClient:
         self.caps = capabilities
         seq, greeting = read_packet(self.sock)
         assert greeting[0] == 0x0A  # protocol version 10
-        self.server_version = greeting[1 : greeting.index(b"\x00", 1)].decode()
+        nul = greeting.index(b"\x00", 1)
+        self.server_version = greeting[1:nul].decode()
+        self.thread_id = struct.unpack_from("<I", greeting, nul + 1)[0]
         # handshake response 41: caps, max packet, charset, 23 zeros,
         # user\0, empty auth response
         payload = (
@@ -178,3 +180,46 @@ def test_packet_framing_roundtrip_16mb_boundary():
         finally:
             a.close()
             b.close()
+
+
+def test_kill_query_from_another_connection(server):
+    """Reference kill parity (runtime/src/lib.rs:90-131, test at :125): a
+    long-running query on connection A, killed from connection B via
+    ``KILL <A's connection id>``, must return an error to A — and A's
+    session must stay usable afterwards."""
+    import threading
+    import time
+
+    a = MiniClient(server.port, CLIENT_PROTOCOL_41 | CLIENT_DEPRECATE_EOF)
+    b = MiniClient(server.port, CLIENT_PROTOCOL_41 | CLIENT_DEPRECATE_EOF)
+    assert a.thread_id != b.thread_id
+
+    # compute-bound enough that it cannot finish before the kill lands
+    slow_sql = (
+        "SELECT count(*) FROM range(20000000000) "
+        "WHERE sha2(cast(id AS string), 256) = 'never'"
+    )
+    outcome: dict = {}
+
+    def run_slow():
+        try:
+            outcome["result"] = a.query(slow_sql)
+        except RuntimeError as exc:
+            outcome["error"] = str(exc)
+
+    t = threading.Thread(target=run_slow)
+    t.start()
+    # kill until the victim's statement terminates (covers the startup race
+    # where the job group has no active job yet)
+    deadline = time.time() + 120
+    while t.is_alive() and time.time() < deadline:
+        assert b.query(f"KILL {a.thread_id}") == 0
+        t.join(timeout=0.5)
+    assert not t.is_alive(), "victim query never terminated"
+    assert "error" in outcome, f"query survived the kill: {outcome}"
+
+    # the killed session keeps serving (reference: connection stays open)
+    cols, rows = a.query("SELECT 1 + 1")
+    assert rows == [("2",)]
+    a.close()
+    b.close()
