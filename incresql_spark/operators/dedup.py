@@ -46,7 +46,7 @@ from ..plans.lsh import (
     dot_literal_duck,
     dot_literal_spark,
     hyperplane,
-    width_guard_sql,
+    nbits_sql,
 )
 from .text import TOKENS_DUCK, TOKENS_SPARK
 
@@ -551,31 +551,35 @@ _NORM_DUCK = (
 
 
 N_EMBED_BANDS = 4
-# The driver's oracle gate runs at sf0.01 (500 embeddings); the static SQL
-# below is generated for that corpus size.  The Spark side derives the band
-# width from the actual corpus count, so other SFs scale the bucket space.
-_EMBED_GATE_ROWS = 500
+#: per-band width ceiling; also the PLANE-INDEX STRIDE between bands, so a
+#: band's j-th hyperplane is the same physical plane at every width — what
+#: lets one oracle string adapt its width to any corpus size
+EMBED_BAND_HI = 12
 
 
 def _embed_band_bits(n_rows: int) -> int:
     """Per-band hyperplane bits, grown with the corpus (≤ 2^12 buckets/band)."""
-    return bits_for_corpus(n_rows, target_rows_per_bucket=64, lo=4, hi=12)
+    return bits_for_corpus(n_rows, target_rows_per_bucket=64, lo=4, hi=EMBED_BAND_HI)
 
 
 def _embed_band_spark(band: int, band_bits: int) -> str:
     bits = [
-        f"(CASE WHEN {dot_literal_spark('embedding', hyperplane(band * band_bits + j, salt='dplane'))} > 0D "
+        f"(CASE WHEN {dot_literal_spark('embedding', hyperplane(band * EMBED_BAND_HI + j, salt='dplane'))} > 0D "
         f"THEN shiftleft(1L, {j}) ELSE 0L END)"
         for j in range(band_bits)
     ]
     return " + ".join(bits)
 
 
-def _embed_band_duck(band: int, band_bits: int) -> str:
+def _embed_band_duck_dynamic(band: int, nbits_col: str = "nbits") -> str:
+    """Width-masked DuckDB twin of ``_embed_band_spark``: all EMBED_BAND_HI
+    candidate projections, bit j live only when ``j < nbits`` (the
+    corpus-derived width from the ``nbits_sql`` CTE)."""
     bits = [
-        f"(CASE WHEN {dot_literal_duck('embedding', hyperplane(band * band_bits + j, salt='dplane'))} > 0 "
+        f"(CASE WHEN {j} < {nbits_col} "
+        f"AND {dot_literal_duck('embedding', hyperplane(band * EMBED_BAND_HI + j, salt='dplane'))} > 0 "
         f"THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
-        for j in range(band_bits)
+        for j in range(EMBED_BAND_HI)
     ]
     return " + ".join(bits)
 
@@ -649,9 +653,9 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embed_sql(band_bits: int) -> str:
+def _embed_sql() -> str:
     bands_sel = ",\n         ".join(
-        f"({_embed_band_duck(b, band_bits)}) AS band{b}" for b in range(N_EMBED_BANDS)
+        f"({_embed_band_duck_dynamic(b)}) AS band{b}" for b in range(N_EMBED_BANDS)
     )
     union = "\n  UNION\n".join(
         f"  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b\n"
@@ -659,14 +663,13 @@ def _embed_sql(band_bits: int) -> str:
         for b in range(N_EMBED_BANDS)
     )
     return f"""
-WITH width_guard AS (
-  {width_guard_sql('embeddings', band_bits, lo=4, hi=12)}
+WITH nb AS (
+  {nbits_sql('embeddings', hi=EMBED_BAND_HI)}
 ),
 banded AS (
   SELECT vec_id, embedding, {_NORM_DUCK} AS norm,
          {bands_sel}
-  FROM embeddings, width_guard
-  WHERE width_guard.ok = 1
+  FROM embeddings, nb
 ),
 cand AS (
 {union}
@@ -687,7 +690,7 @@ ORDER BY vec_a, vec_b
 """
 
 
-DEDUP_EMBEDDING_SQL = _embed_sql(_embed_band_bits(_EMBED_GATE_ROWS))
+DEDUP_EMBEDDING_SQL = _embed_sql()
 
 
 def dedup_embedding_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,20 +36,19 @@ from ..catalog import load_table
 from ..plans.layout import materialize
 from ..plans.lsh import (
     bits_for_corpus,
-    bucket_expr_duck,
+    bucket_expr_duck_dynamic,
     bucket_expr_spark,
-    width_guard_sql,
+    nbits_sql,
 )
 
 DIM = 64
 TOP_K = 5
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 
-# The driver's oracle gate runs at sf0.01, whose embeddings corpus has 500
-# rows; the static ORACLE SQL below must agree with what the Spark side
-# derives at runtime, so it is generated for this row count.  (The Spark
-# side counts the actual corpus, so at other SFs the bucket space scales.)
-ORACLE_GATE_ROWS = 500
+# The oracle SQL below computes its LSH bit width IN SQL (nbits_sql CTE +
+# width-masked bucket expression), mirroring the Spark side's
+# bits_for_corpus(count) — so ONE static string hash-matches at every
+# scale factor (the driver gate's sf0.01 AND local .scaled/sf1 runs alike).
 
 
 _NORM_SPARK = (
@@ -184,15 +183,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIM_ANN_LSH_SQL = f"""
-WITH width_guard AS (
-  {width_guard_sql('embeddings', bits_for_corpus(ORACLE_GATE_ROWS))}
+WITH nb AS (
+  {nbits_sql('embeddings')}
 ),
 bucketed AS (
   SELECT vec_id, embedding,
          {_NORM_DUCK} AS norm,
-         {bucket_expr_duck(bits_for_corpus(ORACLE_GATE_ROWS))} AS bucket
-  FROM embeddings, width_guard
-  WHERE width_guard.ok = 1
+         {bucket_expr_duck_dynamic()} AS bucket
+  FROM embeddings, nb
 ),
 scored AS (
   SELECT q.vec_id AS query_id,
@@ -267,15 +265,14 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIM_KNN_GRAPH_SQL = f"""
-WITH width_guard AS (
-  {width_guard_sql('embeddings', bits_for_corpus(ORACLE_GATE_ROWS))}
+WITH nb AS (
+  {nbits_sql('embeddings')}
 ),
 bucketed AS (
   SELECT vec_id, embedding,
          {_NORM_DUCK} AS norm,
-         {bucket_expr_duck(bits_for_corpus(ORACLE_GATE_ROWS))} AS bucket
-  FROM embeddings, width_guard
-  WHERE width_guard.ok = 1
+         {bucket_expr_duck_dynamic()} AS bucket
+  FROM embeddings, nb
 ),
 scored AS (
   SELECT q.vec_id AS query_id,

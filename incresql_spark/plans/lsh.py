@@ -108,3 +108,43 @@ def bucket_expr_duck(n_planes: int, vec_col: str = "embedding", salt: str = "pla
         for j in range(n_planes)
     ]
     return " + ".join(bits)
+
+
+def nbits_sql(
+    table: str,
+    target_rows_per_bucket: int = 64,
+    lo: int = 4,
+    hi: int = 24,
+) -> str:
+    """One-row SELECT computing the corpus's LSH bit width IN SQL — the
+    same GREATEST/LEAST clamp of CEIL(LOG2(n / target)) as
+    ``bits_for_corpus``.  Used as a CTE so a single static oracle string
+    stays hash-correct at EVERY scale factor (the Spark side derives the
+    width from a live count; a width frozen at authoring time forced the
+    oracle to guard-fail anywhere but the gate SF)."""
+    return (
+        f"SELECT GREATEST({lo}, LEAST({hi}, CAST(CEIL(LOG2(GREATEST(1.0, "
+        f"count(*) / {target_rows_per_bucket}.0))) AS INT))) AS nbits "
+        f"FROM {table}"
+    )
+
+
+def bucket_expr_duck_dynamic(
+    vec_col: str = "embedding",
+    salt: str = "plane",
+    nbits_col: str = "nbits",
+    hi: int = 24,
+) -> str:
+    """Signed-projection bucket id whose WIDTH is a runtime column: bit j
+    contributes only when ``j < nbits`` (from the ``nbits_sql`` CTE), so
+    one oracle string matches the Spark side's corpus-derived width at any
+    SF.  All ``hi`` candidate projections are evaluated and masked — fine
+    for an oracle (DuckDB folds 64-dim dots fast); the Spark side still
+    generates exactly-nbits projections."""
+    bits = [
+        f"(CASE WHEN {j} < {nbits_col} "
+        f"AND {dot_literal_duck(vec_col, hyperplane(j, salt))} > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+        for j in range(hi)
+    ]
+    return " + ".join(bits)

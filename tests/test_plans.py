@@ -219,23 +219,38 @@ def test_lsh_bits_scale_with_corpus():
         prev = b
 
 
-def test_lsh_oracle_width_guard_errors_on_corpus_mismatch():
-    """The static oracle SQL is generated for the gate's corpus size; on a
-    corpus demanding a different LSH width it must ERROR loudly instead of
-    silently hash-diverging from the Spark side (VERDICT round 3, fix #7a)."""
+def test_lsh_oracle_width_adapts_to_corpus_size():
+    """The LSH oracles compute their bit width IN SQL (nbits_sql CTE +
+    width-masked bucket expressions), mirroring bits_for_corpus — one
+    static string stays hash-correct at every SF (round-6 replacement for
+    the round-3 frozen-width guard, which errored anywhere but the gate).
+    Assert the SQL width formula agrees with the Python one across corpus
+    sizes, and that the previously guard-failing oracles now RUN on a
+    corpus whose width differs from the gate's."""
     import duckdb
 
     from incresql_spark.operators.dedup import DEDUP_EMBEDDING_SQL
     from incresql_spark.operators.similarity import SIM_ANN_LSH_SQL
+    from incresql_spark.plans.lsh import bits_for_corpus, nbits_sql
 
     con = duckdb.connect()
+    for n in (1, 100, 500, 2_000, 50_000, 1_000_000):
+        got = con.execute(
+            nbits_sql(f"(SELECT * FROM range({n}))")
+        ).fetchone()[0]
+        assert got == bits_for_corpus(n), n
+        got12 = con.execute(
+            nbits_sql(f"(SELECT * FROM range({n}))", hi=12)
+        ).fetchone()[0]
+        assert got12 == bits_for_corpus(n, hi=12), n
+    # 4x the gate corpus: 2000 rows demand 5 bits, not the gate's 4 — the
+    # dynamic oracles execute instead of raising the old frozen-width error
     con.execute(
         f"CREATE VIEW embeddings AS SELECT e.* FROM "
-        f"'{SF_SMALL}/embeddings.parquet' e, range(500)"
+        f"'{SF_SMALL}/embeddings.parquet' e, range(4)"
     )
     for sql in (SIM_ANN_LSH_SQL, DEDUP_EMBEDDING_SQL):
-        with pytest.raises(duckdb.Error, match="frozen"):
-            con.execute(sql).fetchall()
+        assert con.execute(sql).fetchall() is not None
 
 
 def test_sim_topk_query_set_gate(spark):
