@@ -1064,11 +1064,13 @@ def dedup_substring_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Byte-sliced gram extraction: substr on a STRING seeks the i-th UTF-8
     # codepoint in O(i) (quadratic per doc across all positions); slicing
-    # the encoded bytes is O(1) and md5 hashes the same bytes either way —
-    # measured 25.5s → 12.9s for the fingerprint stage at sf1, checksums
-    # identical.  (ASCII corpus: byte grams == char grams; the DuckDB
-    # oracle keeps VARCHAR substr.)
-    gram = hash60_spark_sql(f"substr(tb, i, {WINNOW_K})")
+    # the encoded bytes is O(1) — measured 25.5s → 12.9s for the
+    # fingerprint stage at sf1.  The gram is HEX-encoded before hashing so
+    # the DuckDB oracle (which cannot slice BLOBs) hashes the identical
+    # value via substr over hex(encode(text)) — an ASCII string whose
+    # offsets are the byte offsets doubled, keeping BOTH engines
+    # byte-faithful on any text, multibyte included.
+    gram = hash60_spark_sql(f"hex(substr(tb, i, {WINNOW_K}))")
     d = load_table(spark, sf_dir, "documents")
     fp = (
         d.filter(F.length("text") >= WINNOW_K + WINNOW_W - 1)
@@ -1122,13 +1124,20 @@ dedup_substring_winnow.__doc__ = (
 
 
 DEDUP_SUBSTRING_WINNOW_SQL = f"""
-WITH grams AS (
-  SELECT doc_id,
-         list_transform(range(1, length(text) - {WINNOW_K - 1} + 1),
-                        i -> {hash60_sql(f"substr(text, CAST(i AS INT), {WINNOW_K})")})
-           AS grams
+WITH hexed AS (
+  -- byte-faithful twin of the Spark side's binary slicing: hex() doubles
+  -- every byte into two ASCII chars, so substr offsets are byte offsets
+  -- doubled and gram identity matches on multibyte text too
+  SELECT doc_id, hex(encode(text)) AS th, octet_length(encode(text)) AS nb
   FROM documents
   WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, nb - {WINNOW_K - 1} + 1),
+                        i -> {hash60_sql(f"substr(th, CAST(2 * i - 1 AS INT), {2 * WINNOW_K})")})
+           AS grams
+  FROM hexed
 ),
 fps AS (
   SELECT doc_id,

@@ -766,10 +766,11 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fastText's convention): Spark's ``substr`` on a STRING seeks the i-th
     UTF-8 codepoint in O(i), which makes per-position extraction O(len²)
     per document — measured 22.8s → 5.9s at sf1 for the per-doc aggregate
-    when switched to O(1) binary slicing.  The DuckDB oracle keeps VARCHAR
-    substr (no BLOB slicing there); byte and char trigrams coincide on
-    ASCII corpora like TESTDATA — for multibyte text the two engines would
-    count different (each self-consistent) n-gram sets.
+    when switched to O(1) binary slicing.  The DuckDB oracle is
+    byte-faithful via ``substr(hex(encode(..)))`` — byte offsets doubled
+    over an ASCII hex string — so both engines count the SAME trigram
+    multiset on any text, multibyte included (pinned by the non-ASCII
+    fixture in tests/test_multibyte_oracle.py).
     """
     d = load_table(spark, sf_dir, "documents")
     base = d.filter(F.length("text") >= 3).withColumn(
@@ -823,11 +824,17 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_LM_SCORE_SQL = f"""
 WITH base AS (
-  SELECT doc_id, lower(text) AS lt FROM documents WHERE length(text) >= 3
+  -- hex(encode(..)) makes the oracle BYTE-faithful to the Spark side's
+  -- binary trigrams: substr offsets over the hex string are byte offsets
+  -- doubled, and trigram IDENTITY (all this query aggregates on) is
+  -- preserved exactly — multibyte text included
+  SELECT doc_id, hex(encode(lower(text))) AS lh,
+         octet_length(encode(lower(text))) AS nb
+  FROM documents WHERE length(text) >= 3
 ),
 inst AS (
-  SELECT doc_id, substr(lt, CAST(ci AS INT), 3) AS tri
-  FROM base, unnest(range(1, length(lt) - 1)) AS u(ci)
+  SELECT doc_id, substr(lh, CAST(2 * ci - 1 AS INT), 6) AS tri
+  FROM base, unnest(range(1, nb - 1)) AS u(ci)
 ),
 per_doc AS (
   SELECT doc_id, tri, CAST(count(*) AS BIGINT) AS cnt
