@@ -12,10 +12,18 @@ The reference's JSON trio (SURVEY §2.3):
 Spark mapping (all JVM-side, no Python UDFs):
 - ``->``  = ``to_json(variant_get(parse_json(x), path))`` — verified to give
   quoted strings, ``null`` for json-null, NULL for missing: exact parity.
-- ``->>`` = ``get_json_object(x, path)`` — Spark's fast path already
-  unquotes strings and array-wraps wildcards; deviation: json-null returns
-  SQL NULL instead of the text ``'null'`` (use ``json_unquote(json_extract)``
-  when that nuance matters).
+  Variant stores JSON numbers as DECIMAL (exact to 38 digits) exactly like
+  the reference's decimal tape (data/src/json.rs:6-59, rust_decimal's
+  28-digit mantissa) — ``1.00000000000001`` and 28-digit decimals
+  round-trip exactly; see tests/test_golden_building_blocks.py's
+  json-decimal golden family.
+- ``->>`` = ``json_unquote(json_extract(x, p))`` — the reference's literal
+  composition (json_extract_unquote.rs:10-23), over the same variant
+  reader, so json-null → the text ``'null'`` and long decimals stay exact.
+  (An earlier ``get_json_object`` fast path rendered >17-digit decimals
+  through a DOUBLE — ``1234567890123456789012345678.12`` became
+  ``1.23...E27`` — and json-null as SQL NULL; both deviations are gone.)
+  Wildcard paths still use ``get_json_object`` for its array-wrap.
 
 JSONPath dialect translation: the reference accepts ``$.1`` (numeric index
 via dot) and ``.*`` on arrays (jsonpath_utils.rs:195-215); Spark wants
@@ -56,9 +64,14 @@ def json_extract(col: Column | str, path: str) -> Column:
 
 
 def json_unquote_extract(col: Column | str, path: str) -> Column:
-    """``->>``: unquoted extraction via Spark's native fast path."""
+    """``->>`` = json_unquote(json_extract(x, p)) — the reference's exact
+    composition (json_extract_unquote.rs:10-23); keeps decimal fidelity
+    and the json-null → ``'null'`` text behaviour."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.get_json_object(c, translate_path(path))
+    p = translate_path(path)
+    if "*" in p:
+        return F.get_json_object(c, p)
+    return json_unquote(F.to_json(F.try_variant_get(F.parse_json(c), p, "variant")))
 
 
 def json_unquote(col: Column | str) -> Column:
@@ -81,4 +94,14 @@ def arrow_sql(lhs: str, path: str) -> str:
 
 
 def double_arrow_sql(lhs: str, path: str) -> str:
-    return f"get_json_object({lhs}, '{translate_path(path)}')"
+    p = translate_path(path)
+    if "*" in p:
+        return f"get_json_object({lhs}, '{p}')"
+    inner = f"to_json(try_variant_get(parse_json({lhs}), '{p}', 'variant'))"
+    # json_unquote over the extraction (strings lose quotes, escapes decode;
+    # everything else — numbers, bools, 'null' — passes through verbatim)
+    return (
+        f"CASE WHEN {inner} RLIKE '^\".*\"$' "
+        f"THEN try_variant_get(parse_json({inner}), '$', 'string') "
+        f"ELSE {inner} END"
+    )

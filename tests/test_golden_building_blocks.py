@@ -313,6 +313,41 @@ def test_json_unquote_golden(engine):
     assert q(engine, 'select json_unquote(cast("123" as json))') == ["|123|"]
 
 
+def test_json_numbers_are_decimals_not_doubles(engine):
+    """The reference stores JSON numbers on a scaled-DECIMAL tape
+    (data/src/json.rs:6-59, rust_decimal's 28-digit mantissa; SURVEY §1.3
+    "JSON numbers are decimals, not doubles").  High-precision literals
+    must round-trip ``->`` and ``->>`` exactly — a double would collapse
+    them at 17 significant digits (round-6 verdict task 7)."""
+    cases = [
+        # (json literal, expected exact rendering)
+        ('{\\"a\\": 1.00000000000001}', "1.00000000000001"),
+        ('{\\"a\\": 0.1}', "0.1"),
+        # 28 significant digits — rust_decimal's full mantissa
+        ('{\\"a\\": 1.000000000000000000000000001}',
+         "1.000000000000000000000000001"),
+        ('{\\"a\\": 1234567890123456789012345678.12}',
+         "1234567890123456789012345678.12"),
+        ('{\\"a\\": 3.14159265358979323846264338}',
+         "3.14159265358979323846264338"),
+        ('{\\"a\\": -0.000000000000000000001}',
+         "-0.000000000000000000001"),
+        ('{\\"a\\": 100}', "100"),
+    ]
+    for lit, want in cases:
+        assert q(engine, f'select cast("{lit}" as json)->"$.a"') == [
+            f"|{want}|"
+        ], lit
+        assert q(engine, f'select cast("{lit}" as json)->>"$.a"') == [
+            f"|{want}|"
+        ], lit
+    # json-null through ->> is the TEXT 'null' (json_unquote over the
+    # extraction — json_extract_unquote.rs:10-23), not SQL NULL
+    assert q(engine, 'select cast("{\\"a\\": null}" as json)->>"$.a"') == [
+        "|null|"
+    ]
+
+
 # ---- casts/to_jsonpath.rs + the JSONPATH first-class datum ----------------
 # (datum.rs:31-32, datatype.rs:19/:79, jsonpath_utils.rs:68-72/:195-217)
 
