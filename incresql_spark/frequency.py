@@ -252,6 +252,7 @@ class FreqTable:
         as_of_ms: int | None = None,
         expand: bool = True,
         as_of_seq: int | None = None,
+        merged: bool = True,
     ) -> DataFrame:
         """Point-in-time scan.
 
@@ -261,15 +262,29 @@ class FreqTable:
         ``expand=False`` returns (tuple, __freq>0) pairs, the reference's
         native stream shape.  ``as_of_ms`` is the user-facing MVCC cursor;
         ``as_of_seq`` is the internal exact cursor MV refresh uses.
+
+        ``merged=False`` skips the cross-segment groupBy-merge — a
+        state-wide SHUFFLE per scan that dominates incremental-maintainer
+        refreshes once state outgrows the delta (measured 28.8s → 3.1s for
+        a 1% passages delta over 500k docs).  Only valid when the CALLER
+        guarantees no tuple repeats across segments (append-only state
+        keyed by unique ids — the maintainers' band/shingle/chunk tables);
+        a table holding retraction segments refuses loudly, since unmerged
+        negative rows would be semantically wrong.
         """
         segs = self._segments(as_of_ms, as_of_seq)
         schema = self.schema()
         full = T.StructType(schema.fields + [T.StructField(FREQ, T.LongType())])
+        if not merged and any(s["has_negative"] for s in segs):
+            raise ValueError(
+                "merged=False on a table with retraction segments — the "
+                "unmerged scan contract requires append-only positive state"
+            )
         if not segs:
             df = self.spark.createDataFrame([], full)
         else:
             df = self.spark.read.schema(full).parquet(*[s["dir"] for s in segs])
-            if any(s["has_negative"] for s in segs) or len(segs) > 1:
+            if merged and (any(s["has_negative"] for s in segs) or len(segs) > 1):
                 cols = [f.name for f in schema.fields]
                 df = (
                     df.groupBy(*cols)

@@ -114,7 +114,10 @@ class IncrementalEmbeddingDedup:
             .filter(F.col("vec_a") < F.col("vec_b"))
             .select("vec_a", "vec_b")
         )
-        hist_bands = self.bands.scan()
+        # Unmerged scans (see the minhash maintainer): append-only state
+        # with batch-unique vec_ids — the cross-segment merge is a no-op,
+        # skipping it removes a state-wide shuffle per scan.
+        hist_bands = self.bands.scan(expand=False, merged=False)
         hb = hist_bands.select(F.col("vec_id").alias("h_id"), "band_id", "bk")
         cand_dh = (
             da.join(hb, ["band_id", "bk"])
@@ -127,7 +130,9 @@ class IncrementalEmbeddingDedup:
         candidates = cand_dd.unionByName(cand_dh).distinct()
 
         delta_vecs = delta.select("vec_id", "embedding", "norm")
-        all_vecs = delta_vecs.unionByName(self.vectors.scan())
+        all_vecs = delta_vecs.unionByName(
+            self.vectors.scan(expand=False, merged=False).drop("__freq")
+        )
         a = all_vecs.select(
             F.col("vec_id").alias("vec_a"),
             F.col("embedding").alias("ea"),

@@ -286,7 +286,11 @@ def _apply_neardup_batch(
     )
     # Idempotent append: a replay of a batch whose corpus insert already
     # landed (crash before the marker write) must not duplicate rows.
-    seen_ids = corpus_table.scan().select("doc_id").distinct()
+    # (Unmerged scan: this very anti-join keeps corpus doc_ids unique
+    # across its append-only segments, so the freq merge is a no-op.)
+    seen_ids = corpus_table.scan(expand=False, merged=False).select(
+        "doc_id"
+    ).distinct()
     kept = kept.join(seen_ids, "doc_id", "left_anti")
     corpus_table.insert(kept)
     # The corpus insert consumed every materialized intermediate — free

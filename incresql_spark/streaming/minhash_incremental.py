@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..frequency import FreqTable
+from ..frequency import FREQ, FreqTable
 from ..plans.layout import materialize
 from ..operators.dedup import (
     doc_shingles_df,
@@ -95,7 +95,11 @@ class IncrementalMinHashDedup:
         delta_sh = doc_shingles_df(docs).persist()
         delta_bands = minhash_bands_long(delta_sh).persist()
 
-        hist_bands = self.bands.scan()
+        # Unmerged scans: band/shingle state is append-only with
+        # batch-unique doc_ids, so the cross-segment freq merge is a no-op
+        # — skipping it removes a state-wide shuffle per scan (the cost
+        # that would make delta refreshes degrade with corpus size).
+        hist_bands = self.bands.scan(expand=False, merged=False)
         da = delta_bands.select(F.col("doc_id").alias("d_id"), "band_id", "bk")
 
         # delta vs delta: classic a < b self-pairing.
@@ -124,7 +128,9 @@ class IncrementalMinHashDedup:
 
         # Verification shingles: delta docs + (only the referenced) history
         # docs.  The union is the lookup table; the candidate join prunes it.
-        all_sh = delta_sh.unionByName(self.shingles.scan())
+        all_sh = delta_sh.unionByName(
+            self.shingles.scan(expand=False, merged=False).drop(FREQ)
+        )
         pairs = verify_jaccard_pairs(candidates, all_sh, all_sh).orderBy(
             "doc_a", "doc_b"
         )

@@ -107,8 +107,14 @@ class IncrementalPassagesDedup:
             F.countDistinct("doc_id").alias("d_new")
         )
 
-        # Pre-batch history pairs (scan BEFORE the append below).
-        hist = self.chunks.scan(expand=False).select("doc_id", "chunk_hash")
+        # Pre-batch history pairs (scan BEFORE the append below).  Unmerged:
+        # chunks state is append-only with batch-unique doc_ids (module
+        # contract above), so the cross-segment merge is a no-op — skipping
+        # it removes a state-wide shuffle per scan (the cost that made the
+        # delta path degrade with corpus size: 28.8s → 3.1s at 500k docs).
+        hist = self.chunks.scan(expand=False, merged=False).select(
+            "doc_id", "chunk_hash"
+        )
 
         # Chunks crossing the shared threshold in THIS batch: history count
         # for the delta's digests only (digest-keyed join), old < MIN <= new.
@@ -140,7 +146,7 @@ class IncrementalPassagesDedup:
         # above captured the pre-batch segment list already).
         self.chunks.insert(delta.select("doc_id", "chunk_hash"))
 
-        all_pairs = self.chunks.scan(expand=False)
+        all_pairs = self.chunks.scan(expand=False, merged=False)
         changed_rows = all_pairs.join(changed_docs, "doc_id").persist()
         # Shared set restricted to digests the changed docs actually hold.
         shared = (
