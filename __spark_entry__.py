@@ -10,11 +10,13 @@ operators — TPC-H (22), the custom relational operators (as-of join, range
 join, funnel, window functions), the full dedup / similarity / multimodal
 suite (including the round-4 additions: passage dedup, kNN graph, audio
 chunking, image perceptual-hash dedup), sessionization, the composed
-end-to-end curation dataflow (pipeline_curate), and the head of the text
-suite.  The tail of the text suite and the "free in Spark" relational demos
-(op_distinct, op_rollup, op_pivot, ...) fall past the cap; everything there
-is equally oracle-checked locally via ``tools/check_oracle.py`` and pytest
-(94 queries total, all locally value-hash-matched; oracle output types are
+end-to-end curation dataflow (pipeline_curate), the round-6 incremental
+aggregate-over-join MV driven end-to-end (mv_q3_incremental), and the head
+of the text suite.  The tail of the text suite and the "free in Spark"
+relational demos (op_distinct, op_rollup, op_pivot, ...) fall past the cap;
+everything there is equally oracle-checked locally via
+``tools/check_oracle.py`` and pytest
+(95 queries total, all locally value-hash-matched; oracle output types are
 additionally linted against a BIGINT-only integer allowlist — see
 ``tools/check_oracle.py --lint`` — after uncast DuckDB HUGEINT window sums
 caused driver-only hash mismatches in rounds 2-4).
@@ -57,8 +59,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # Demoted below the gate cap: demos whose mechanism is already
 # gate-covered by a richer sibling (sim_kmeans runs the label-centroid
 # aggregation twice per iteration; dedup_url is dedup_exact's
-# normalize+groupBy shape on a different key).
-_GATE_DEMOTED = ("sim_label_centroids", "dedup_url")
+# normalize+groupBy shape on a different key; mm_resize is mm_features'
+# Arrow mapInPandas plumbing on different parameters — demoted in round 6
+# to make room for mv_q3_incremental while keeping text_stats gated).
+_GATE_DEMOTED = ("sim_label_centroids", "dedup_url", "mm_resize")
 
 
 def _ordered(registries: list[dict]) -> dict:
@@ -76,7 +80,7 @@ def _ordered(registries: list[dict]) -> dict:
         out.update({k: v for k, v in reg.items() if k not in _GATE_DEMOTED})
     # Tail block: built-in-operator demos and demoted entries (driver-gate
     # overflow is OK here; everything is still locally oracle-checked).
-    for reg in (dedup_reg, sim_reg, rel_reg):
+    for reg in (dedup_reg, sim_reg, mm_reg, rel_reg):
         for k, v in reg.items():
             if k not in out:
                 out[k] = v

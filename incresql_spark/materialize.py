@@ -428,8 +428,14 @@ class AggregateJoinMaterializedView(MaterializedView):
         delta_join = terms[0]
         for term in terms[1:]:
             delta_join = delta_join.unionByName(term)
-        n = delta_join.count()
-        if n:
-            self._merge_agg(self._delta_agg(delta_join))
+        # cached across the count and the aggregate merge — the join terms
+        # are the expensive part of a refresh and must run exactly once
+        delta_join = delta_join.persist()
+        try:
+            n = delta_join.count()
+            if n:
+                self._merge_agg(self._delta_agg(delta_join))
+        finally:
+            delta_join.unpersist()
         self._save_meta({"seqs": news})
         return n

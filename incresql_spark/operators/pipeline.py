@@ -299,11 +299,118 @@ ORDER BY source
 
 PIPELINE_PRETRAIN_SQL = _pretrain_sql()
 
+
+# --- Incremental aggregate-over-join MV, driven end-to-end ------------------
+_MV_DATE = "1995-03-15"
+
+
+def mv_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped materialized view (aggregate over customer ⋈ orders
+    ⋈ lineitem) maintained INCREMENTALLY — the reference's unrealized
+    differential goal (storage/src/storage.rs:26-65) driven end-to-end as
+    a gate query: base tables ingest in two batches, a DELETE retracts one
+    return-flag class, and each refresh propagates only signed deltas
+    (materialize.AggregateJoinMaterializedView: N-way telescoping join
+    delta feeding the retractable aggregate merge).  The returned frame is
+    the MAINTAINED state; the oracle recomputes the same aggregate over
+    the final live rows — equality proves three delta refreshes (insert,
+    insert, retract) compose to the batch answer.
+
+    Hash-exactness: revenue is summed as DECIMAL(18,4) (cast BEFORE the
+    sum, in both engines), so the incremental accumulation order cannot
+    produce float drift vs the oracle's single-pass sum — the tpch.py
+    exact-decimal strategy.
+
+    Scale: refresh work is O(delta + touched groups); state lives in
+    FreqTable segments (bucketable by join key on a cluster).  The
+    temporary state directory is torn down after the result is pinned.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F811 — local for clarity
+
+    from ..frequency import FreqTable
+    from ..materialize import AggregateJoinMaterializedView
+
+    root = tempfile.mkdtemp(prefix="incr_mv_q3_")
+    try:
+        tables = {}
+        for name in ("customer", "orders", "lineitem"):
+            src = load_table(spark, sf_dir, name)
+            t = FreqTable(spark, f"{root}/{name}")
+            t.create(src.schema)
+            tables[name] = (t, src)
+        mv = AggregateJoinMaterializedView(
+            spark,
+            "mv_q3",
+            [tables["customer"][0], tables["orders"][0], tables["lineitem"][0]],
+            ["c_custkey = o_custkey", "l_orderkey = o_orderkey"],
+            "l_orderkey, o_orderdate, o_orderpriority, "
+            "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))"
+            " AS revenue, "
+            "count(*) AS n_items",
+            None,
+            "l_orderkey, o_orderdate, o_orderpriority",
+            f"{root}/mv_state",
+            table_filters=[
+                "c_mktsegment = 'BUILDING'",
+                f"o_orderdate < DATE '{_MV_DATE}'",
+                f"l_shipdate > DATE '{_MV_DATE}'",
+            ],
+        )
+        # batch 1: dimension + even orderkeys; refresh 1
+        tables["customer"][0].insert(tables["customer"][1])
+        tables["orders"][0].insert(
+            tables["orders"][1].filter("o_orderkey % 2 = 0")
+        )
+        tables["lineitem"][0].insert(
+            tables["lineitem"][1].filter("l_orderkey % 2 = 0")
+        )
+        mv.refresh()
+        # batch 2: odd orderkeys on BOTH fact-side tables; refresh 2
+        tables["orders"][0].insert(
+            tables["orders"][1].filter("o_orderkey % 2 = 1")
+        )
+        tables["lineitem"][0].insert(
+            tables["lineitem"][1].filter("l_orderkey % 2 = 1")
+        )
+        mv.refresh()
+        # retraction: DELETE one return-flag class; refresh 3
+        tables["lineitem"][0].delete_where("l_returnflag = 'R'")
+        mv.refresh()
+        out = mv.read().orderBy(
+            "l_orderkey", "o_orderdate", "o_orderpriority"
+        )
+        # pin before tearing down the state directory the plan reads
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+MV_Q3_INCREMENTAL_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '{_MV_DATE}'
+  AND l_shipdate > DATE '{_MV_DATE}'
+  AND l_returnflag <> 'R'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
 QUERIES = {
     "pipeline_curate": pipeline_curate,
     "pipeline_pretrain": pipeline_pretrain,
+    "mv_q3_incremental": mv_q3_incremental,
 }
 ORACLE = {
     "pipeline_curate": PIPELINE_CURATE_SQL,
     "pipeline_pretrain": PIPELINE_PRETRAIN_SQL,
+    "mv_q3_incremental": MV_Q3_INCREMENTAL_SQL,
 }
