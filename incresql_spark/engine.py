@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 from . import dialect
 from .explain import reference_explain
 from .frequency import FreqTable
-from .materialize import MaterializedView
+from .materialize import AggregateJoinMaterializedView, MaterializedView
 from .sources.directory import read_directory
 
 _TYPE_MAP = {
@@ -159,6 +159,21 @@ class Engine:
 
     def _mv(self, db: str, name: str) -> MaterializedView:
         meta = self._mvs(db)[name]
+        state = os.path.join(self._db_path(db), f"{name}__mv")
+        if meta.get("type") == "agg_join":
+            tables = [
+                self._table(*qn.split(".", 1)) for qn in meta["tables"]
+            ]
+            return AggregateJoinMaterializedView(
+                self.spark,
+                name,
+                tables,
+                meta["join_conds"],
+                meta["select_list"],
+                meta.get("where"),
+                meta["group_by"],
+                state,
+            )
         bdb, bt = meta["base"].split(".")
         return MaterializedView(
             self.spark,
@@ -167,8 +182,14 @@ class Engine:
             meta["select_list"],
             meta.get("where"),
             meta.get("group_by"),
-            os.path.join(self._db_path(db), f"{name}__mv"),
+            state,
         )
+
+    def _mv_bases(self, meta: dict) -> list[str]:
+        """Qualified base-table names a MV meta depends on."""
+        if meta.get("type") == "agg_join":
+            return list(meta["tables"])
+        return [meta["base"]]
 
     #: bootstrap system tables (catalog/src/bootstrap.rs:22-66): ids 0/2/4
     _SYSTEM_TABLES = {"prefix_tables": 0, "databases": 2, "tables": 4}
@@ -480,6 +501,56 @@ class Engine:
             tbl.create(T.StructType(fields))
             return EngineResult()
 
+        # Join-MV form: CREATE MATERIALIZED VIEW v AS SELECT ... FROM t1
+        # JOIN t2 ON cond [JOIN t3 ON cond]... [WHERE ...] GROUP BY ... —
+        # the reference's unrealized differential goal surfaced as DDL
+        # (storage/src/storage.rs:26-65); refreshes are O(delta) via
+        # AggregateJoinMaterializedView's telescoping join delta.
+        m = re.match(
+            rf"CREATE MATERIALIZED VIEW ({_QNAME})\s+AS\s+"
+            rf"SELECT\s+(.*?)\s+FROM\s+(.*)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m and re.search(r"\bJOIN\b", m.group(3), re.IGNORECASE):
+            db, name = _split_name(m.group(1), self.current_db)
+            body = m.group(3)
+            group_by = where = None
+            mg = re.search(r"\s+GROUP\s+BY\s+(.*)$", body, re.IGNORECASE | re.DOTALL)
+            if mg:
+                group_by, body = mg.group(1).strip(), body[: mg.start()]
+            mw = re.search(r"\s+WHERE\s+(.*)$", body, re.IGNORECASE | re.DOTALL)
+            if mw:
+                where, body = mw.group(1).strip(), body[: mw.start()]
+            if not group_by:
+                raise ValueError(
+                    "join materialized views require GROUP BY aggregates"
+                )
+            parts = re.split(r"\s+JOIN\s+", body.strip(), flags=re.IGNORECASE)
+            tables, conds = [parts[0].strip()], []
+            for p in parts[1:]:
+                tb, cond = re.split(r"\s+ON\s+", p, maxsplit=1, flags=re.IGNORECASE)
+                tables.append(tb.strip())
+                conds.append(cond.strip())
+            qualified = []
+            for t in tables:
+                tdb, tn = _split_name(t, self.current_db)
+                if not self._table(tdb, tn).exists():
+                    raise ValueError(f"unknown base table {tdb}.{tn}")
+                qualified.append(f"{tdb}.{tn}")
+            mvs = self._mvs(db)
+            mvs[name] = {
+                "type": "agg_join",
+                "tables": qualified,
+                "join_conds": conds,
+                "select_list": m.group(2),
+                "where": where,
+                "group_by": group_by,
+            }
+            self._save_mvs(db, mvs)
+            self._mv(db, name).refresh()
+            return EngineResult()
+
         m = re.match(
             rf"CREATE MATERIALIZED VIEW ({_QNAME})\s+AS\s+"
             rf"SELECT\s+(.*?)\s+FROM\s+({_QNAME})"
@@ -552,7 +623,7 @@ class Engine:
                 if mv_db in self._SYSTEM_DBS:
                     continue
                 for mv_name, meta in self._mvs(mv_db).items():
-                    if meta.get("base") == f"{db}.{name}":
+                    if f"{db}.{name}" in self._mv_bases(meta):
                         self._mv(mv_db, mv_name).refresh()
             self._table(db, name).compact()
             return EngineResult()
