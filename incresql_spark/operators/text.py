@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.hashing import hash60, hash60_sql
+from ..functions.hashing import hash60, hash60_spark_sql, hash60_sql
 
 TOKENS_SPARK = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 TOKENS_DUCK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1079,6 +1079,125 @@ ORDER BY doc_id
 TEXT_BPE_TOKENIZE_SQL = _bpe_tokenize_sql()
 
 
+# --- DSIR-style importance selection ----------------------------------------
+#: hashed n-gram feature buckets (DSIR uses 10^4; bounded so the two
+#: distribution tables broadcast and the per-doc aggregate collapses map-side)
+DSIR_BUCKETS = 256
+#: doc_id < this plays the target (eval/domain) set — the dedup module's
+#: eval-set convention (dedup.EVAL_SET_MAX_DOC)
+DSIR_TARGET_MAX_DOC = 20
+
+
+def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., arXiv:2302.03169): score every
+    candidate document by how much its hashed n-gram feature distribution
+    looks like a TARGET domain (the eval-set docs) versus the raw corpus,
+    and keep the target-like ones — the importance-resampling selector a
+    pretraining pipeline runs to up-weight domain-relevant data.
+
+    Exact-arithmetic form (the cross-engine-verifiability price, as with
+    text_lm_score): features are byte-bigram hash buckets
+    (``hash60(hex(gram)) % {B}``); each side's bucket distribution is
+    integer ppm (``1e6 * cnt DIV total``); a doc's score is
+    ``Σ_b cnt_b · (target_ppm_b − corpus_ppm_b)`` in BIGINT — the
+    importance log-ratio's sign structure with products instead of logs,
+    deterministic on any engine.  ``keep = score > 0`` (more target-like
+    than corpus-like).
+
+    Scale: the per-position explode collapses map-side into (doc, bucket)
+    counts (≤ {B} rows per doc); both distribution tables are {B} rows →
+    broadcast joins; one fact shuffle on (doc_id, bucket).  Byte-sliced
+    grams (O(1) offsets) with hex-encoded hashing so the DuckDB oracle is
+    byte-faithful on any text (the winnow/lm_score pattern).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = f"({hash60_spark_sql('hex(substr(lb, i, 2))')}) % {DSIR_BUCKETS}"
+    per_doc = (
+        d.filter(F.length("text") >= 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("lb", F.expr("encode(lower(text), 'UTF-8')"))
+        .select(
+            "doc_id",
+            "lb",
+            F.explode(F.expr("sequence(1, length(lb) - 1)")).alias("i"),
+        )
+        .select("doc_id", F.expr(bucket).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    is_target = F.col("doc_id") < DSIR_TARGET_MAX_DOC
+
+    def dist(df, name):
+        per_b = df.groupBy("b").agg(F.sum("cnt").alias("n"))
+        tot = df.agg(F.sum("cnt").alias("tot"))
+        return (
+            per_b.crossJoin(F.broadcast(tot))
+            .select("b", F.expr("(1000000 * n) DIV tot").alias(name))
+        )
+
+    t_dist = dist(per_doc.filter(is_target), "t_ppm")
+    c_dist = dist(per_doc.filter(~is_target), "c_ppm")
+    return (
+        per_doc.filter(~is_target)
+        .join(F.broadcast(t_dist), "b", "left")
+        .join(F.broadcast(c_dist), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum(
+                F.col("cnt")
+                * (
+                    F.coalesce("t_ppm", F.lit(0))
+                    - F.coalesce("c_ppm", F.lit(0))
+                )
+            ).alias("dsir_score"),
+        )
+        .withColumn("keep", F.col("dsir_score") > 0)
+        .orderBy("doc_id")
+    )
+
+
+text_dsir_select.__doc__ = text_dsir_select.__doc__.replace(
+    "{B}", str(DSIR_BUCKETS)
+)
+
+TEXT_DSIR_SELECT_SQL = f"""
+WITH hexed AS (
+  SELECT doc_id, hex(encode(lower(text))) AS lh,
+         octet_length(encode(lower(text))) AS nb
+  FROM documents WHERE length(text) >= 2
+),
+per_doc AS (
+  SELECT doc_id,
+         ({hash60_sql("substr(lh, CAST(2 * ci - 1 AS INT), 4)")}) % {DSIR_BUCKETS} AS b,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM hexed, unnest(range(1, nb)) AS u(ci)
+  GROUP BY 1, 2
+),
+t_tot AS (SELECT SUM(cnt) AS tot FROM per_doc WHERE doc_id < {DSIR_TARGET_MAX_DOC}),
+c_tot AS (SELECT SUM(cnt) AS tot FROM per_doc WHERE doc_id >= {DSIR_TARGET_MAX_DOC}),
+t_dist AS (
+  SELECT b, (1000000 * SUM(cnt)) // (SELECT tot FROM t_tot) AS t_ppm
+  FROM per_doc WHERE doc_id < {DSIR_TARGET_MAX_DOC} GROUP BY b
+),
+c_dist AS (
+  SELECT b, (1000000 * SUM(cnt)) // (SELECT tot FROM c_tot) AS c_ppm
+  FROM per_doc WHERE doc_id >= {DSIR_TARGET_MAX_DOC} GROUP BY b
+)
+SELECT p.doc_id,
+       CAST(SUM(p.cnt) AS BIGINT) AS n_grams,
+       CAST(SUM(p.cnt * (COALESCE(t.t_ppm, 0) - COALESCE(c.c_ppm, 0)))
+            AS BIGINT) AS dsir_score,
+       SUM(p.cnt * (COALESCE(t.t_ppm, 0) - COALESCE(c.c_ppm, 0))) > 0 AS keep
+FROM per_doc p
+LEFT JOIN t_dist t USING (b)
+LEFT JOIN c_dist c USING (b)
+WHERE p.doc_id >= {DSIR_TARGET_MAX_DOC}
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_repetition": text_repetition,
@@ -1095,6 +1214,7 @@ QUERIES = {
     "text_lm_score": text_lm_score,
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_tokenize": text_bpe_tokenize,
+    "text_dsir_select": text_dsir_select,
 }
 
 ORACLE = {
@@ -1113,6 +1233,7 @@ ORACLE = {
     "text_lm_score": TEXT_LM_SCORE_SQL,
     "text_bpe_merges": TEXT_BPE_MERGES_SQL,
     "text_bpe_tokenize": TEXT_BPE_TOKENIZE_SQL,
+    "text_dsir_select": TEXT_DSIR_SELECT_SQL,
 }
 
 BENCH_QUERIES = {"text_stats": text_stats, "text_repetition": text_repetition}
