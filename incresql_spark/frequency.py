@@ -113,7 +113,12 @@ class FreqTable:
         return segs
 
     # -- writes --------------------------------------------------------------
-    def _write_segment(self, df: DataFrame, ts_ms: int | None = None) -> None:
+    def _write_segment(
+        self,
+        df: DataFrame,
+        ts_ms: int | None = None,
+        has_negative: bool | None = None,
+    ) -> None:
         """Append one immutable segment (df must carry __freq).
 
         Each segment also gets a strictly monotonic ``seq`` number (max
@@ -121,7 +126,12 @@ class FreqTable:
         ``ts_ms`` alone is NOT a safe cursor: two segments written in the
         same millisecond (or with explicit equal ts_ms) would make the
         strictly-greater delta filter skip one forever.  Single-writer
-        semantics, like the reference's engine-held table lock."""
+        semantics, like the reference's engine-held table lock.
+
+        ``has_negative``: callers whose frame's freq SIGN is statically
+        known (insert freq>0 → uniformly positive; delete → uniformly
+        negative) pass it to skip the probe job — one fewer Spark action
+        per write on every hot path.  ``None`` probes the merged frame."""
         ts_ms = ts_ms if ts_ms is not None else int(time.time() * 1000)
         seq = max((s["seq"] for s in self._segments()), default=-1) + 1
         # collapse duplicate tuples within the batch (reference merges per-key
@@ -130,7 +140,8 @@ class FreqTable:
         merged = (
             df.groupBy(*cols).agg(F.sum(FREQ).alias(FREQ)).filter(F.col(FREQ) != 0)
         )
-        has_negative = merged.filter(F.col(FREQ) < 0).limit(1).count() > 0
+        if has_negative is None:
+            has_negative = merged.filter(F.col(FREQ) < 0).limit(1).count() > 0
         seg = f"seg-{ts_ms}-{uuid.uuid4().hex[:8]}"
         seg_dir = os.path.join(self.path, seg)
         merged.write.mode("overwrite").parquet(seg_dir)
@@ -147,7 +158,11 @@ class FreqTable:
         cast = df.toDF(*[f.name for f in target.fields]).select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
         )
-        self._write_segment(cast.withColumn(FREQ, F.lit(freq).cast("long")), ts_ms)
+        self._write_segment(
+            cast.withColumn(FREQ, F.lit(freq).cast("long")),
+            ts_ms,
+            has_negative=freq < 0,  # constant sign — skip the probe job
+        )
 
     def delete_where(
         self, condition: str | None = None, limit: int | None = None, ts_ms: int | None = None
@@ -206,14 +221,14 @@ class FreqTable:
                 to_delete = current.withColumn(FREQ, -F.col(FREQ))
                 n = to_delete.agg(F.coalesce(-F.sum(FREQ), F.lit(0))).collect()[0][0]
                 if n:
-                    self._write_segment(to_delete, ts_ms)
+                    self._write_segment(to_delete, ts_ms, has_negative=True)
             finally:
                 within.unpersist()
             return int(n)
         to_delete = current.withColumn(FREQ, -F.col(FREQ))
         n = to_delete.agg(F.coalesce(-F.sum(FREQ), F.lit(0))).collect()[0][0]
         if n:
-            self._write_segment(to_delete, ts_ms)
+            self._write_segment(to_delete, ts_ms, has_negative=True)
         return int(n)
 
     def compact(self) -> None:

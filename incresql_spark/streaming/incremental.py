@@ -18,6 +18,9 @@ The patterns:
 - ``stream_neardup_ingest`` — ingestion with history-wide NEAR-dup dedup:
   each micro-batch runs through the incremental MinHash-LSH maintainer
   and only docs that near-duplicate nothing seen before are appended.
+- ``stream_embedding_ingest`` — the vector twin: micro-batches of
+  embeddings through the incremental hyperplane-LSH maintainer; only
+  vectors that semantically duplicate nothing seen before are appended.
 - ``stream_dedup``          — time-bounded streaming dedup
   (dropDuplicatesWithinWatermark; state = rate × watermark horizon).
 - ``stream_interval_join``  — watermarked stream-stream attribution join
@@ -247,10 +250,33 @@ def _apply_neardup_batch(
     batch_id: int,
     run_id: str | None = None,
 ) -> None:
-    """One micro-batch of near-dup ingestion (see stream_neardup_ingest).
+    """One micro-batch of document near-dup ingestion (see
+    stream_neardup_ingest) — the doc_id/doc_a/doc_b instance of the
+    generic ingest step."""
+    _apply_ingest_batch(
+        corpus_table, dedup.add_batch, "doc_id", ("doc_a", "doc_b"),
+        state_dir, batch_df, batch_id, run_id,
+    )
+
+
+def _apply_ingest_batch(
+    corpus_table: FreqTable,
+    add_batch,
+    id_col: str,
+    pair_cols: tuple[str, str],
+    state_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    run_id: str | None = None,
+) -> None:
+    """One micro-batch of near-dup-filtered ingestion, generic over the
+    maintainer (minhash docs / hyperplane embeddings): ``add_batch`` takes
+    the delta frame and returns verified pairs named ``pair_cols`` (each
+    ordered a < b, >=1 end in the batch); rows keyed by ``id_col``.
     Idempotent per (run_id, batch_id) via the high-water marker in
     ``state_dir``; an unreadable/truncated marker is treated as absent so a
     crash mid-write can never brick the stream."""
+    pa, pb = pair_cols
     marker = _neardup_marker(state_dir)
     try:
         with open(marker) as fh:
@@ -259,39 +285,39 @@ def _apply_neardup_batch(
             return  # at-least-once replay of an already-applied batch
     except Exception:
         pass  # no marker, or torn write — fall through and rely on
-        # the doc_id anti-join below for corpus idempotency
+        # the id anti-join below for corpus idempotency
     if not corpus_table.exists():
         corpus_table.create(batch_df.schema)
     batch_df = batch_df.localCheckpoint()  # stable across the two uses
     # pairs is pinned executor-side by add_batch (materialize) — neither
     # the batch nor its pair set ever collects to the driver.
-    pairs = dedup.add_batch(batch_df)
-    ids = batch_df.select("doc_id")
-    # Every pair involves >=1 batch doc.  Drop set, per the policy:
-    # - doc_b of ANY pair, if it is a batch doc (both-in-batch pairs
-    #   keep the smaller id; history-partner pairs where the batch doc
+    pairs = add_batch(batch_df)
+    ids = batch_df.select(id_col)
+    # Every pair involves >=1 batch row.  Drop set, per the policy:
+    # - b of ANY pair, if it is a batch row (both-in-batch pairs keep
+    #   the smaller id; history-partner pairs where the batch row
     #   sorted last);
-    # - doc_a of pairs whose doc_b is HISTORY (then doc_a is the batch
-    #   doc and the history partner wins regardless of id order).
-    hist_b = pairs.join(ids, pairs["doc_b"] == ids["doc_id"], "left_anti")
+    # - a of pairs whose b is HISTORY (then a is the batch row and the
+    #   history partner wins regardless of id order).
+    hist_b = pairs.join(ids, pairs[pb] == ids[id_col], "left_anti")
     drop_df = (
-        pairs.select("doc_b")
-        .unionByName(hist_b.select(F.col("doc_a").alias("doc_b")))
+        pairs.select(pb)
+        .unionByName(hist_b.select(F.col(pa).alias(pb)))
         .distinct()
     )
     kept = batch_df.join(
         F.broadcast(drop_df),
-        batch_df["doc_id"] == drop_df["doc_b"],
+        batch_df[id_col] == drop_df[pb],
         "left_anti",
     )
     # Idempotent append: a replay of a batch whose corpus insert already
     # landed (crash before the marker write) must not duplicate rows.
-    # (Unmerged scan: this very anti-join keeps corpus doc_ids unique
+    # (Unmerged scan: this very anti-join keeps corpus ids unique
     # across its append-only segments, so the freq merge is a no-op.)
     seen_ids = corpus_table.scan(expand=False, merged=False).select(
-        "doc_id"
+        id_col
     ).distinct()
-    kept = kept.join(seen_ids, "doc_id", "left_anti")
+    kept = kept.join(seen_ids, id_col, "left_anti")
     corpus_table.insert(kept)
     # The corpus insert consumed every materialized intermediate — free
     # their blocks so a long-lived stream doesn't accumulate one set per
@@ -305,6 +331,59 @@ def _apply_neardup_batch(
     with open(tmp, "w") as fh:
         json.dump({"run_id": run_id, "batch_id": batch_id}, fh)
     os.replace(tmp, marker)
+
+
+def stream_embedding_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    corpus_table: FreqTable,
+    state_dir: str,
+    checkpoint_dir: str,
+    band_bits: int,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming EMBEDDING ingestion with history-wide semantic near-dup
+    dedup — the vector twin of ``stream_neardup_ingest``: each micro-batch
+    of (vec_id, embedding) rows runs through the incremental hyperplane-LSH
+    maintainer (delta projections joined against the materialized band
+    table), and only vectors that are not near-duplicates (cosine >=
+    threshold) of anything seen before are appended to ``corpus_table`` —
+    the SemDeDup-style ingestion gate an embedding store runs.
+
+    ``band_bits`` fixes the index geometry up front (size for the corpus
+    you expect — IncrementalEmbeddingDedup's contract; a re-band is an
+    explicit state rebuild).  Same drop policy, replay marker, and
+    idempotent-append machinery as the document stream (the generic
+    ``_apply_ingest_batch``); same scale shape — history participates
+    through band keys only, nothing collects to the driver.
+    """
+    from .embedding_incremental import IncrementalEmbeddingDedup
+
+    dedup = IncrementalEmbeddingDedup(spark, state_dir, band_bits=band_bits)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.format("parquet").load(source_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _apply_ingest_batch(
+            corpus_table,
+            dedup.add_batch,
+            "vec_id",
+            ("vec_a", "vec_b"),
+            state_dir,
+            batch_df,
+            batch_id,
+            run_id=_checkpoint_run_id(checkpoint_dir),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def stream_interval_join(

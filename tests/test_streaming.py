@@ -499,3 +499,61 @@ def test_neardup_marker_torn_write_and_run_id(spark, tmp_path):
     assert table.scan().count() > rows
     with open(marker) as fh:
         assert _json.load(fh)["run_id"] == "run2"
+
+
+def test_stream_embedding_ingest_drops_semantic_neardups(spark, tmp_path):
+    """Vector-ingestion twin of the near-dup stream: the kept embedding
+    corpus after a 3-micro-batch stream must equal replaying the
+    keep-first policy over the batch operator's verified-cosine pair list
+    (the incremental pair stream is byte-identical to batch —
+    test_embedding_incremental), including cross-batch semantic dups."""
+    from incresql_spark.catalog import load_table
+    from incresql_spark.operators.dedup import _embed_band_bits, dedup_embedding
+    from pyspark.sql import functions as F
+
+    vecs = load_table(spark, SF_SMALL, "embeddings")
+    band_bits = _embed_band_bits(vecs.count())
+    schema = vecs.schema
+    src = tmp_path / "ev-in"
+    src.mkdir()
+    table = FreqTable(spark, str(tmp_path / "ev-corpus"))
+
+    slices = [vecs.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    batch_of = {}
+    for i, sl in enumerate(slices):
+        sl.repartition(1).write.parquet(str(src / f"b{i}.parquet"))
+        for r in sl.select("vec_id").collect():
+            batch_of[r.vec_id] = i
+        time.sleep(1.1)
+
+    q = incremental.stream_embedding_ingest(
+        spark,
+        str(src) + "/*",
+        schema,
+        table,
+        str(tmp_path / "ev-state"),
+        str(tmp_path / "ev-ckpt"),
+        band_bits=band_bits,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(600)
+    assert len(q.recentProgress) >= 3, "expected one micro-batch per file"
+    got = sorted(r.vec_id for r in table.scan().collect())
+
+    pairs = [(r.vec_a, r.vec_b) for r in dedup_embedding(spark, SF_SMALL).collect()]
+    partners = {}
+    for a, b in pairs:
+        partners.setdefault(a, set()).add(b)
+        partners.setdefault(b, set()).add(a)
+    seen, expected = set(), []
+    for vid in sorted(batch_of, key=lambda v: (batch_of[v], v)):
+        if not (partners.get(vid, set()) & seen):
+            expected.append(vid)
+        seen.add(vid)
+
+    assert got == sorted(expected)
+    # the fixture must exercise a cross-batch semantic drop
+    dropped = set(batch_of) - set(expected)
+    assert any(
+        batch_of[v] > min(batch_of[p] for p in partners[v]) for v in dropped
+    ), "fixture should drop at least one vector for a PRIOR-batch near-dup"
