@@ -74,3 +74,16 @@ def test_winnow_byte_faithful_on_multibyte(spark, tmp_path):
     n = _check(spark, _multibyte_docs(spark, tmp_path), dedup_substring_winnow,
                DEDUP_SUBSTRING_WINNOW_SQL)
     assert n >= 6  # each doc pairs with its near-duplicate
+
+
+def test_dsir_byte_faithful_on_multibyte(spark, tmp_path):
+    from incresql_spark.operators.text import (
+        TEXT_DSIR_SELECT_SQL,
+        text_dsir_select,
+    )
+
+    # doc_ids < DSIR_TARGET_MAX_DOC (20) play the target set — the fixture
+    # builder's 0..5 base docs land there, the 100.. near-dups are scored
+    n = _check(spark, _multibyte_docs(spark, tmp_path), text_dsir_select,
+               TEXT_DSIR_SELECT_SQL)
+    assert n == 6  # the six candidate (non-target) docs scored

@@ -410,3 +410,19 @@ def test_q21_reuses_one_fact_exchange(spark):
     # the window must sit directly on the aggregate's partitioning: no
     # hashpartitioning exchange keyed on l_orderkey is planned twice
     assert plan.count("hashpartitioning(l_orderkey") == 1
+
+
+def test_dsir_plan_broadcasts_distributions(spark):
+    """text_dsir_select's two 256-row distribution tables must reach the
+    per-doc score join as broadcasts — a shuffle join there would
+    repartition the whole (doc, bucket) fact by bucket for nothing."""
+    from incresql_spark.operators.text import text_dsir_select
+
+    plan = (
+        text_dsir_select(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
