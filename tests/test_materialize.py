@@ -165,3 +165,87 @@ def test_join_mv_ddl_incremental(engine):
             "CREATE MATERIALIZED VIEW mv_bad AS "
             "SELECT cust, qty FROM o JOIN li ON ok = lk"
         )
+
+
+def test_compact_refreshes_dependent_join_mvs(engine):
+    """COMPACT TABLE on ANY base table of a JOIN MV must bring the MV's
+    cursor for that table to head first — the compact guard extended to
+    multi-table metas (round 6): without it the collapsed seq range would
+    make the next refresh fail in delta()'s compaction check."""
+    engine.execute_statement("CREATE TABLE jo (ok INT, cust TEXT)")
+    engine.execute_statement("CREATE TABLE jli (lk INT, qty INT)")
+    engine.execute_statement("INSERT INTO jo VALUES (1, 'a'), (2, 'b')")
+    engine.execute_statement("INSERT INTO jli VALUES (1, 10), (2, 7)")
+    engine.execute_statement(
+        "CREATE MATERIALIZED VIEW jmv AS "
+        "SELECT cust, count(*) AS n, sum(qty) AS total "
+        "FROM jo JOIN jli ON ok = lk GROUP BY cust"
+    )
+    # new segments on BOTH tables, then compact each in turn
+    engine.execute_statement("INSERT INTO jli VALUES (1, 5)")
+    engine.execute_statement("COMPACT TABLE jli")
+    engine.execute_statement("INSERT INTO jo VALUES (3, 'a')")
+    engine.execute_statement("COMPACT TABLE jo")
+    engine.execute_statement("INSERT INTO jli VALUES (3, 2)")
+    engine.execute_statement("REFRESH MATERIALIZED VIEW jmv")
+    got = rows(engine, "SELECT * FROM jmv ORDER BY cust")
+    assert got == [("a", 3, 17), ("b", 1, 7)], got
+
+
+def test_stream_to_join_mv_chain(spark, tmp_path):
+    """File streams → two FreqTables → one aggregate-over-join MV: each
+    drained micro-batch becomes segments, and a single refresh propagates
+    the combined deltas O(delta) — the end-to-end continuous shape the
+    reference aimed at (storage/src/storage.rs:26-65), now over a JOIN."""
+    from pyspark.sql import types as T
+
+    from incresql_spark.materialize import AggregateJoinMaterializedView
+    from incresql_spark.streaming.incremental import stream_into_table
+
+    o_schema = T.StructType(
+        [T.StructField("ok", T.IntegerType()), T.StructField("cust", T.StringType())]
+    )
+    l_schema = T.StructType(
+        [T.StructField("lk", T.IntegerType()), T.StructField("qty", T.IntegerType())]
+    )
+    o_src, l_src = tmp_path / "o-in", tmp_path / "l-in"
+    o_src.mkdir(); l_src.mkdir()
+    o_tbl = FreqTable(spark, str(tmp_path / "o_tbl")); o_tbl.create(o_schema)
+    l_tbl = FreqTable(spark, str(tmp_path / "l_tbl")); l_tbl.create(l_schema)
+
+    spark.createDataFrame([(1, "a"), (2, "b")], o_schema).coalesce(1).write.parquet(
+        str(o_src / "b0.parquet")
+    )
+    spark.createDataFrame(
+        [(1, 10), (1, 5), (2, 7)], l_schema
+    ).coalesce(1).write.parquet(str(l_src / "b0.parquet"))
+
+    for src, schema, tbl, ck in (
+        (o_src, o_schema, o_tbl, "o-ck"),
+        (l_src, l_schema, l_tbl, "l-ck"),
+    ):
+        q = stream_into_table(
+            spark, str(src) + "/*", schema, tbl, str(tmp_path / ck)
+        )
+        q.awaitTermination(120)
+
+    mv = AggregateJoinMaterializedView(
+        spark, "smv", [o_tbl, l_tbl], ["ok = lk"],
+        "cust, count(*) AS n, sum(qty) AS total", None, "cust",
+        str(tmp_path / "smv"),
+    )
+    mv.refresh()
+    got = sorted(tuple(r) for r in mv.read().collect())
+    assert got == [("a", 2, 15), ("b", 1, 7)]
+
+    # second wave of files on ONE side only → drain → one more refresh
+    spark.createDataFrame([(2, 1), (1, 3)], l_schema).coalesce(1).write.parquet(
+        str(l_src / "b1.parquet")
+    )
+    q = stream_into_table(
+        spark, str(l_src) + "/*", l_schema, l_tbl, str(tmp_path / "l-ck")
+    )
+    q.awaitTermination(120)
+    mv.refresh()
+    got = sorted(tuple(r) for r in mv.read().collect())
+    assert got == [("a", 3, 18), ("b", 2, 8)]
