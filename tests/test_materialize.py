@@ -249,3 +249,67 @@ def test_stream_to_join_mv_chain(spark, tmp_path):
     mv.refresh()
     got = sorted(tuple(r) for r in mv.read().collect())
     assert got == [("a", 3, 18), ("b", 2, 8)]
+
+
+def test_join_mv_random_histories_match_recompute(spark, tmp_path):
+    """Randomized differential check for the aggregate-over-join MV:
+    seeded random histories of inserts and predicate deletes on BOTH base
+    tables, refreshed at random points, must always equal a from-scratch
+    recompute over the live rows (count + sum + avg, including groups
+    born and killed mid-history)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from incresql_spark.materialize import AggregateJoinMaterializedView
+
+    rng = random.Random(42)
+    # distinct join-key names so the chain-join condition is unambiguous
+    a2 = FreqTable(spark, str(tmp_path / "ra2"))
+    b2 = FreqTable(spark, str(tmp_path / "rb2"))
+    a2.create(spark.createDataFrame([], "a_k int, grp string").schema)
+    b2.create(spark.createDataFrame([], "b_k int, v int").schema)
+    mv = AggregateJoinMaterializedView(
+        spark, "rmv2", [a2, b2], ["a_k = b_k"],
+        "grp, count(*) AS n, sum(v) AS s, avg(v) AS m",
+        None, "grp", str(tmp_path / "rmv2"),
+    )
+
+    live_a: list[tuple[int, str]] = []
+    live_b: list[tuple[int, int]] = []
+    for step in range(8):
+        op = rng.choice(["ins_a", "ins_b", "del_a", "del_b"])
+        if op == "ins_a" or not live_a:
+            rows_ = [(rng.randint(0, 5), rng.choice("xyz")) for _ in range(rng.randint(1, 4))]
+            a2.insert(spark.createDataFrame(rows_, "a_k int, grp string"))
+            live_a += rows_
+        elif op == "ins_b" or not live_b:
+            rows_ = [(rng.randint(0, 5), rng.randint(-9, 9)) for _ in range(rng.randint(1, 4))]
+            b2.insert(spark.createDataFrame(rows_, "b_k int, v int"))
+            live_b += rows_
+        elif op == "del_a":
+            g = rng.choice("xyz")
+            a2.delete_where(f"grp = '{g}'")
+            live_a = [r for r in live_a if r[1] != g]
+        else:
+            k = rng.randint(0, 5)
+            b2.delete_where(f"b_k = {k}")
+            live_b = [r for r in live_b if r[0] != k]
+        if rng.random() < 0.6 or step == 7:
+            mv.refresh()
+            got = {
+                r.grp: (r.n, r.s, r.m) for r in mv.read().collect()
+            }
+            # reference recompute over the live multiset
+            want: dict = {}
+            for ak, grp in live_a:
+                for bk, v in live_b:
+                    if ak == bk:
+                        n, s = want.get(grp, (0, 0))
+                        want[grp] = (n + 1, s + v)
+            want = {g: (n, s, s / n) for g, (n, s) in want.items()}
+            assert set(got) == set(want), (step, got, want)
+            for g in want:
+                assert got[g][0] == want[g][0], (step, g, got[g], want[g])
+                assert got[g][1] == want[g][1], (step, g, got[g], want[g])
+                assert got[g][2] == pytest.approx(want[g][2]), (step, g)
