@@ -1236,4 +1236,8 @@ ORACLE = {
     "text_dsir_select": TEXT_DSIR_SELECT_SQL,
 }
 
-BENCH_QUERIES = {"text_stats": text_stats, "text_repetition": text_repetition}
+BENCH_QUERIES = {
+    "text_stats": text_stats,
+    "text_repetition": text_repetition,
+    "text_dsir_select": text_dsir_select,
+}
