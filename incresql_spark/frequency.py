@@ -118,6 +118,7 @@ class FreqTable:
         df: DataFrame,
         ts_ms: int | None = None,
         has_negative: bool | None = None,
+        pre_merged: bool = False,
     ) -> None:
         """Append one immutable segment (df must carry __freq).
 
@@ -131,15 +132,24 @@ class FreqTable:
         ``has_negative``: callers whose frame's freq SIGN is statically
         known (insert freq>0 → uniformly positive; delete → uniformly
         negative) pass it to skip the probe job — one fewer Spark action
-        per write on every hot path.  ``None`` probes the merged frame."""
+        per write on every hot path.  ``None`` probes the merged frame.
+
+        ``pre_merged``: callers whose batch provably contains no duplicate
+        tuples (state tables keyed by unique ids) skip the in-batch
+        groupBy merge — a full shuffle of the batch payload (expensive
+        when tuples carry array columns, e.g. shingle state: the measured
+        bulk of the maintainers' initial-ingest premium)."""
         ts_ms = ts_ms if ts_ms is not None else int(time.time() * 1000)
         seq = max((s["seq"] for s in self._segments()), default=-1) + 1
         # collapse duplicate tuples within the batch (reference merges per-key
         # inside the write batch too, table.rs:320-346)
         cols = [c for c in df.columns if c != FREQ]
-        merged = (
-            df.groupBy(*cols).agg(F.sum(FREQ).alias(FREQ)).filter(F.col(FREQ) != 0)
-        )
+        if pre_merged:
+            merged = df.filter(F.col(FREQ) != 0)
+        else:
+            merged = (
+                df.groupBy(*cols).agg(F.sum(FREQ).alias(FREQ)).filter(F.col(FREQ) != 0)
+            )
         if has_negative is None:
             has_negative = merged.filter(F.col(FREQ) < 0).limit(1).count() > 0
         seg = f"seg-{ts_ms}-{uuid.uuid4().hex[:8]}"
@@ -150,8 +160,20 @@ class FreqTable:
                 {"ts_ms": ts_ms, "seq": seq, "has_negative": bool(has_negative)}, fh
             )
 
-    def insert(self, df: DataFrame, freq: int = 1, ts_ms: int | None = None) -> None:
-        """INSERT: rows gain +freq (aligned positionally to the schema)."""
+    def insert(
+        self,
+        df: DataFrame,
+        freq: int = 1,
+        ts_ms: int | None = None,
+        assume_distinct: bool = False,
+    ) -> None:
+        """INSERT: rows gain +freq (aligned positionally to the schema).
+
+        ``assume_distinct``: the caller guarantees the batch holds no
+        duplicate tuples, so the in-batch merge shuffle is skipped — the
+        fast path for maintainer state keyed by unique ids (bands,
+        shingles, vectors), whose array payloads make the merge the most
+        expensive step of an ingest."""
         target = self.schema()
         # toDF is a purely positional rename — source column names may contain
         # dots or backticks (e.g. a literal select `INSERT ... SELECT 12.34`)
@@ -162,6 +184,7 @@ class FreqTable:
             cast.withColumn(FREQ, F.lit(freq).cast("long")),
             ts_ms,
             has_negative=freq < 0,  # constant sign — skip the probe job
+            pre_merged=assume_distinct,
         )
 
     def delete_where(

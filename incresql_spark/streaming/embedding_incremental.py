@@ -159,8 +159,10 @@ class IncrementalEmbeddingDedup:
         # fully consume the result may reclaim it with layout.release(out).
         out = materialize(pairs)
 
-        self.bands.insert(delta_bands)
-        self.vectors.insert(delta_vecs)
+        # unique by construction (one row per (vec, band) / per vec) —
+        # skip the in-batch merge shuffle of the embedding payloads
+        self.bands.insert(delta_bands, assume_distinct=True)
+        self.vectors.insert(delta_vecs, assume_distinct=True)
         # Both state inserts have read the materialized delta — free its
         # blocks now, or a long-lived maintainer accumulates one block set
         # per batch (the leak the minhash/passages unpersists already avoid).

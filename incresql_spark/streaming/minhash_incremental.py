@@ -146,8 +146,10 @@ class IncrementalMinHashDedup:
         # ``plans.layout.release(out)``.
         out = materialize(pairs)
 
-        self.bands.insert(delta_bands)
-        self.shingles.insert(delta_sh)
+        # unique by construction (one row per doc / per (doc, band)) —
+        # skip the in-batch merge shuffle of the array payloads
+        self.bands.insert(delta_bands, assume_distinct=True)
+        self.shingles.insert(delta_sh, assume_distinct=True)
         delta_sh.unpersist()
         delta_bands.unpersist()
         return out

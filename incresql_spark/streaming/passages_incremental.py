@@ -191,8 +191,9 @@ class IncrementalPassagesDedup:
         old_rows = self.results.scan().join(changed_docs, "doc_id").select(
             *[f.name for f in _RESULTS_SCHEMA.fields]
         )
-        self.results.insert(old_rows, freq=-1)
-        self.results.insert(out)
+        # both frames are unique per doc_id — skip the in-batch merge
+        self.results.insert(old_rows, freq=-1, assume_distinct=True)
+        self.results.insert(out, assume_distinct=True)
 
         delta.unpersist()
         changed_docs.unpersist()
