@@ -319,7 +319,10 @@ def mv_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-exactness: revenue is summed as DECIMAL(18,4) (cast BEFORE the
     sum, in both engines), so the incremental accumulation order cannot
     produce float drift vs the oracle's single-pass sum — the tpch.py
-    exact-decimal strategy.
+    exact-decimal strategy.  The SUM itself widens to precision 38, so
+    the result is re-cast to DECIMAL(18,4) on both sides: DuckDB backs
+    p>18 decimals with int128, the HUGEINT family the driver's hash
+    normalizer renders differently (rounds 2-4, round 6 red row).
 
     Scale: refresh work is O(delta + touched groups); state lives in
     FreqTable segments (bucketable by join key on a cluster).  The
@@ -379,8 +382,15 @@ def mv_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # retraction: DELETE one return-flag class; refresh 3
         tables["lineitem"][0].delete_where("l_returnflag = 'R'")
         mv.refresh()
-        out = mv.read().orderBy(
-            "l_orderkey", "o_orderdate", "o_orderpriority"
+        out = (
+            mv.read()
+            # SUM over DECIMAL(18,4) widens to precision 38 in BOTH engines;
+            # DuckDB backs p>18 decimals with int128 (HUGEINT family), which
+            # the driver-side hash normalizer renders differently (the r2-r4
+            # mismatch class).  Re-cast to 18 digits on both sides — values
+            # are exact well below that, so the cast is lossless.
+            .withColumn("revenue", F.col("revenue").cast("decimal(18,4)"))
+            .orderBy("l_orderkey", "o_orderdate", "o_orderpriority")
         )
         # pin before tearing down the state directory the plan reads
         return out.localCheckpoint()
@@ -390,8 +400,8 @@ def mv_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MV_Q3_INCREMENTAL_SQL = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-         AS revenue,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DECIMAL(18,4)) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'

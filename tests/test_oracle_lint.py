@@ -49,3 +49,22 @@ def test_lint_catches_hugeint(oracle_con):
     )
     assert hits == [("s", "HUGEINT")]
     assert "HUGEINT" not in ALLOWED_ORACLE_TYPES
+
+
+def test_lint_catches_wide_decimal(oracle_con):
+    # SUM over DECIMAL(18,4) widens to DECIMAL(38,4) — int128-backed in
+    # DuckDB, same hash-normalizer family as HUGEINT (round-6 red row).
+    hits = lint_oracle_types(
+        oracle_con,
+        "SELECT SUM(CAST(r_regionkey AS DECIMAL(18,4))) AS s FROM region",
+    )
+    assert hits == [("s", "DECIMAL(38,4)")]
+    # ...while a post-cast to <=18 precision passes.
+    assert (
+        lint_oracle_types(
+            oracle_con,
+            "SELECT CAST(SUM(CAST(r_regionkey AS DECIMAL(18,4)))"
+            " AS DECIMAL(18,4)) AS s FROM region",
+        )
+        == []
+    )
