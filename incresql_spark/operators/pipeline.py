@@ -319,10 +319,15 @@ def mv_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-exactness: revenue is summed as DECIMAL(18,4) (cast BEFORE the
     sum, in both engines), so the incremental accumulation order cannot
     produce float drift vs the oracle's single-pass sum — the tpch.py
-    exact-decimal strategy.  The SUM itself widens to precision 38, so
-    the result is re-cast to DECIMAL(18,4) on both sides: DuckDB backs
-    p>18 decimals with int128, the HUGEINT family the driver's hash
-    normalizer renders differently (rounds 2-4, round 6 red row).
+    exact-decimal strategy.  The GATE OUTPUT carries no DECIMAL at all:
+    two driver runs (rounds 6 and 7) proved that ANY decimal output —
+    precision 38 or 18 — hash-mismatches on the driver while matching
+    locally (trailing-zero scale-4 values like 54808.8630 render
+    differently under str(Decimal) vs float-normalizing fetch paths).
+    Revenue is therefore emitted as BIGINT 1e-4 fixed-point units
+    (`revenue_e4 = revenue * 10000`, exact: scale-4 decimal × 10⁴ is
+    integral, max value ≈4.4e9 ≪ 2⁶³) on BOTH sides, matching the
+    all-BIGINT/DOUBLE convention every green gate query follows.
 
     Scale: refresh work is O(delta + touched groups); state lives in
     FreqTable segments (bucketable by join key on a cluster).  The
@@ -384,12 +389,19 @@ def mv_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         mv.refresh()
         out = (
             mv.read()
-            # SUM over DECIMAL(18,4) widens to precision 38 in BOTH engines;
-            # DuckDB backs p>18 decimals with int128 (HUGEINT family), which
-            # the driver-side hash normalizer renders differently (the r2-r4
-            # mismatch class).  Re-cast to 18 digits on both sides — values
-            # are exact well below that, so the cast is lossless.
-            .withColumn("revenue", F.col("revenue").cast("decimal(18,4)"))
+            # The maintained sum is exact decimal internally; the GATE
+            # schema must be decimal-free (driver rounds 6+7: DECIMAL(38,4)
+            # and DECIMAL(18,4) both hash-red while locally identical).
+            # Scale-4 decimal × 10000 is integral and ≪ 2⁶³ → exact BIGINT.
+            .withColumn(
+                "revenue_e4",
+                F.expr("CAST(revenue * 10000 AS BIGINT)"),
+            )
+            .drop("revenue")
+            .select(
+                "l_orderkey", "o_orderdate", "o_orderpriority",
+                "revenue_e4", "n_items",
+            )
             .orderBy("l_orderkey", "o_orderdate", "o_orderpriority")
         )
         # pin before tearing down the state directory the plan reads
@@ -401,7 +413,7 @@ def mv_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 MV_Q3_INCREMENTAL_SQL = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-            AS DECIMAL(18,4)) AS revenue,
+            * 10000 AS BIGINT) AS revenue_e4,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM customer, orders, lineitem
 WHERE c_mktsegment = 'BUILDING'

@@ -51,20 +51,30 @@ def test_lint_catches_hugeint(oracle_con):
     assert "HUGEINT" not in ALLOWED_ORACLE_TYPES
 
 
-def test_lint_catches_wide_decimal(oracle_con):
-    # SUM over DECIMAL(18,4) widens to DECIMAL(38,4) — int128-backed in
-    # DuckDB, same hash-normalizer family as HUGEINT (round-6 red row).
+def test_lint_catches_any_decimal(oracle_con):
+    # DECIMAL at ANY precision is driver-red: round 6 proved DECIMAL(38,4)
+    # (int128-backed) mismatches, round 7 proved DECIMAL(18,4) does too —
+    # trailing-zero fixed-scale values render differently under
+    # str(Decimal) vs float-normalizing fetch paths.  The lint must refuse
+    # the whole type family, wide or narrow.
     hits = lint_oracle_types(
         oracle_con,
         "SELECT SUM(CAST(r_regionkey AS DECIMAL(18,4))) AS s FROM region",
     )
     assert hits == [("s", "DECIMAL(38,4)")]
-    # ...while a post-cast to <=18 precision passes.
+    hits = lint_oracle_types(
+        oracle_con,
+        "SELECT CAST(SUM(CAST(r_regionkey AS DECIMAL(18,4)))"
+        " AS DECIMAL(18,4)) AS s FROM region",
+    )
+    assert hits == [("s", "DECIMAL(18,4)")]
+    # ...while the fixed-point BIGINT rewrite (the mv_q3_incremental r8
+    # convention) passes.
     assert (
         lint_oracle_types(
             oracle_con,
             "SELECT CAST(SUM(CAST(r_regionkey AS DECIMAL(18,4)))"
-            " AS DECIMAL(18,4)) AS s FROM region",
+            " * 10000 AS BIGINT) AS s_e4 FROM region",
         )
         == []
     )

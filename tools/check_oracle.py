@@ -26,16 +26,18 @@ TABLES = (
 # rounds of false local greens (VERDICT r4 §What's wrong).  DuckDB relation
 # .types is lazy, so linting never executes the query.
 #
-# DECIMAL is allowed only up to precision 18: DuckDB stores p>18 decimals
-# in int128 — the same HUGEINT value family — and mv_q3_incremental's
-# DECIMAL(38,4) SUM output slipped through the bare-DECIMAL allowlist and
-# went driver-red in round 6 while hashing green here.
+# DECIMAL — at ANY precision — is banned outright: two driver runs proved
+# the class (round 6: DECIMAL(38,4) red; round 7: DECIMAL(18,4) red, both
+# while hashing green here).  Trailing-zero fixed-scale values such as
+# Decimal('54808.8630') render '54808.8630' under str(Decimal) but
+# '54808.863' under any float-normalizing fetch path, so decimal output is
+# never driver-safe.  Emit BIGINT fixed-point units or ROUND(·,k)→DOUBLE
+# instead (the convention every green gate query follows).
 ALLOWED_ORACLE_TYPES = {
     "BIGINT", "INTEGER", "SMALLINT", "TINYINT",
-    "DOUBLE", "FLOAT", "DECIMAL",
+    "DOUBLE", "FLOAT",
     "VARCHAR", "BOOLEAN", "BLOB", "DATE", "TIMESTAMP",
 }
-MAX_DECIMAL_PRECISION = 18
 
 
 def _base_type(t: str) -> str:
@@ -46,20 +48,7 @@ def _base_type(t: str) -> str:
 
 
 def _type_allowed(t: str) -> bool:
-    t = t.strip()
-    while t.endswith("[]"):
-        t = t[:-2]
-    base, _, params = t.partition("(")
-    if base not in ALLOWED_ORACLE_TYPES:
-        return False
-    if base == "DECIMAL" and params:
-        try:
-            precision = int(params.rstrip(")").split(",")[0])
-        except ValueError:
-            return False
-        if precision > MAX_DECIMAL_PRECISION:
-            return False  # int128-backed in DuckDB — HUGEINT hash class
-    return True
+    return _base_type(t) in ALLOWED_ORACLE_TYPES
 
 
 def lint_oracle_types(con, sql: str) -> list[tuple[str, str]]:
