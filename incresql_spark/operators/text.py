@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.hashing import hash60, hash60_spark_sql, hash60_sql
+from ..plans import layout
 
 TOKENS_SPARK = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 TOKENS_DUCK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -1105,14 +1106,32 @@ def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     than corpus-like).
 
     Scale: the per-position explode collapses map-side into (doc, bucket)
-    counts (≤ {B} rows per doc); both distribution tables are {B} rows →
-    broadcast joins; one fact shuffle on (doc_id, bucket).  Byte-sliced
-    grams (O(1) offsets) with hex-encoded hashing so the DuckDB oracle is
-    byte-faithful on any text (the winnow/lm_score pattern).
+    counts (≤ {B} rows per doc) and is MATERIALIZED once
+    (plans.layout.materialize — executor-block pin locally, reliable
+    checkpoint under ``incresql.checkpoint.dir`` on a cluster): the five
+    downstream reads (two per distribution table + the scoring fact) read
+    rows instead of re-running the explode, which an earlier shape
+    re-evaluated 5×.  Both distribution tables are {B} rows → broadcast
+    joins; one fact shuffle on (doc_id, bucket).  The final per-doc score
+    frame (one row per corpus doc) is pinned so the per_doc blocks can be
+    released before returning — no storage grows with repeated calls in a
+    long-lived session.  Byte-sliced grams (O(1) offsets) with hex-encoded
+    hashing so the DuckDB oracle is byte-faithful on any text (the
+    winnow/lm_score pattern).
     """
+    per_doc = layout.materialize(_dsir_per_doc(spark, sf_dir))
+    out = layout.materialize(_dsir_score(per_doc))
+    layout.release(per_doc)
+    return out
+
+
+def _dsir_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expensive half of DSIR: per-(doc, bucket) byte-bigram counts.
+    One Generate explode, collapsed map-side — evaluated exactly once via
+    materialize() in text_dsir_select (plan-locked in test_plans.py)."""
     d = load_table(spark, sf_dir, "documents")
     bucket = f"({hash60_spark_sql('hex(substr(lb, i, 2))')}) % {DSIR_BUCKETS}"
-    per_doc = (
+    return (
         d.filter(F.length("text") >= 2)
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("lb", F.expr("encode(lower(text), 'UTF-8')"))
@@ -1125,6 +1144,11 @@ def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _dsir_score(per_doc: DataFrame) -> DataFrame:
+    """The cheap half: distribution tables + broadcast-joined scoring over
+    an already-materialized (doc, bucket, cnt) frame."""
     is_target = F.col("doc_id") < DSIR_TARGET_MAX_DOC
 
     def dist(df, name):

