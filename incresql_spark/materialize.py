@@ -25,9 +25,11 @@ delta propagation:
   point-in-time scans at the old/new timestamps (MVCC, table.rs:128-171).
 
 Scale: every refresh touches O(delta) base rows plus O(touched groups)
-state — never a full recompute.  State merge is one shuffle on the group
-key; on a cluster the state table would be bucketed by group key so the
-merge is shuffle-free.
+state — never a full recompute and never a full-state rewrite.  Aggregate
+state is hash-bucketed on the group key (``AggState``): the merge reads
+only the buckets the delta's groups hash into, re-aggregates those (one
+shuffle over touched-bucket rows), and commits new versions of only those
+buckets — untouched buckets are neither read nor rewritten.
 """
 
 from __future__ import annotations
@@ -62,33 +64,162 @@ def _parse_select_items(select_list: str) -> list[tuple[str, str, str]]:
     return items
 
 
-class AggState:
-    """Versioned parquet state table for an aggregate MV (overwrite-on-
-    refresh with version retention — the Spark-native MERGE target)."""
+#: session conf key for the aggregate-MV state bucket count.  64 keeps
+#: bucket files chunky at test scale; a 100 TB deployment sets thousands so
+#: each bucket stays ~128 MB (plans.layout.partitions_for_bytes).
+STATE_BUCKETS_CONF = "incresql.mv.state.buckets"
+_DEFAULT_STATE_BUCKETS = 64
 
-    def __init__(self, spark: SparkSession, path: str):
+
+class AggState:
+    """Hash-bucketed, manifest-versioned parquet state table for an
+    aggregate MV — the layout that makes refresh O(delta + touched
+    groups) instead of O(|state|).
+
+    Group rows are hash-partitioned into ``num_buckets`` buckets on the
+    group key; each bucket is an independently versioned parquet directory
+    (``b-K/v-N``), and an atomically renamed ``manifest-N.json`` maps every
+    live bucket to its current version.  A refresh therefore reads ONLY the
+    buckets the delta's groups hash into, re-aggregates those, and writes
+    NEW versions of only those buckets — untouched buckets are neither read
+    nor rewritten (this is the bucketed merge the reference's changelog
+    design implies, storage/src/storage.rs:26-65, and what
+    plans.layout.write_bucketed does for query-side tables).
+
+    Crash safety: new bucket versions are staged in a scratch directory and
+    moved into place BEFORE the manifest commit (a single ``os.replace``),
+    so a crash mid-refresh leaves the previous manifest — and the exact
+    previous state — intact; orphaned version directories are reclaimed by
+    the next successful refresh's cleanup.  The bucket count is pinned in
+    the manifest so a session with a different conf cannot mis-bucket an
+    existing state.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, num_buckets: int | None = None):
         self.spark = spark
         self.path = path
+        if num_buckets is None:
+            num_buckets = int(
+                spark.conf.get(STATE_BUCKETS_CONF, str(_DEFAULT_STATE_BUCKETS))
+            )
+        self.num_buckets = num_buckets
 
-    def _versions(self) -> list[int]:
+    # -- manifest -------------------------------------------------------------
+    def _manifest_versions(self) -> list[int]:
         if not os.path.isdir(self.path):
             return []
         return sorted(
-            int(d.split("-")[1]) for d in os.listdir(self.path) if d.startswith("v-")
+            int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(self.path)
+            if f.startswith("manifest-") and f.endswith(".json")
         )
 
-    def read(self) -> DataFrame | None:
-        vs = self._versions()
+    def _load_manifest(self) -> dict | None:
+        vs = self._manifest_versions()
         if not vs:
             return None
-        return self.spark.read.parquet(os.path.join(self.path, f"v-{vs[-1]}"))
+        with open(os.path.join(self.path, f"manifest-{vs[-1]}.json")) as fh:
+            m = json.load(fh)
+        # the on-disk layout owns the bucket count from first write onward
+        self.num_buckets = m["num_buckets"]
+        return m
 
-    def write(self, df: DataFrame) -> None:
-        vs = self._versions()
-        nxt = (vs[-1] + 1) if vs else 0
-        df.write.mode("overwrite").parquet(os.path.join(self.path, f"v-{nxt}"))
-        for old in vs[:-1]:  # keep previous version for time travel / debug
-            shutil.rmtree(os.path.join(self.path, f"v-{old}"), ignore_errors=True)
+    def bucket_expr(self, keys: list[str]):
+        """The deterministic group-key → bucket hash.  Global aggregates
+        (no keys) live in bucket 0."""
+        if not keys:
+            return F.lit(0)
+        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.num_buckets))
+
+    def _bucket_paths(self, m: dict, buckets: list[int] | None = None) -> list[str]:
+        items = m["buckets"].items()
+        if buckets is not None:
+            want = {str(b) for b in buckets}
+            items = [(k, v) for k, v in items if k in want]
+        return [os.path.join(self.path, f"b-{k}", f"v-{v}") for k, v in items]
+
+    # -- read -----------------------------------------------------------------
+    def read(self) -> DataFrame | None:
+        m = self._load_manifest()
+        if m is None or not m["buckets"]:
+            return None
+        return self.spark.read.parquet(*self._bucket_paths(m))
+
+    def read_buckets(self, buckets: list[int]) -> DataFrame | None:
+        """Rows of just the given buckets (None if state empty or none of
+        them are live) — the pruning read a touched-groups merge needs."""
+        m = self._load_manifest()
+        if m is None:
+            return None
+        paths = self._bucket_paths(m, buckets)
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    # -- write ----------------------------------------------------------------
+    def write_buckets(
+        self, merged: DataFrame, keys: list[str], touched: list[int]
+    ) -> None:
+        """Commit new versions of exactly the ``touched`` buckets.
+
+        ``merged`` must be the full post-merge contents of those buckets
+        (rows of OTHER buckets would be silently misplaced — guarded by the
+        staging-dir subset check below).  A touched bucket with no surviving
+        groups is dropped from the manifest.
+        """
+        m = self._load_manifest()
+        nxt = (m["version"] + 1) if m else 0
+        buckets = dict(m["buckets"]) if m else {}
+        stage = os.path.join(self.path, f"stage-{nxt}")
+        (
+            merged.withColumn("__bkt", self.bucket_expr(keys))
+            # one shuffle over O(touched-bucket) rows → one file per bucket
+            .repartition(max(len(touched), 1), F.col("__bkt"))
+            .write.partitionBy("__bkt")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        staged = {
+            int(d.split("=")[1])
+            for d in os.listdir(stage)
+            if d.startswith("__bkt=")
+        }
+        if not staged.issubset(set(touched)):
+            shutil.rmtree(stage, ignore_errors=True)
+            raise AssertionError(
+                f"merge produced rows outside touched buckets: "
+                f"{sorted(staged - set(touched))}"
+            )
+        prev = {}
+        for k in touched:
+            prev[k] = buckets.pop(str(k), None)
+            src = os.path.join(stage, f"__bkt={k}")
+            if os.path.isdir(src):  # emptied buckets just leave the manifest
+                dst_dir = os.path.join(self.path, f"b-{k}")
+                os.makedirs(dst_dir, exist_ok=True)
+                os.replace(src, os.path.join(dst_dir, f"v-{nxt}"))
+                buckets[str(k)] = nxt
+        manifest = {
+            "version": nxt,
+            "num_buckets": self.num_buckets,
+            "buckets": buckets,
+        }
+        tmp = os.path.join(self.path, f".manifest-{nxt}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self.path, f"manifest-{nxt}.json"))
+        # retain exactly one superseded generation for debug/time-travel
+        shutil.rmtree(stage, ignore_errors=True)
+        for v in self._manifest_versions()[:-2]:
+            os.unlink(os.path.join(self.path, f"manifest-{v}.json"))
+        for k, old_v in prev.items():
+            bdir = os.path.join(self.path, f"b-{k}")
+            if not os.path.isdir(bdir):
+                continue
+            keep = {f"v-{nxt}"} | ({f"v-{old_v}"} if old_v is not None else set())
+            for d in os.listdir(bdir):
+                if d not in keep:
+                    shutil.rmtree(os.path.join(bdir, d), ignore_errors=True)
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)
@@ -199,20 +330,36 @@ class MaterializedView:
         return self._delta_agg(self.base.scan(expand=False).limit(0))
 
     def _merge_agg(self, delta_state: DataFrame) -> None:
+        """Merge per-group state deltas into the bucketed state: read ONLY
+        the buckets the delta's groups hash into, re-aggregate those, and
+        commit new versions of only those buckets — O(delta + touched
+        buckets), never O(|state|).  The touched-bucket list is a bounded
+        driver collect (≤ num_buckets distinct ints — the same O(1)-scalar
+        class as FreqTable's delete counts)."""
         keys = [c for c in delta_state.columns if not c.startswith("__")]
-        old = self.state.read()
-        if old is None:
-            merged = delta_state
-        else:
-            state_cols = [c for c in delta_state.columns if c.startswith("__")]
-            merged = (
-                old.select(*delta_state.columns)
-                .unionByName(delta_state)
-                .groupBy(*keys)
-                .agg(*[F.sum(c).alias(c) for c in state_cols])
+        state_cols = [c for c in delta_state.columns if c.startswith("__")]
+        st = self.state
+        delta_state = delta_state.withColumn(
+            "__bkt", st.bucket_expr(keys)
+        ).persist()
+        try:
+            touched = sorted(
+                r["__bkt"]
+                for r in delta_state.select("__bkt").distinct().collect()
             )
-        merged = merged.filter(F.col("__cnt") != 0)
-        self.state.write(merged)
+            old = st.read_buckets(touched)
+            merged = delta_state.drop("__bkt")
+            if old is not None:
+                merged = (
+                    old.select(*merged.columns)
+                    .unionByName(merged)
+                    .groupBy(*keys)
+                    .agg(*[F.sum(c).alias(c) for c in state_cols])
+                )
+            merged = merged.filter(F.col("__cnt") != 0)
+            st.write_buckets(merged, keys, touched)
+        finally:
+            delta_state.unpersist()
 
     # -- read ----------------------------------------------------------------
     def read(self) -> DataFrame:
