@@ -107,6 +107,20 @@ class FreqTable:
             if as_of_ms is not None and meta["ts_ms"] > as_of_ms:
                 continue
             if as_of_seq is not None and meta["seq"] > as_of_seq:
+                # a compacted segment covers min_seq..seq; if the snapshot
+                # cursor points INSIDE that span, the rows the segment
+                # absorbed from ≤ cursor segments would be silently LOST by
+                # skipping it — the point-in-time scan cannot be served.
+                # Fail loudly, exactly as delta() does for its lower cursor
+                # (the engine avoids this by refreshing dependent MVs before
+                # COMPACT; library users get the same protection here).
+                if meta["min_seq"] <= as_of_seq:
+                    raise ValueError(
+                        f"as_of_seq {as_of_seq} falls inside compacted "
+                        f"segment range {meta['min_seq']}..{meta['seq']} — "
+                        f"the requested snapshot was merged away; scan a "
+                        f"seq ≥ {meta['seq']} or re-materialize"
+                    )
                 continue
             meta["dir"] = os.path.join(self.path, name)
             segs.append(meta)

@@ -76,3 +76,25 @@ def test_freq_table_matches_multiset_model(spark, ops):
 
     got = sorted(tuple(r) for r in tbl.scan().collect())
     assert got == sorted(model.elements())
+
+
+def test_scan_as_of_seq_raises_inside_compaction_span(spark, tmp_path):
+    """Point-in-time scan at a seq a compaction merged away must fail
+    LOUDLY, mirroring delta()'s lower-cursor check: silently excluding the
+    compacted segment (which spans min_seq..seq) would lose every row it
+    absorbed — the AggregateJoinMaterializedView old-snapshot corruption
+    (ADVICE r6 medium)."""
+    import pytest
+
+    from incresql_spark.frequency import FreqTable
+
+    t = FreqTable(spark, str(tmp_path / "t"))
+    seed = spark.createDataFrame([(1,)], "x INT")
+    t.create(seed.schema)
+    t.insert(seed)                                   # seq 0
+    t.insert(spark.createDataFrame([(2,)], "x INT"))  # seq 1
+    t.compact()  # one segment spanning 0..1: snapshot seq 0 is merged away
+    with pytest.raises(ValueError, match="compacted segment range"):
+        t.scan(as_of_seq=0).collect()
+    # the post-compaction head is still servable and complete
+    assert sorted(r.x for r in t.scan(as_of_seq=t.last_seq()).collect()) == [1, 2]
