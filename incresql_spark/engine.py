@@ -449,18 +449,32 @@ class Engine:
         self, sql: str, session_id: int | str | None = None
     ) -> EngineResult:
         s = sql.strip().rstrip(";").strip()
-        u = s.upper()
         m = re.match(r"KILL\s+(?:QUERY\s+)?(\d+)$", s, re.IGNORECASE)
         if m:
             self.cancel(int(m.group(1)))
             return EngineResult()
-        if session_id is not None:
-            # every Spark job this statement launches is tagged with the
-            # session's group so cancel()/KILL can find it; interruption
-            # aborts compute-bound tasks mid-partition
-            self.spark.sparkContext.setJobGroup(
-                self._group(session_id), s[:200], interruptOnCancel=True
-            )
+        if session_id is None:
+            return self._dispatch(s)
+        sc = self.spark.sparkContext
+        # every Spark job this statement launches is tagged with the
+        # session's group so cancel()/KILL can find it; interruption
+        # aborts compute-bound tasks mid-partition
+        sc.setJobGroup(self._group(session_id), s[:200], interruptOnCancel=True)
+        try:
+            return self._dispatch(s)
+        finally:
+            # drop the tag once the statement finishes — a KILL that lands
+            # AFTER completion must be the reference's harmless no-op flag
+            # (session.rs:10), not a cancellation of whatever this session's
+            # thread runs next under a stale group.  (PySpark 4 has no
+            # clearJobGroup; null-ing the local properties setJobGroup sets
+            # is the documented equivalent.)
+            for key in ("spark.jobGroup.id", "spark.job.description",
+                        "spark.job.interruptOnCancel"):
+                sc.setLocalProperty(key, None)
+
+    def _dispatch(self, s: str) -> EngineResult:
+        u = s.upper()
         self._in_mutation = u.startswith(self._MUTATING)
         if self._in_mutation:
             self._catalog_dirty = True

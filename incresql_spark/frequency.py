@@ -104,7 +104,20 @@ class FreqTable:
             meta.setdefault("seq", idx)
             # pre-min_seq segments cover exactly their own seq
             meta.setdefault("min_seq", meta["seq"])
+            # pre-min_ts segments cover exactly their own write instant
+            meta.setdefault("min_ts", meta["ts_ms"])
             if as_of_ms is not None and meta["ts_ms"] > as_of_ms:
+                # a compacted segment spans [min_ts, ts_ms]; an as_of_ms
+                # cursor INSIDE that span would silently lose every row the
+                # compaction absorbed from ≤ cursor segments — the same
+                # data-loss class the as_of_seq guard below refuses
+                if meta["min_ts"] <= as_of_ms:
+                    raise ValueError(
+                        f"as_of_ms {as_of_ms} falls inside compacted "
+                        f"segment span {meta['min_ts']}..{meta['ts_ms']} — "
+                        f"the requested snapshot was merged away; scan at "
+                        f"ts ≥ {meta['ts_ms']} or re-materialize"
+                    )
                 continue
             if as_of_seq is not None and meta["seq"] > as_of_seq:
                 # a compacted segment covers min_seq..seq; if the snapshot
@@ -274,7 +287,9 @@ class FreqTable:
         The merged segment records the seq RANGE it covers
         (``min_seq..seq``) so ``delta()`` can detect — and refuse — a
         cursor that points inside the compacted span instead of silently
-        re-delivering already-consumed rows to an MV."""
+        re-delivering already-consumed rows to an MV; it likewise records
+        its ts span (``min_ts..ts_ms``) so an ``as_of_ms`` snapshot inside
+        the span refuses instead of silently dropping absorbed rows."""
         # a crashed earlier compact leaves a compact-* tmp dir; it holds no
         # acknowledged data (the rename is the commit point) — clear it
         for name in os.listdir(self.path):
@@ -287,12 +302,13 @@ class FreqTable:
         ts = max(s["ts_ms"] for s in segs)
         seq = max(s["seq"] for s in segs)
         min_seq = min(s["min_seq"] for s in segs)
+        min_ts = min(s["min_ts"] for s in segs)
         tmp = os.path.join(self.path, f"compact-{uuid.uuid4().hex[:8]}")
         merged.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_segmeta.json"), "w") as fh:
             json.dump(
                 {"ts_ms": ts, "seq": seq, "min_seq": min_seq,
-                 "has_negative": False}, fh
+                 "min_ts": min_ts, "has_negative": False}, fh
             )
         for s in segs:
             shutil.rmtree(s["dir"])

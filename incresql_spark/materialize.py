@@ -89,15 +89,21 @@ class AggState:
     Crash safety: new bucket versions are staged in a scratch directory and
     moved into place BEFORE the manifest commit (a single ``os.replace``),
     so a crash mid-refresh leaves the previous manifest — and the exact
-    previous state — intact; orphaned version directories are reclaimed by
-    the next successful refresh's cleanup.  The bucket count is pinned in
-    the manifest so a session with a different conf cannot mis-bucket an
-    existing state.
+    previous state — intact; ``write_buckets`` begins by reclaiming any
+    uncommitted bucket versions and stage directories a crashed refresh
+    left behind (they are never referenced — the manifest commit is the
+    transaction point — but would collide with the reused version number).
+    The bucket count is pinned in the manifest so a session with a
+    different conf cannot mis-bucket an existing state.
     """
 
     def __init__(self, spark: SparkSession, path: str, num_buckets: int | None = None):
         self.spark = spark
         self.path = path
+        # an EXPLICIT bucket count must agree with an existing manifest —
+        # silently re-pinning would hide a caller bug; the conf-derived
+        # default defers to the manifest (the layout owns the count)
+        self._explicit = num_buckets is not None
         if num_buckets is None:
             num_buckets = int(
                 spark.conf.get(STATE_BUCKETS_CONF, str(_DEFAULT_STATE_BUCKETS))
@@ -120,7 +126,15 @@ class AggState:
             return None
         with open(os.path.join(self.path, f"manifest-{vs[-1]}.json")) as fh:
             m = json.load(fh)
-        # the on-disk layout owns the bucket count from first write onward
+        # the on-disk layout owns the bucket count from first write onward;
+        # an explicitly requested conflicting count is a caller bug — fail
+        # with the real cause, not a downstream mis-bucketing assertion
+        if self._explicit and m["num_buckets"] != self.num_buckets:
+            raise ValueError(
+                f"bucket count mismatch: state manifest pins "
+                f"{m['num_buckets']} buckets, caller requested "
+                f"{self.num_buckets} ({self.path})"
+            )
         self.num_buckets = m["num_buckets"]
         return m
 
@@ -170,6 +184,23 @@ class AggState:
         m = self._load_manifest()
         nxt = (m["version"] + 1) if m else 0
         buckets = dict(m["buckets"]) if m else {}
+        # Reclaim leftovers of a CRASHED refresh first: the manifest commit
+        # is the transaction point, so any bucket version NEWER than the
+        # committed manifest was never referenced — but it occupies the very
+        # v-N names this refresh will rename onto (os.replace onto a
+        # non-empty directory raises ENOTEMPTY, permanently blocking those
+        # buckets).  Same discipline as FreqTable.compact()'s stale
+        # compact-* cleanup.
+        os.makedirs(self.path, exist_ok=True)
+        committed = m["version"] if m else -1
+        for name in os.listdir(self.path):
+            p = os.path.join(self.path, name)
+            if name.startswith("stage-"):
+                shutil.rmtree(p, ignore_errors=True)
+            elif name.startswith("b-") and os.path.isdir(p):
+                for d in os.listdir(p):
+                    if d.startswith("v-") and int(d[2:]) > committed:
+                        shutil.rmtree(os.path.join(p, d), ignore_errors=True)
         stage = os.path.join(self.path, f"stage-{nxt}")
         (
             merged.withColumn("__bkt", self.bucket_expr(keys))
@@ -339,6 +370,10 @@ class MaterializedView:
         keys = [c for c in delta_state.columns if not c.startswith("__")]
         state_cols = [c for c in delta_state.columns if c.startswith("__")]
         st = self.state
+        # pin the bucket count from the manifest BEFORE bucketing the delta —
+        # a session whose conf differs from an existing state's layout must
+        # hash the delta with the layout's count, not its own
+        st._load_manifest()
         delta_state = delta_state.withColumn(
             "__bkt", st.bucket_expr(keys)
         ).persist()

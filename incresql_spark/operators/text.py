@@ -1113,9 +1113,11 @@ def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows instead of re-running the explode, which an earlier shape
     re-evaluated 5×.  Both distribution tables are {B} rows → broadcast
     joins; one fact shuffle on (doc_id, bucket).  The final per-doc score
-    frame (one row per corpus doc) is pinned so the per_doc blocks can be
-    released before returning — no storage grows with repeated calls in a
-    long-lived session.  Byte-sliced grams (O(1) offsets) with hex-encoded
+    frame (one row per corpus doc) is pinned so the LARGE per_doc blocks
+    (≤ {B} rows per doc) are released before returning — only the small
+    returned score frame stays pinned, and the CALLER owns releasing it
+    (``plans.layout.release(result)``) once consumed; a long-lived session
+    that never releases accumulates one doc-count-sized block set per call.  Byte-sliced grams (O(1) offsets) with hex-encoded
     hashing so the DuckDB oracle is byte-faithful on any text (the
     winnow/lm_score pattern).
     """

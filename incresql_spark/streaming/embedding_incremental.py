@@ -28,6 +28,9 @@ the driver — the per-batch pair list is pinned executor-side
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -35,6 +38,7 @@ from pyspark.sql import types as T
 from ..frequency import FreqTable
 from ..operators.dedup import (
     COSINE_THRESHOLD,
+    EMBED_BAND_HI,
     N_EMBED_BANDS,
     _DOT_SPARK,
     _NORM_SPARK,
@@ -55,10 +59,42 @@ class IncrementalEmbeddingDedup:
     """Materialized hyperplane-LSH state + per-batch delta maintenance."""
 
     def __init__(self, spark: SparkSession, state_dir: str, band_bits: int):
+        # the stride between bands is EMBED_BAND_HI physical planes: a band
+        # wider than the stride would reuse a neighbouring band's planes
+        if not 1 <= band_bits <= EMBED_BAND_HI:
+            raise ValueError(
+                f"band_bits must be in 1..{EMBED_BAND_HI} (plane stride), "
+                f"got {band_bits}"
+            )
         self.spark = spark
         self.band_bits = band_bits
+        self.state_dir = state_dir
         self.bands = FreqTable(spark, f"{state_dir}/bands")
         self.vectors = FreqTable(spark, f"{state_dir}/vectors")
+        # The geometry an existing state was built with is FROZEN — a
+        # maintainer reopened with different band_bits / band count / plane
+        # stride would silently mis-bucket every future delta against
+        # history.  Persist it at creation, verify it on reopen.
+        self._geometry_path = os.path.join(state_dir, "_geometry.json")
+        geometry = {
+            "band_bits": band_bits,
+            "n_bands": N_EMBED_BANDS,
+            "plane_stride": EMBED_BAND_HI,
+            "plane_salt": "dplane",
+        }
+        if os.path.exists(self._geometry_path):
+            with open(self._geometry_path) as fh:
+                stored = json.load(fh)
+            if stored != geometry:
+                raise ValueError(
+                    f"frozen LSH geometry mismatch: state at {state_dir} "
+                    f"was built with {stored}, reopened with {geometry} — "
+                    f"re-banding requires an explicit state rebuild"
+                )
+        else:
+            os.makedirs(state_dir, exist_ok=True)
+            with open(self._geometry_path, "w") as fh:
+                json.dump(geometry, fh)
 
     def _ensure_state(self, embedding_type: T.DataType) -> None:
         if not self.bands.exists():
@@ -172,3 +208,6 @@ class IncrementalEmbeddingDedup:
     def drop(self) -> None:
         self.bands.drop()
         self.vectors.drop()
+        # geometry dies with the state — a rebuilt index may re-band freely
+        if os.path.exists(self._geometry_path):
+            os.unlink(self._geometry_path)

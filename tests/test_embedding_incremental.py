@@ -47,3 +47,26 @@ def test_two_batch_incremental_equals_batch(spark, tmp_path):
 
     assert bands.count() == n * N_EMBED_BANDS
     assert inc.vectors.scan().count() == n
+
+
+def test_frozen_geometry_validated_on_reopen(spark, tmp_path):
+    """The LSH geometry an index was built with is frozen state (ADVICE
+    r6/r8): reopening the same state dir with different band_bits must
+    raise instead of silently mis-bucketing future deltas; a width beyond
+    the plane stride is rejected outright; drop() releases the pin."""
+    vecs = load_table(spark, SF_SMALL, "embeddings").limit(8)
+    inc = IncrementalEmbeddingDedup(spark, str(tmp_path / "geo_state"), 8)
+    inc.add_batch(vecs)
+
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        IncrementalEmbeddingDedup(spark, str(tmp_path / "geo_state"), 6)
+    # same geometry reopens fine
+    IncrementalEmbeddingDedup(spark, str(tmp_path / "geo_state"), 8)
+
+    from incresql_spark.operators.dedup import EMBED_BAND_HI
+
+    with pytest.raises(ValueError, match="band_bits"):
+        IncrementalEmbeddingDedup(spark, str(tmp_path / "other"), EMBED_BAND_HI + 1)
+
+    inc.drop()  # geometry pin dies with the state
+    IncrementalEmbeddingDedup(spark, str(tmp_path / "geo_state"), 6)

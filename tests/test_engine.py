@@ -169,3 +169,22 @@ def test_insert_select(engine):
     engine.execute_statement("CREATE TABLE dst2 (a INT)")
     engine.execute_statement("INSERT INTO dst2 SELECT a FROM src2 WHERE a > 1")
     assert sorted(q(engine, "SELECT * FROM dst2")) == ["|2|", "|3|"]
+
+
+def test_statement_clears_job_group(spark, tmp_path):
+    """execute_statement with a session_id must clear the thread-local job
+    group when it returns (engine.py finally) — a stale group would let a
+    late KILL cancel whatever this thread runs next."""
+    from incresql_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh_grp"))
+    e.execute_statement("SELECT 1 + 1", session_id=99)
+    sc = spark.sparkContext
+    assert sc.getLocalProperty("spark.jobGroup.id") is None
+    assert sc.getLocalProperty("spark.job.interruptOnCancel") is None
+    # a KILL for that session after completion cancels nothing; the next
+    # statement under the same session still runs
+    e.execute_statement("KILL 99")
+    r = e.execute_statement("SELECT sum(id) AS s FROM range(1000)", session_id=99)
+    assert r.rows == [(499500,)]
+    assert sc.getLocalProperty("spark.jobGroup.id") is None

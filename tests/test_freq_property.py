@@ -98,3 +98,27 @@ def test_scan_as_of_seq_raises_inside_compaction_span(spark, tmp_path):
         t.scan(as_of_seq=0).collect()
     # the post-compaction head is still servable and complete
     assert sorted(r.x for r in t.scan(as_of_seq=t.last_seq()).collect()) == [1, 2]
+
+
+def test_scan_as_of_ms_raises_inside_compaction_span(spark, tmp_path):
+    """The same guard for the user-facing MVCC ms cursor (ADVICE r8 low):
+    a compacted segment spans [min_ts, ts_ms]; an as_of_ms snapshot inside
+    the span would silently drop every row the compaction absorbed from
+    segments written at ≤ the cursor."""
+    import pytest
+
+    from incresql_spark.frequency import FreqTable
+
+    t = FreqTable(spark, str(tmp_path / "t_ms"))
+    seed = spark.createDataFrame([(1,)], "x INT")
+    t.create(seed.schema)
+    t.insert(seed, ts_ms=1000)
+    t.insert(spark.createDataFrame([(2,)], "x INT"), ts_ms=2000)
+    # pre-compaction: ts snapshots are exact
+    assert sorted(r.x for r in t.scan(as_of_ms=1000).collect()) == [1]
+    t.compact()  # one segment spanning ts 1000..2000
+    with pytest.raises(ValueError, match="compacted segment span"):
+        t.scan(as_of_ms=1500).collect()
+    # cursors fully before / at-or-after the span still work
+    assert t.scan(as_of_ms=999).collect() == []
+    assert sorted(r.x for r in t.scan(as_of_ms=2000).collect()) == [1, 2]

@@ -396,3 +396,182 @@ def test_agg_state_bucket_emptied_on_group_vanish(spark, tmp_path):
     base.delete_where("k = 'x'")
     mv.refresh()
     assert mv.read().collect() == []
+
+
+def test_agg_state_recovers_from_crashed_refresh_leftovers(spark, tmp_path):
+    """Crash recovery (ADVICE r8 medium): a refresh that died AFTER moving
+    bucket versions into place but BEFORE the manifest commit leaves
+    v-{next} dirs (and possibly its stage dir) behind with the manifest
+    never advanced.  The next refresh reuses that version number, so it
+    must reclaim the orphans first — os.replace onto a non-empty directory
+    raises ENOTEMPTY and would block those buckets forever."""
+    import json
+    import os
+
+    from incresql_spark.materialize import MaterializedView
+
+    base = FreqTable(spark, str(tmp_path / "base"))
+    seed = spark.range(100).selectExpr("CAST(id AS INT) AS k", "CAST(id AS INT) AS v")
+    base.create(seed.schema)
+    base.insert(seed)
+    mv = MaterializedView(
+        spark, "mv_crash", base, "k, count(*) AS cnt, sum(v) AS sv",
+        None, "k", str(tmp_path / "state"),
+    )
+    mv.refresh()
+    agg_path = os.path.join(str(tmp_path / "state"), "agg")
+    vs = sorted(
+        int(f.split("-")[1].split(".")[0])
+        for f in os.listdir(agg_path)
+        if f.startswith("manifest-") and f.endswith(".json")
+    )
+    with open(os.path.join(agg_path, f"manifest-{vs[-1]}.json")) as fh:
+        m = json.load(fh)
+    nxt = m["version"] + 1
+    # simulate the crash: uncommitted v-{nxt} under EVERY live bucket plus
+    # a leftover stage dir — worst case, every touched rename would collide
+    for b in m["buckets"]:
+        d = os.path.join(agg_path, f"b-{b}", f"v-{nxt}")
+        os.makedirs(d)
+        with open(os.path.join(d, "junk.parquet"), "w") as fh:
+            fh.write("crashed")
+    os.makedirs(os.path.join(agg_path, f"stage-{nxt}", "__bkt=0"))
+
+    base.insert(spark.createDataFrame([(7, 100)], "k INT, v INT"))
+    mv.refresh()  # must not raise, and must produce the right state
+    got = {r.k: (r.cnt, r.sv) for r in mv.read().collect()}
+    assert got[7] == (2, 107)
+    assert len(got) == 100
+    # no stage leftovers; no version dirs beyond the committed manifest
+    with_stage = [n for n in os.listdir(agg_path) if n.startswith("stage-")]
+    assert with_stage == []
+    with open(os.path.join(agg_path, f"manifest-{nxt}.json")) as fh:
+        m1 = json.load(fh)
+    for name in os.listdir(agg_path):
+        if not name.startswith("b-"):
+            continue
+        for d in os.listdir(os.path.join(agg_path, name)):
+            assert int(d[2:]) <= m1["version"], f"orphan {name}/{d} survived"
+
+
+def test_agg_state_explicit_bucket_count_mismatch_raises(spark, tmp_path):
+    """An EXPLICIT bucket count conflicting with an existing manifest must
+    fail with the real cause (ADVICE r8 low), not the staged-subset
+    assertion downstream; the conf-derived default defers to the manifest."""
+    from incresql_spark.materialize import AggState
+
+    st = AggState(spark, str(tmp_path / "agg"), num_buckets=8)
+    df = spark.createDataFrame([(1, 1), (2, 1)], "k INT, __cnt BIGINT")
+    st.write_buckets(
+        df, ["k"],
+        touched=sorted(
+            r["__bkt"]
+            for r in df.withColumn("__bkt", st.bucket_expr(["k"])).select("__bkt").distinct().collect()
+        ),
+    )
+    # conf-default reader pins to the manifest silently
+    st2 = AggState(spark, str(tmp_path / "agg"))
+    assert st2.read() is not None and st2.num_buckets == 8
+    # explicit conflicting count fails loudly at manifest load
+    st3 = AggState(spark, str(tmp_path / "agg"), num_buckets=16)
+    with pytest.raises(ValueError, match="bucket count mismatch"):
+        st3.read()
+
+
+def test_agg_state_retention_stays_bounded_across_refreshes(spark, tmp_path):
+    """Bucket-aware GC (VERDICT r8 task 7): across ~10 refreshes the layout
+    keeps at most 2 versions per bucket (current + one superseded), at most
+    2 manifests, and no stage dirs — disk usage is bounded however long the
+    MV lives."""
+    import os
+
+    from incresql_spark.materialize import MaterializedView
+
+    base = FreqTable(spark, str(tmp_path / "base"))
+    seed = spark.range(60).selectExpr("CAST(id AS INT) AS k", "CAST(id AS INT) AS v")
+    base.create(seed.schema)
+    base.insert(seed)
+    mv = MaterializedView(
+        spark, "mv_gc", base, "k, count(*) AS cnt, sum(v) AS sv",
+        None, "k", str(tmp_path / "state"),
+    )
+    mv.refresh()
+    agg_path = os.path.join(str(tmp_path / "state"), "agg")
+    for step in range(9):
+        # rotate through keys so different buckets get touched over time
+        base.insert(spark.createDataFrame([(step * 7 % 60, 1)], "k INT, v INT"))
+        mv.refresh()
+        manifests = [n for n in os.listdir(agg_path) if n.startswith("manifest-")]
+        assert len(manifests) <= 2, manifests
+        assert not [n for n in os.listdir(agg_path) if n.startswith("stage-")]
+        for name in os.listdir(agg_path):
+            if name.startswith("b-"):
+                vers = os.listdir(os.path.join(agg_path, name))
+                assert len(vers) <= 2, f"{name} kept {sorted(vers)}"
+    got = {r.k: (r.cnt, r.sv) for r in mv.read().collect()}
+    # k=0: seed row (v=0) + the step-0 delta (v=1)
+    assert len(got) == 60 and got[0] == (2, 1)
+
+
+def test_mv_avg_double_finalize_golden(engine):
+    """Documented deviation from the reference (VERDICT r8 task 6): the
+    reference finalizes avg over DECIMAL inputs as a DECIMAL division
+    (functions/src/registry/aggregates/avg.rs:8-190: state=(sum, count),
+    finalize sum/count in decimal); we finalize as DOUBLE
+    (materialize.py avg branch: sum/count both cast to double).  For
+    avg(10.10, 20.20, 30.25) the reference yields DECIMAL '20.183333'
+    (scale+4); we yield the IEEE double 20.183333333333334.  Pinned here so
+    the deviation is a tested contract, not an accident."""
+    engine.execute_statement("CREATE TABLE prices (item TEXT, p DECIMAL(10,2))")
+    engine.execute_statement(
+        "INSERT INTO prices VALUES ('a', 10.10), ('a', 20.20), ('a', 30.25)"
+    )
+    engine.execute_statement(
+        "CREATE MATERIALIZED VIEW mv_avg AS "
+        "SELECT item, avg(p) AS mean FROM prices GROUP BY item"
+    )
+    r = engine.execute_statement("SELECT * FROM mv_avg").rows
+    assert len(r) == 1
+    item, mean = r[0]
+    assert item == "a"
+    # DOUBLE, not Decimal — the IEEE result of double(60.55)/double(3)
+    assert isinstance(mean, float)
+    assert mean == pytest.approx(60.55 / 3, rel=1e-15)
+
+
+def test_compact_ordering_invariant_end_to_end(engine, spark, tmp_path):
+    """The refresh-before-compact invariant as a tested contract (VERDICT
+    r8 stretch task 8): through the ENGINE, COMPACT TABLE refreshes
+    dependent MVs first, so compaction never strands an MV cursor; a
+    LIBRARY user who compacts the base underneath an unrefreshed MV gets
+    the loud delta()/scan() ValueError, never a silent wrong refresh."""
+    # engine path: single-table aggregate MV survives COMPACT mid-stream
+    engine.execute_statement("CREATE TABLE cmp (k TEXT, v INT)")
+    engine.execute_statement("INSERT INTO cmp VALUES ('a', 1), ('b', 2)")
+    engine.execute_statement(
+        "CREATE MATERIALIZED VIEW mv_cmp AS "
+        "SELECT k, count(*) AS cnt, sum(v) AS sv FROM cmp GROUP BY k"
+    )
+    engine.execute_statement("INSERT INTO cmp VALUES ('a', 3)")
+    engine.execute_statement("COMPACT TABLE cmp")  # refreshes mv_cmp first
+    engine.execute_statement("INSERT INTO cmp VALUES ('b', 4)")
+    engine.execute_statement("REFRESH MATERIALIZED VIEW mv_cmp")
+    assert rows(engine, "SELECT * FROM mv_cmp") == [("a", 2, 4), ("b", 2, 6)]
+
+    # library path: compact WITHOUT refreshing first → the next refresh's
+    # delta cursor points inside the compacted span and must refuse
+    from incresql_spark.materialize import MaterializedView
+
+    base = FreqTable(spark, str(tmp_path / "lib_base"))
+    seed = spark.createDataFrame([("x", 1)], "k STRING, v INT")
+    base.create(seed.schema)
+    base.insert(seed)
+    mv = MaterializedView(
+        spark, "mv_lib", base, "k, count(*) AS cnt", None, "k",
+        str(tmp_path / "lib_state"),
+    )
+    mv.refresh()
+    base.insert(spark.createDataFrame([("y", 2)], "k STRING, v INT"))
+    base.compact()  # spans the MV's cursor without a refresh
+    with pytest.raises(ValueError, match="compacted segment range"):
+        mv.refresh()

@@ -223,3 +223,22 @@ def test_kill_query_from_another_connection(server):
     assert rows == [("2",)]
     a.close()
     b.close()
+
+
+def test_kill_after_statement_completion_is_noop(server):
+    """A KILL that lands AFTER the victim's statement finished must be the
+    reference's harmless unchecked flag (session.rs:10) — NOT a cancellation
+    of the session's next statement.  The engine clears the thread-local job
+    group in a finally per statement (VERDICT r8 task 4), so the stale group
+    no longer exists when the late KILL's cancelJobGroup fires."""
+    a = MiniClient(server.port, CLIENT_PROTOCOL_41 | CLIENT_DEPRECATE_EOF)
+    b = MiniClient(server.port, CLIENT_PROTOCOL_41 | CLIENT_DEPRECATE_EOF)
+
+    cols, rows = a.query("SELECT count(*) FROM range(1000)")  # completes
+    assert rows == [("1000",)]
+    assert b.query(f"KILL {a.thread_id}") == 0  # late kill: no running query
+    # next statement on the killed session runs to completion, unaffected
+    cols, rows = a.query("SELECT sum(id) AS s FROM range(100000)")
+    assert rows == [("4999950000",)]
+    a.close()
+    b.close()
