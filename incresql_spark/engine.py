@@ -173,6 +173,7 @@ class Engine:
                 meta.get("where"),
                 meta["group_by"],
                 state,
+                hows=meta.get("hows"),  # pre-left-outer metas: all inner
             )
         bdb, bt = meta["base"].split(".")
         return MaterializedView(
@@ -540,12 +541,22 @@ class Engine:
                 raise ValueError(
                     "join materialized views require GROUP BY aggregates"
                 )
-            parts = re.split(r"\s+JOIN\s+", body.strip(), flags=re.IGNORECASE)
-            tables, conds = [parts[0].strip()], []
-            for p in parts[1:]:
+            # LEFT [OUTER] JOIN steps maintain the reference's LeftOuter
+            # (ast/src/rel/logical.rs:55-59) incrementally — pad-row flips
+            # handled by AggregateJoinMaterializedView's anti-join delta
+            parts = re.split(
+                r"\s+((?:LEFT(?:\s+OUTER)?\s+|INNER\s+)?JOIN)\s+",
+                body.strip(),
+                flags=re.IGNORECASE,
+            )
+            tables, conds, hows = [parts[0].strip()], [], []
+            for kw, p in zip(parts[1::2], parts[2::2]):
                 tb, cond = re.split(r"\s+ON\s+", p, maxsplit=1, flags=re.IGNORECASE)
                 tables.append(tb.strip())
                 conds.append(cond.strip())
+                hows.append(
+                    "left_outer" if kw.upper().startswith("LEFT") else "inner"
+                )
             qualified = []
             for t in tables:
                 tdb, tn = _split_name(t, self.current_db)
@@ -557,6 +568,7 @@ class Engine:
                 "type": "agg_join",
                 "tables": qualified,
                 "join_conds": conds,
+                "hows": hows,
                 "select_list": m.group(2),
                 "where": where,
                 "group_by": group_by,

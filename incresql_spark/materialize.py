@@ -441,7 +441,28 @@ class MaterializedView:
 class JoinMaterializedView:
     """MV over an equi-join A ⋈ B with the bilinear delta rule
     Δ(A⋈B) = ΔA ⋈ B_old ∪ A_new ⋈ ΔB; output freq = freq_a × freq_b
-    (reference hash_join.rs:85,137)."""
+    (reference hash_join.rs:85,137).
+
+    ``how="left_outer"`` maintains A ⟕ B — the reference's LeftOuter join
+    (ast/src/rel/logical.rs:55-59, NULL-pad executor
+    hash_join.rs:147-160) given an incremental form.  Writing the pad part
+    as  pad(A, B) = A·(1 − I_B(key))  with I_B the key-match indicator,
+    the signed pad delta is
+
+        Δpad = ΔA·(1 − I_new)  +  A_old·(I_old − I_new)
+             = [ΔA anti B_new] + [A_flip anti B_new] − [A_flip anti B_old]
+
+    where ``A_flip = A_old ⋉ ΔB`` (only left rows whose key appears in the
+    right delta can change matchedness — anything else cancels exactly).
+    A key whose last match retracts (I 1→0) re-emits its pad rows; a key
+    gaining its first match (0→1) retracts them — the 0↔≠0 flip rule.
+
+    Scale: no per-key match-count state table to maintain — matchedness is
+    an anti-join against the right side's point-in-time KEY projection
+    (column-pruned parquet scan), and every anti/semi probe has a
+    delta-sized build side (broadcast under AQE).  A count-valued state
+    table would itself need a merged (shuffled) scan per refresh; the
+    snapshot anti-join reads strictly less."""
 
     def __init__(
         self,
@@ -452,13 +473,17 @@ class JoinMaterializedView:
         on: list[str],
         columns: list[str],
         state_dir: str,
+        how: str = "inner",
     ):
+        if how not in ("inner", "left_outer"):
+            raise ValueError(f"unsupported join type {how!r}")
         self.spark = spark
         self.name = name
         self.left = left
         self.right = right
         self.on = on
         self.columns = columns
+        self.how = how
         self.state_dir = state_dir
         self.state = FreqTable(spark, os.path.join(state_dir, "rows"))
         self.meta_path = os.path.join(state_dir, "_mvmeta.json")
@@ -477,6 +502,19 @@ class JoinMaterializedView:
             *self.columns, (F.col("__fa") * F.col("__fb")).alias(FREQ)
         )
 
+    def _pad(self, a: DataFrame, b_snapshot: DataFrame, sign: int) -> DataFrame:
+        """Signed NULL-pad rows: left rows of ``a`` with no key match in
+        ``b_snapshot`` (reference NULL-pad, hash_join.rs:147-160)."""
+        rschema = {f.name: f.dataType for f in self.right.schema().fields}
+        unmatched = a.join(b_snapshot.select(*self.on), self.on, "left_anti")
+        out = [
+            F.lit(None).cast(rschema[c]).alias(c)
+            if (c in rschema and c not in self.on)
+            else F.col(c)
+            for c in self.columns
+        ]
+        return unmatched.select(*out, (F.col(FREQ) * F.lit(sign)).alias(FREQ))
+
     def refresh(self) -> None:
         meta = self._meta()
         # bilinear rule Δ(A⋈B) = ΔA⋈B_old ∪ A_new⋈ΔB over exact seq cursors
@@ -487,6 +525,17 @@ class JoinMaterializedView:
         b_old = self.right.scan(as_of_seq=r_old, expand=False)
         a_new = self.left.scan(as_of_seq=l_new, expand=False)
         delta_view = self._join(da, b_old).unionByName(self._join(a_new, db))
+        if self.how == "left_outer":
+            b_new = self.right.scan(as_of_seq=r_new, expand=False)
+            # new left rows currently unmatched get pads …
+            delta_view = delta_view.unionByName(self._pad(da, b_new, 1))
+            # … and matchedness flips re-emit/retract pads of OLD left rows
+            a_flip = self.left.scan(as_of_seq=l_old, expand=False).join(
+                db.select(*self.on), self.on, "left_semi"
+            )
+            delta_view = delta_view.unionByName(
+                self._pad(a_flip, b_new, 1)
+            ).unionByName(self._pad(a_flip, b_old, -1))
         if not self.state.exists():
             self.state.create(delta_view.drop(FREQ).schema)
         # merged within _write_segment; empty deltas produce no segment
@@ -506,7 +555,7 @@ class JoinMaterializedView:
 
 
 class AggregateJoinMaterializedView(MaterializedView):
-    """Aggregate over an N-way chain equi-join, maintained O(delta) — the
+    """Aggregate over an N-way chain join, maintained O(delta) — the
     reference's unrealized differential goal (storage/src/storage.rs:26-65)
     one step past Q1: the Q3/Q10 shape (GROUP BY + aggregates over a
     multi-table join) refreshed from signed deltas, never recomputed.
@@ -517,25 +566,44 @@ class AggregateJoinMaterializedView(MaterializedView):
         Δ(T1 ⋈ … ⋈ TN) = Σ_i  T1_new ⋈ … ⋈ T(i-1)_new ⋈ ΔTi
                                 ⋈ T(i+1)_old ⋈ … ⋈ TN_old
 
-    with output freq = Π freq_i.  Each term's signed join delta feeds the
-    SAME retractable aggregate state merge Q1 uses (``_delta_agg`` /
-    ``_merge_agg`` — (sum, count) pairs absorbing negative frequencies), so
-    inserts AND retractions (DELETE) on ANY base table propagate in one
-    O(|delta| + touched groups) refresh.
+    with output freq = Π freq_i, computed compositionally: the refresh
+    carries (Δ, old, new) of the growing chain and differentiates one join
+    at a time — Δ(C ∘ Ti) = ΔC ⋈ Ti_old ∪ C_new ⋈ ΔTi — which expands to
+    exactly the telescoping sum for inner steps.
+
+    ``hows[i]`` may be ``"left_outer"`` (reference LeftOuter,
+    ast/src/rel/logical.rs:55-59; NULL-pad hash_join.rs:147-160): the step
+    delta additionally differentiates the pad part pad(C, Ti) =
+    C·(1 − I_i) (I_i = match indicator on join cond i):
+
+        Δpad = [ΔC anti Ti_new] + [C_flip anti Ti_new] − [C_flip anti Ti_old]
+
+    with ``C_flip = C_old ⋉ ΔTi`` — only chain rows whose cond matches a
+    right-delta row can flip matchedness (0↔≠0 on the per-key match
+    count); a key losing its last match re-emits its pad row, a key
+    gaining its first match retracts it.  Pad rows carry typed NULLs for
+    table i's columns, so every signed term feeds the SAME retractable
+    aggregate merge (``_delta_agg`` / ``_merge_agg``), and inserts AND
+    deletes on ANY base table propagate in one O(|delta| + touched
+    groups) refresh.
 
     ``table_filters`` are per-table predicates applied BEFORE the join —
     the pushdown that keeps a dimension filter (Q3's
     ``c_mktsegment = 'BUILDING'``) from dragging the whole dimension
-    through the delta joins.  The post-join ``where`` (if any) runs inside
-    ``_delta_agg`` as usual.
+    through the delta joins.  For a left-outer step the pre-filter scopes
+    matchedness too (pads appear for rows with no match in the FILTERED
+    right side — the SQL ``LEFT JOIN (SELECT … WHERE f)`` shape).  The
+    post-join ``where`` (if any) runs inside ``_delta_agg`` as usual.
 
-    Scale: term i joins a (small) delta against the other tables'
-    point-in-time snapshots; AQE broadcasts the delta side, and snapshot
-    scans prune to the segments at their seq cursor.  On a cluster the
-    state FreqTables would be bucketed on their join keys so every term's
-    probe is co-located — the layout ``plans.layout.write_bucketed``
-    provides; at 100 TB that turns each refresh into delta-sized work plus
-    bucket-local lookups.
+    Scale: every probe joins a delta-sized build side (broadcast under
+    AQE) against point-in-time snapshot scans pruned to their seq cursor;
+    the left-outer machinery adds only key-projection anti/semi joins —
+    no per-key match-count state table (which would itself cost a merged,
+    i.e. shuffled, scan per refresh; the snapshot anti-join reads
+    strictly less).  On a cluster the state FreqTables would be bucketed
+    on their join keys so every term's probe is co-located — the layout
+    ``plans.layout.write_bucketed`` provides; at 100 TB that turns each
+    refresh into delta-sized work plus bucket-local lookups.
     """
 
     def __init__(
@@ -549,6 +617,7 @@ class AggregateJoinMaterializedView(MaterializedView):
         group_by: str,
         state_dir: str,
         table_filters: list[str | None] | None = None,
+        hows: list[str] | None = None,
     ):
         if len(join_conds) != len(tables) - 1:
             raise ValueError("need exactly one join condition per adjacent pair")
@@ -560,6 +629,12 @@ class AggregateJoinMaterializedView(MaterializedView):
         self.tables = tables
         self.join_conds = join_conds
         self.table_filters = table_filters or [None] * len(tables)
+        self.hows = hows or ["inner"] * len(join_conds)
+        if len(self.hows) != len(join_conds):
+            raise ValueError("need exactly one join type per join condition")
+        for h in self.hows:
+            if h not in ("inner", "left_outer"):
+                raise ValueError(f"unsupported join type {h!r}")
 
     def _side(self, i: int, df: DataFrame) -> DataFrame:
         """Apply table i's pushdown filter and give its freq a unique name
@@ -569,22 +644,50 @@ class AggregateJoinMaterializedView(MaterializedView):
             df = df.filter(flt)
         return df.withColumnRenamed(FREQ, f"__f{i}")
 
-    def _chain_join(self, parts: list[DataFrame]) -> DataFrame:
-        joined = parts[0]
-        for i in range(1, len(parts)):
-            joined = joined.join(parts[i], F.expr(self.join_conds[i - 1]))
-        freq = F.col("__f0")
-        for i in range(1, len(parts)):
-            freq = freq * F.col(f"__f{i}")
-        drop = [f"__f{i}" for i in range(len(parts))]
-        return joined.withColumn(FREQ, freq).drop(*drop)
+    def _step(
+        self, chain: DataFrame, side: DataFrame, i: int, how: str | None = None
+    ) -> DataFrame:
+        """One batch join step of the running chain (freq ``__f``) with
+        table i's frame (freq ``__f{i}``): freq multiplies through; a
+        left-outer step NULL-pads via Spark's own left join (pad freq ×1).
+
+        ``how`` overrides the declared join type: the DELTA terms of a
+        left-outer step are INNER probes (Δ(C⋈Ti) differentiates the inner
+        part only — the pad part is differentiated separately by the
+        ``_pad`` anti-joins; a left join here would double-count pads)."""
+        cond = F.expr(self.join_conds[i - 1])
+        how = how or self.hows[i - 1]
+        if how == "left_outer":
+            joined = chain.join(side, cond, "left_outer")
+            f = F.col("__f") * F.coalesce(F.col(f"__f{i}"), F.lit(1))
+        else:
+            joined = chain.join(side, cond)
+            f = F.col("__f") * F.col(f"__f{i}")
+        return joined.withColumn("__f", f).drop(f"__f{i}")
+
+    def _pad(self, chain: DataFrame, snapshot: DataFrame, i: int, sign: int) -> DataFrame:
+        """Signed NULL-pad rows for left-outer step i: chain rows with no
+        cond match in ``snapshot``, table i's columns as typed NULLs."""
+        unmatched = chain.join(
+            snapshot, F.expr(self.join_conds[i - 1]), "left_anti"
+        )
+        nulls = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in self.tables[i].schema().fields
+        ]
+        keep = [c for c in unmatched.columns if c != "__f"]
+        return unmatched.select(
+            *keep, *nulls, (F.col("__f") * F.lit(sign)).alias("__f")
+        )
 
     def _empty_delta(self) -> DataFrame:
-        parts = [
-            self._side(i, t.scan(expand=False).limit(0))
-            for i, t in enumerate(self.tables)
-        ]
-        return self._delta_agg(self._chain_join(parts))
+        chain = self._side(0, self.tables[0].scan(expand=False).limit(0)) \
+            .withColumnRenamed("__f0", "__f")
+        for i in range(1, len(self.tables)):
+            chain = self._step(
+                chain, self._side(i, self.tables[i].scan(expand=False).limit(0)), i
+            )
+        return self._delta_agg(chain.withColumnRenamed("__f", FREQ))
 
     def refresh(self) -> int:
         """One incremental refresh over ALL tables' outstanding deltas.
@@ -592,24 +695,55 @@ class AggregateJoinMaterializedView(MaterializedView):
         meta = self._load_meta()
         olds = meta.get("seqs", [-1] * len(self.tables))
         news = [t.last_seq() for t in self.tables]
-        terms = []
-        for i, t in enumerate(self.tables):
-            if news[i] <= olds[i]:
-                continue  # no new segments for this table — term is empty
-            parts = []
-            for j, u in enumerate(self.tables):
-                if j < i:
-                    parts.append(self._side(j, u.scan(as_of_seq=news[j], expand=False)))
-                elif j == i:
-                    parts.append(self._side(i, t.delta(olds[i], news[i])))
-                else:
-                    parts.append(self._side(j, u.scan(as_of_seq=olds[j], expand=False)))
-            terms.append(self._chain_join(parts))
-        if not terms:
+        if all(n <= o for n, o in zip(news, olds)):
             return 0
-        delta_join = terms[0]
-        for term in terms[1:]:
-            delta_join = delta_join.unionByName(term)
+
+        def snap(i: int, seq: int) -> DataFrame:
+            return self._side(i, self.tables[i].scan(as_of_seq=seq, expand=False))
+
+        def dlt(i: int) -> DataFrame | None:
+            if news[i] <= olds[i]:
+                return None  # no new segments — structurally empty delta
+            return self._side(i, self.tables[i].delta(olds[i], news[i]))
+
+        # compositional differentiation over the chain: carry (Δ, old, new)
+        # of the prefix; old/new are lazy plans, only joined where a later
+        # step actually references them
+        d0 = dlt(0)
+        delta = d0.withColumnRenamed("__f0", "__f") if d0 is not None else None
+        old = snap(0, olds[0]).withColumnRenamed("__f0", "__f")
+        new = snap(0, news[0]).withColumnRenamed("__f0", "__f")
+        for i in range(1, len(self.tables)):
+            di = dlt(i)
+            terms = []
+            if delta is not None:
+                # inner part of the step delta: ΔC ⋈ Ti_old — always an
+                # inner probe (pads are differentiated separately below)
+                terms.append(self._step(delta, snap(i, olds[i]), i, how="inner"))
+            if di is not None:
+                terms.append(self._step(new, di, i, how="inner"))
+            if self.hows[i - 1] == "left_outer":
+                key_new = snap(i, news[i])
+                if delta is not None:
+                    terms.append(self._pad(delta, key_new, i, 1))
+                if di is not None:
+                    flip = old.join(
+                        di, F.expr(self.join_conds[i - 1]), "left_semi"
+                    )
+                    terms.append(self._pad(flip, key_new, i, 1))
+                    terms.append(self._pad(flip, snap(i, olds[i]), i, -1))
+            if terms:
+                delta = terms[0]
+                for t in terms[1:]:
+                    delta = delta.unionByName(t)
+            else:
+                delta = None
+            old = self._step(old, snap(i, olds[i]), i)
+            new = self._step(new, snap(i, news[i]), i)
+        if delta is None:
+            self._save_meta({"seqs": news})
+            return 0
+        delta_join = delta.withColumnRenamed("__f", FREQ)
         # cached across the count and the aggregate merge — the join terms
         # are the expensive part of a refresh and must run exactly once
         delta_join = delta_join.persist()

@@ -426,13 +426,109 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY l_orderkey, o_orderdate, o_orderpriority
 """
 
+def mv_q13_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped LEFT OUTER materialized view (customer ⟕ orders
+    per-customer order counts) maintained INCREMENTALLY — the reference's
+    LeftOuter join (ast/src/rel/logical.rs:55-59; NULL-pad executor
+    hash_join.rs:147-160) under its differential goal
+    (storage/src/storage.rs:26-65), driven end-to-end as a gate query:
+    orders ingest in two batches, then a DELETE strips every order of one
+    customer class — flipping those customers' rows back to NULL-pads
+    (c_count 0) — and each refresh propagates only signed deltas plus the
+    pad anti-join flips (materialize.AggregateJoinMaterializedView,
+    hows=["left_outer"]).  The returned frame is Q13's outer distribution
+    (orders-per-customer histogram) computed over the MAINTAINED state;
+    the oracle recomputes it from the final live rows, so equality proves
+    three refreshes (insert, insert, retract-with-pad-flips) compose to
+    the batch LEFT JOIN answer.
+
+    The ON-clause extra condition (``o_orderpriority <> …``; the
+    synthetic orders table carries no o_comment, Q13's column) is the
+    table_filters pushdown: pads appear for customers with no FILTERED
+    match — exactly SQL's ``LEFT JOIN … ON k AND f`` semantics, which the
+    oracle mirrors by putting both conditions in its ON clause.
+
+    Scale: refresh is O(delta + touched groups); matchedness flips are
+    anti-joins with delta-sized build sides (no per-key count table to
+    shuffle).  All-BIGINT gate output (the round-6/7 decimal lesson).
+    """
+    import shutil
+    import tempfile
+
+    from ..frequency import FreqTable
+    from ..materialize import AggregateJoinMaterializedView
+
+    root = tempfile.mkdtemp(prefix="incr_mv_q13_")
+    try:
+        cust_src = load_table(spark, sf_dir, "customer").select("c_custkey")
+        ord_src = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        )
+        cust = FreqTable(spark, f"{root}/customer")
+        cust.create(cust_src.schema)
+        ords = FreqTable(spark, f"{root}/orders")
+        ords.create(ord_src.schema)
+        mv = AggregateJoinMaterializedView(
+            spark,
+            "mv_q13",
+            [cust, ords],
+            ["c_custkey = o_custkey"],
+            "c_custkey, count(o_orderkey) AS c_count",
+            None,
+            "c_custkey",
+            f"{root}/mv_state",
+            table_filters=[None, "o_orderpriority <> '1-URGENT'"],
+            hows=["left_outer"],
+        )
+        cust.insert(cust_src)
+        ords.insert(ord_src.filter("o_orderkey % 2 = 0"))
+        mv.refresh()  # refresh 1: many customers still NULL-padded
+        ords.insert(ord_src.filter("o_orderkey % 2 = 1"))
+        mv.refresh()  # refresh 2: most pads retract as matches arrive
+        # retraction wave: one customer class loses ALL its orders — their
+        # rows must flip BACK to pads (c_count 0), not vanish
+        ords.delete_where("o_custkey % 10 = 3")
+        mv.refresh()  # refresh 3
+        out = (
+            mv.read()
+            .groupBy("c_count")
+            .agg(F.count("*").alias("custdist"))
+            .select(
+                F.col("c_count").cast("bigint").alias("c_count"),
+                F.col("custdist").cast("bigint").alias("custdist"),
+            )
+            .orderBy(F.desc("custdist"), F.desc("c_count"))
+        )
+        # pin before tearing down the state directory the plan reads
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+MV_Q13_INCREMENTAL_SQL = """
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey
+     AND o_orderpriority <> '1-URGENT'
+     AND o_custkey % 10 <> 3
+    GROUP BY c_custkey
+) cc
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
 QUERIES = {
     "pipeline_curate": pipeline_curate,
     "pipeline_pretrain": pipeline_pretrain,
     "mv_q3_incremental": mv_q3_incremental,
+    "mv_q13_incremental": mv_q13_incremental,
 }
 ORACLE = {
     "pipeline_curate": PIPELINE_CURATE_SQL,
     "pipeline_pretrain": PIPELINE_PRETRAIN_SQL,
     "mv_q3_incremental": MV_Q3_INCREMENTAL_SQL,
+    "mv_q13_incremental": MV_Q13_INCREMENTAL_SQL,
 }

@@ -575,3 +575,211 @@ def test_compact_ordering_invariant_end_to_end(engine, spark, tmp_path):
     base.compact()  # spans the MV's cursor without a refresh
     with pytest.raises(ValueError, match="compacted segment range"):
         mv.refresh()
+
+
+def test_left_outer_join_mv_pad_flips(spark, tmp_path):
+    """Incremental LEFT OUTER join MV (reference LeftOuter,
+    ast/src/rel/logical.rs:55-59; NULL-pad hash_join.rs:147-160): right-side
+    inserts AND deletes must flip pad rows — a key gaining its first match
+    retracts the NULL-pad row and emits the joined one; a key losing its
+    last match does the reverse."""
+    from pyspark.sql import types as T
+
+    a = FreqTable(spark, str(tmp_path / "loa"))
+    b = FreqTable(spark, str(tmp_path / "lob"))
+    a.create(T.StructType([T.StructField("k", T.IntegerType()), T.StructField("av", T.StringType())]))
+    b.create(T.StructType([T.StructField("k", T.IntegerType()), T.StructField("bv", T.StringType())]))
+    a.insert(spark.createDataFrame([(1, "a1"), (2, "a2")], "k int, av string"))
+    mv = JoinMaterializedView(
+        spark, "mv_lo", a, b, ["k"], ["k", "av", "bv"], str(tmp_path / "mvlo"),
+        how="left_outer",
+    )
+    mv.refresh()
+    # empty right side: every left row is NULL-padded
+    assert sorted(tuple(r) for r in mv.read().collect()) == [
+        (1, "a1", None), (2, "a2", None),
+    ]
+    # first match for k=1 retracts its pad and emits the joined row
+    b.insert(spark.createDataFrame([(1, "b1")], "k int, bv string"))
+    mv.refresh()
+    assert sorted(tuple(r) for r in mv.read().collect()) == [
+        (1, "a1", "b1"), (2, "a2", None),
+    ]
+    # second match for k=1 does NOT add a pad (count 1→2, no flip); new
+    # unmatched left row gets a pad
+    b.insert(spark.createDataFrame([(1, "b1x")], "k int, bv string"))
+    a.insert(spark.createDataFrame([(3, "a3")], "k int, av string"))
+    mv.refresh()
+    assert sorted(tuple(r) for r in mv.read().collect()) == [
+        (1, "a1", "b1"), (1, "a1", "b1x"), (2, "a2", None), (3, "a3", None),
+    ]
+    # deleting ONE of k=1's matches: joined row retracts, still no pad
+    b.delete_where("bv = 'b1x'")
+    mv.refresh()
+    assert sorted(tuple(r) for r in mv.read().collect()) == [
+        (1, "a1", "b1"), (2, "a2", None), (3, "a3", None),
+    ]
+    # deleting the LAST match flips back: pad row re-emerges
+    b.delete_where("bv = 'b1'")
+    mv.refresh()
+    assert sorted(tuple(r) for r in mv.read().collect()) == [
+        (1, "a1", None), (2, "a2", None), (3, "a3", None),
+    ]
+    # left-side retraction drops both joined and pad rows
+    a.delete_where("k = 2")
+    mv.refresh()
+    assert sorted(tuple(r) for r in mv.read().collect()) == [
+        (1, "a1", None), (3, "a3", None),
+    ]
+
+
+def test_left_outer_agg_join_mv_ddl(engine):
+    """The Q13 shape through the SQL surface: aggregate over
+    customer LEFT JOIN orders maintained incrementally, pads counted as
+    groups with zero non-null matches (count(arg) skips NULL — reference
+    count semantics)."""
+    engine.execute_statement("CREATE TABLE cst (ck INT, nm TEXT)")
+    engine.execute_statement("CREATE TABLE ord (ok INT, oid INT)")
+    engine.execute_statement("INSERT INTO cst VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    engine.execute_statement("INSERT INTO ord VALUES (1, 100), (1, 101)")
+    engine.execute_statement(
+        "CREATE MATERIALIZED VIEW mv_q13 AS "
+        "SELECT nm, count(oid) AS n_orders, count(*) AS n_rows "
+        "FROM cst LEFT JOIN ord ON ck = ok GROUP BY nm"
+    )
+    assert rows(engine, "SELECT * FROM mv_q13") == [
+        ("a", 2, 2), ("b", 0, 1), ("c", 0, 1),
+    ]
+    # b gains its first order (pad flip), c stays padded, new customer d
+    engine.execute_statement("INSERT INTO ord VALUES (2, 200)")
+    engine.execute_statement("INSERT INTO cst VALUES (4, 'd')")
+    engine.execute_statement("REFRESH MATERIALIZED VIEW mv_q13")
+    assert rows(engine, "SELECT * FROM mv_q13") == [
+        ("a", 2, 2), ("b", 1, 1), ("c", 0, 1), ("d", 0, 1),
+    ]
+    # a loses ONE order (no flip), then the other (flip back to pad)
+    engine.execute_statement("DELETE FROM ord WHERE oid = 101")
+    engine.execute_statement("REFRESH MATERIALIZED VIEW mv_q13")
+    assert rows(engine, "SELECT * FROM mv_q13") == [
+        ("a", 1, 1), ("b", 1, 1), ("c", 0, 1), ("d", 0, 1),
+    ]
+    engine.execute_statement("DELETE FROM ord WHERE oid = 100")
+    engine.execute_statement("DELETE FROM cst WHERE nm = 'c'")
+    engine.execute_statement("REFRESH MATERIALIZED VIEW mv_q13")
+    assert rows(engine, "SELECT * FROM mv_q13") == [
+        ("a", 0, 1), ("b", 1, 1), ("d", 0, 1),
+    ]
+    # batch recompute agreement through the engine's SELECT path
+    expect = rows(
+        engine,
+        "SELECT nm, count(oid) AS n_orders, count(*) AS n_rows "
+        "FROM cst LEFT JOIN ord ON ck = ok GROUP BY nm",
+    )
+    assert rows(engine, "SELECT * FROM mv_q13") == expect
+
+
+def test_left_outer_join_mv_random_histories_match_recompute(spark, tmp_path):
+    """Randomized differential for the left-outer aggregate MV: seeded
+    insert/delete histories on both sides, refreshed at random points,
+    must equal a from-scratch recompute of the LEFT JOIN + GROUP BY over
+    the live multisets — including pad births/deaths mid-history."""
+    import random
+
+    from incresql_spark.materialize import AggregateJoinMaterializedView
+
+    rng = random.Random(1234)
+    a2 = FreqTable(spark, str(tmp_path / "loa2"))
+    b2 = FreqTable(spark, str(tmp_path / "lob2"))
+    a2.create(spark.createDataFrame([], "a_k int, grp string").schema)
+    b2.create(spark.createDataFrame([], "b_k int, v int").schema)
+    mv = AggregateJoinMaterializedView(
+        spark, "lomv", [a2, b2], ["a_k = b_k"],
+        "grp, count(v) AS nv, count(*) AS n, sum(v) AS s",
+        None, "grp", str(tmp_path / "lomv"), hows=["left_outer"],
+    )
+
+    live_a: list[tuple[int, str]] = []
+    live_b: list[tuple[int, int]] = []
+    for step in range(8):
+        op = rng.choice(["ins_a", "ins_b", "del_a", "del_b"])
+        if op == "ins_a" or not live_a:
+            rows_ = [(rng.randint(0, 4), rng.choice("xyz")) for _ in range(rng.randint(1, 3))]
+            a2.insert(spark.createDataFrame(rows_, "a_k int, grp string"))
+            live_a += rows_
+        elif op == "ins_b" or not live_b:
+            rows_ = [(rng.randint(0, 4), rng.randint(-9, 9)) for _ in range(rng.randint(1, 3))]
+            b2.insert(spark.createDataFrame(rows_, "b_k int, v int"))
+            live_b += rows_
+        elif op == "del_a":
+            g = rng.choice("xyz")
+            a2.delete_where(f"grp = '{g}'")
+            live_a = [r for r in live_a if r[1] != g]
+        else:
+            k = rng.randint(0, 4)
+            b2.delete_where(f"b_k = {k}")
+            live_b = [r for r in live_b if r[0] != k]
+        if rng.random() < 0.6 or step == 7:
+            mv.refresh()
+            got = {r.grp: (r.nv, r.n, r.s) for r in mv.read().collect()}
+            # reference recompute: LEFT JOIN over the live multisets
+            want: dict = {}
+            for ak, grp in live_a:
+                matches = [v for bk, v in live_b if bk == ak]
+                nv, n, s = want.get(grp, (0, 0, 0))
+                if matches:
+                    want[grp] = (nv + len(matches), n + len(matches),
+                                 s + sum(matches))
+                else:
+                    want[grp] = (nv, n + 1, s)
+            want = {
+                g: (nv, n, s if nv else None) for g, (nv, n, s) in want.items()
+            }
+            assert got == want, (step, got, want)
+
+
+def test_left_outer_in_three_way_chain(engine):
+    """Left-outer composed through the telescoping N-way delta: one MV
+    with the outer step LAST (pads survive) and one with it in the MIDDLE
+    (pads die in the later inner join — standard SQL), both maintained
+    incrementally and checked against the engine's batch recompute."""
+    engine.execute_statement("CREATE TABLE c3 (ck INT, nm TEXT)")
+    engine.execute_statement("CREATE TABLE o3 (ok INT, oid INT)")
+    engine.execute_statement("CREATE TABLE i3 (iid INT, qty INT)")
+    engine.execute_statement("INSERT INTO c3 VALUES (1, 'a'), (2, 'b')")
+    engine.execute_statement("INSERT INTO o3 VALUES (1, 10), (2, 20)")
+    engine.execute_statement("INSERT INTO i3 VALUES (10, 5)")
+    engine.execute_statement(
+        "CREATE MATERIALIZED VIEW mv_last AS "
+        "SELECT nm, count(qty) AS nq, count(*) AS n, sum(qty) AS sq "
+        "FROM c3 JOIN o3 ON ck = ok LEFT JOIN i3 ON oid = iid GROUP BY nm"
+    )
+    engine.execute_statement(
+        "CREATE MATERIALIZED VIEW mv_mid AS "
+        "SELECT nm, count(*) AS n, sum(qty) AS sq "
+        "FROM c3 LEFT JOIN o3 ON ck = ok JOIN i3 ON oid = iid GROUP BY nm"
+    )
+    batch_last = (
+        "SELECT nm, count(qty) AS nq, count(*) AS n, sum(qty) AS sq "
+        "FROM c3 JOIN o3 ON ck = ok LEFT JOIN i3 ON oid = iid GROUP BY nm"
+    )
+    batch_mid = (
+        "SELECT nm, count(*) AS n, sum(qty) AS sq "
+        "FROM c3 LEFT JOIN o3 ON ck = ok JOIN i3 ON oid = iid GROUP BY nm"
+    )
+    assert rows(engine, "SELECT * FROM mv_last") == rows(engine, batch_last)
+    assert rows(engine, "SELECT * FROM mv_mid") == rows(engine, batch_mid)
+    # mutations on every table, including pad flips at both depths
+    engine.execute_statement("INSERT INTO i3 VALUES (20, 7)")   # b's order matches
+    engine.execute_statement("INSERT INTO o3 VALUES (1, 11)")   # a gains padded order
+    engine.execute_statement("INSERT INTO c3 VALUES (3, 'c')")  # fully padded customer
+    engine.execute_statement("REFRESH MATERIALIZED VIEW mv_last")
+    engine.execute_statement("REFRESH MATERIALIZED VIEW mv_mid")
+    assert rows(engine, "SELECT * FROM mv_last") == rows(engine, batch_last)
+    assert rows(engine, "SELECT * FROM mv_mid") == rows(engine, batch_mid)
+    assert ("c", 0, 0, None) not in rows(engine, "SELECT * FROM mv_last")  # c has no order
+    engine.execute_statement("DELETE FROM i3 WHERE iid = 10")   # a's item flips back to pad
+    engine.execute_statement("DELETE FROM o3 WHERE oid = 20")   # b loses its only order
+    engine.execute_statement("REFRESH MATERIALIZED VIEW mv_last")
+    engine.execute_statement("REFRESH MATERIALIZED VIEW mv_mid")
+    assert rows(engine, "SELECT * FROM mv_last") == rows(engine, batch_last)
+    assert rows(engine, "SELECT * FROM mv_mid") == rows(engine, batch_mid)
