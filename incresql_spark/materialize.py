@@ -69,6 +69,15 @@ def _parse_select_items(select_list: str) -> list[tuple[str, str, str]]:
 #: each bucket stays ~128 MB (plans.layout.partitions_for_bytes).
 STATE_BUCKETS_CONF = "incresql.mv.state.buckets"
 _DEFAULT_STATE_BUCKETS = 64
+#: session conf key for the optional RANGE state layout: when set to a
+#: positive width W, groups bucket by ``(first_key DIV W) mod num_buckets``
+#: instead of a hash — key-LOCAL deltas (the recency-shaped ingest of
+#: append-mostly fact tables) then touch O(delta span / W) buckets instead
+#: of all of them (hash deliberately destroys locality for skew-immunity;
+#: see SCALING.md round-9 bucketed-merge economics).  Requires a numeric
+#: leading group key; 0 (default) = hash layout.  Pinned in the manifest
+#: like the bucket count.
+STATE_RANGE_WIDTH_CONF = "incresql.mv.state.range_width"
 
 
 class AggState:
@@ -97,18 +106,28 @@ class AggState:
     different conf cannot mis-bucket an existing state.
     """
 
-    def __init__(self, spark: SparkSession, path: str, num_buckets: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        num_buckets: int | None = None,
+        range_width: int | None = None,
+    ):
         self.spark = spark
         self.path = path
-        # an EXPLICIT bucket count must agree with an existing manifest —
+        # an EXPLICIT layout must agree with an existing manifest —
         # silently re-pinning would hide a caller bug; the conf-derived
-        # default defers to the manifest (the layout owns the count)
+        # defaults defer to the manifest (the layout owns itself)
         self._explicit = num_buckets is not None
+        self._explicit_width = range_width is not None
         if num_buckets is None:
             num_buckets = int(
                 spark.conf.get(STATE_BUCKETS_CONF, str(_DEFAULT_STATE_BUCKETS))
             )
+        if range_width is None:
+            range_width = int(spark.conf.get(STATE_RANGE_WIDTH_CONF, "0"))
         self.num_buckets = num_buckets
+        self.range_width = range_width
 
     # -- manifest -------------------------------------------------------------
     def _manifest_versions(self) -> list[int]:
@@ -126,23 +145,45 @@ class AggState:
             return None
         with open(os.path.join(self.path, f"manifest-{vs[-1]}.json")) as fh:
             m = json.load(fh)
-        # the on-disk layout owns the bucket count from first write onward;
-        # an explicitly requested conflicting count is a caller bug — fail
-        # with the real cause, not a downstream mis-bucketing assertion
+        # the on-disk layout owns the bucket count AND range width from
+        # first write onward; an explicitly requested conflicting layout is
+        # a caller bug — fail with the real cause, not a downstream
+        # mis-bucketing assertion
         if self._explicit and m["num_buckets"] != self.num_buckets:
             raise ValueError(
                 f"bucket count mismatch: state manifest pins "
                 f"{m['num_buckets']} buckets, caller requested "
                 f"{self.num_buckets} ({self.path})"
             )
+        stored_width = m.get("range_width", 0)
+        if self._explicit_width and stored_width != self.range_width:
+            raise ValueError(
+                f"range width mismatch: state manifest pins "
+                f"{stored_width}, caller requested "
+                f"{self.range_width} ({self.path})"
+            )
         self.num_buckets = m["num_buckets"]
+        self.range_width = stored_width
         return m
 
     def bucket_expr(self, keys: list[str]):
-        """The deterministic group-key → bucket hash.  Global aggregates
-        (no keys) live in bucket 0."""
+        """The deterministic group-key → bucket mapping.  Global aggregates
+        (no keys) live in bucket 0.  Default is a hash of ALL keys
+        (skew-immune, locality-free); with a pinned ``range_width`` W the
+        LEADING key maps by ``(key DIV W) mod num_buckets`` so key-local
+        deltas touch contiguous, few buckets (NULL/non-numeric leading
+        keys fold to bucket 0 — deterministic, merely unbalanced if the
+        caller picked range layout for a non-numeric key)."""
         if not keys:
             return F.lit(0)
+        if self.range_width:
+            return F.pmod(
+                F.expr(
+                    f"CAST(coalesce(CAST(`{keys[0]}` AS BIGINT), 0) "
+                    f"DIV {self.range_width} AS BIGINT)"
+                ),
+                F.lit(self.num_buckets),
+            )
         return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.num_buckets))
 
     def _bucket_paths(self, m: dict, buckets: list[int] | None = None) -> list[str]:
@@ -233,6 +274,7 @@ class AggState:
         manifest = {
             "version": nxt,
             "num_buckets": self.num_buckets,
+            "range_width": self.range_width,
             "buckets": buckets,
         }
         tmp = os.path.join(self.path, f".manifest-{nxt}.tmp")

@@ -783,3 +783,65 @@ def test_left_outer_in_three_way_chain(engine):
     engine.execute_statement("REFRESH MATERIALIZED VIEW mv_mid")
     assert rows(engine, "SELECT * FROM mv_last") == rows(engine, batch_last)
     assert rows(engine, "SELECT * FROM mv_mid") == rows(engine, batch_mid)
+
+
+def test_agg_state_range_layout_localizes_touched_buckets(spark, tmp_path):
+    """Range state layout (incresql.mv.state.range_width): a key-LOCAL
+    delta — the recency-shaped ingest of append-mostly fact tables — must
+    touch only the buckets its key span maps into, even when it carries
+    MORE groups than there are buckets (where the hash layout would touch
+    every bucket).  Layout is manifest-pinned: a later session with a
+    different conf keeps the original mapping."""
+    import json
+    import os
+
+    from incresql_spark.materialize import MaterializedView
+
+    spark.conf.set("incresql.mv.state.range_width", "100")
+    try:
+        base = FreqTable(spark, str(tmp_path / "base"))
+        seed = spark.range(1000).selectExpr(
+            "CAST(id AS INT) AS k", "CAST(id AS INT) AS v"
+        )
+        base.create(seed.schema)
+        base.insert(seed)
+        mv = MaterializedView(
+            spark, "mv_rng", base, "k, count(*) AS cnt, sum(v) AS sv",
+            None, "k", str(tmp_path / "state"),
+        )
+        mv.refresh()
+        agg_path = os.path.join(str(tmp_path / "state"), "agg")
+
+        def manifest():
+            vs = sorted(
+                int(f.split("-")[1].split(".")[0])
+                for f in os.listdir(agg_path)
+                if f.startswith("manifest-") and f.endswith(".json")
+            )
+            with open(os.path.join(agg_path, f"manifest-{vs[-1]}.json")) as fh:
+                return json.load(fh)
+
+        m0 = manifest()
+        assert m0["range_width"] == 100
+        assert len(m0["buckets"]) == 10  # keys 0..999, width 100
+
+        # 80-group delta confined to keys 900..979: ONE bucket (9) touched —
+        # the hash layout would have touched ~all 10 with 80 groups
+        delta = spark.range(900, 980).selectExpr(
+            "CAST(id AS INT) AS k", "CAST(1 AS INT) AS v"
+        )
+        # conf changed mid-flight: the manifest pin must win over the conf
+        spark.conf.set("incresql.mv.state.range_width", "7")
+        base.insert(delta)
+        mv.refresh()
+        m1 = manifest()
+        assert m1["range_width"] == 100
+        changed = {
+            b for b in set(m0["buckets"]) | set(m1["buckets"])
+            if m0["buckets"].get(b) != m1["buckets"].get(b)
+        }
+        assert changed == {"9"}, changed
+        got = {r.k: (r.cnt, r.sv) for r in mv.read().collect()}
+        assert len(got) == 1000 and got[950] == (2, 951) and got[10] == (1, 10)
+    finally:
+        spark.conf.unset("incresql.mv.state.range_width")

@@ -48,6 +48,10 @@ MV_BUCKETS = os.environ.get("SPARK_GRAFT_MV_BUCKETS")
 #: head) instead of an every-Nth-key uniform spread (the worst case for
 #: any bucketed merge: every bucket is touched)
 DELTA_SHAPE = os.environ.get("SPARK_GRAFT_MV_DELTA", "uniform")
+#: SPARK_GRAFT_MV_RANGE_WIDTH > 0 switches the state to the RANGE layout
+#: (incresql.mv.state.range_width): key-local deltas then touch only the
+#: buckets their key span maps into
+MV_RANGE_WIDTH = int(os.environ.get("SPARK_GRAFT_MV_RANGE_WIDTH", "0"))
 
 
 def main() -> None:
@@ -61,6 +65,8 @@ def main() -> None:
     spark = get_spark("bench_mv_merge", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     if MV_BUCKETS:
         spark.conf.set("incresql.mv.state.buckets", MV_BUCKETS)
+    if MV_RANGE_WIDTH:
+        spark.conf.set("incresql.mv.state.range_width", str(MV_RANGE_WIDTH))
     root = tempfile.mkdtemp(prefix="bench_mv_merge_")
     try:
         srcs = {
@@ -93,8 +99,12 @@ def main() -> None:
         tbls["customer"].insert(srcs["customer"])
         tbls["orders"].insert(srcs["orders"])
         if DELTA_SHAPE == "recency":
-            maxk = srcs["lineitem"].agg({"l_orderkey": "max"}).first()[0]
-            cut = int(maxk * (1 - DELTA_PCT / 100))
+            # quantile, not max-range: tiled key spaces are non-uniform
+            cut = int(
+                srcs["lineitem"].approxQuantile(
+                    "l_orderkey", [1 - DELTA_PCT / 100], 0.0001
+                )[0]
+            )
             seed = srcs["lineitem"].filter(f"l_orderkey <= {cut}")
             delta_src = srcs["lineitem"].filter(f"l_orderkey > {cut}")
         else:
@@ -166,6 +176,7 @@ def main() -> None:
                     "sf_dir": SF_DIR,
                     "filters": USE_FILTERS,
                     "delta_shape": DELTA_SHAPE,
+                    "range_width": MV_RANGE_WIDTH,
                     "delta_pct": DELTA_PCT,
                     "delta_rows": delta_rows,
                     "build_sec": round(build_sec, 2),
