@@ -146,6 +146,7 @@ class FreqTable:
         ts_ms: int | None = None,
         has_negative: bool | None = None,
         pre_merged: bool = False,
+        extra_meta: dict | None = None,
     ) -> None:
         """Append one immutable segment (df must carry __freq).
 
@@ -165,7 +166,12 @@ class FreqTable:
         tuples (state tables keyed by unique ids) skip the in-batch
         groupBy merge — a full shuffle of the batch payload (expensive
         when tuples carry array columns, e.g. shingle state: the measured
-        bulk of the maintainers' initial-ingest premium)."""
+        bulk of the maintainers' initial-ingest premium).
+
+        ``extra_meta``: caller metadata stored atomically WITH the segment
+        (MV refresh cursors ride here so state commit and cursor commit
+        cannot be torn by a crash; ``compact()`` preserves the max of any
+        ``mv_cursor*`` keys)."""
         ts_ms = ts_ms if ts_ms is not None else int(time.time() * 1000)
         seq = max((s["seq"] for s in self._segments()), default=-1) + 1
         # collapse duplicate tuples within the batch (reference merges per-key
@@ -182,10 +188,11 @@ class FreqTable:
         seg = f"seg-{ts_ms}-{uuid.uuid4().hex[:8]}"
         seg_dir = os.path.join(self.path, seg)
         merged.write.mode("overwrite").parquet(seg_dir)
+        meta = {"ts_ms": ts_ms, "seq": seq, "has_negative": bool(has_negative)}
+        if extra_meta:
+            meta.update(extra_meta)
         with open(os.path.join(seg_dir, "_segmeta.json"), "w") as fh:
-            json.dump(
-                {"ts_ms": ts_ms, "seq": seq, "has_negative": bool(has_negative)}, fh
-            )
+            json.dump(meta, fh)
 
     def insert(
         self,
@@ -305,11 +312,14 @@ class FreqTable:
         min_ts = min(s["min_ts"] for s in segs)
         tmp = os.path.join(self.path, f"compact-{uuid.uuid4().hex[:8]}")
         merged.write.mode("overwrite").parquet(tmp)
+        meta = {"ts_ms": ts, "seq": seq, "min_seq": min_seq,
+                "min_ts": min_ts, "has_negative": False}
+        # MV refresh cursors riding on state segments survive compaction
+        # (max per key — the cursor is monotonic)
+        for key in {k for s in segs for k in s if k.startswith("mv_cursor")}:
+            meta[key] = max(s.get(key, -1) for s in segs)
         with open(os.path.join(tmp, "_segmeta.json"), "w") as fh:
-            json.dump(
-                {"ts_ms": ts, "seq": seq, "min_seq": min_seq,
-                 "min_ts": min_ts, "has_negative": False}, fh
-            )
+            json.dump(meta, fh)
         for s in segs:
             shutil.rmtree(s["dir"])
         os.rename(tmp, os.path.join(self.path, f"seg-{ts}-{uuid.uuid4().hex[:8]}"))

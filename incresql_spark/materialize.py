@@ -213,15 +213,21 @@ class AggState:
 
     # -- write ----------------------------------------------------------------
     def write_buckets(
-        self, merged: DataFrame, keys: list[str], touched: list[int]
+        self,
+        merged: DataFrame,
+        keys: list[str],
+        touched: list[int],
+        extra: dict | None = None,
     ) -> None:
         """Commit new versions of exactly the ``touched`` buckets.
 
         ``merged`` must be the full post-merge contents of those buckets
         (rows of OTHER buckets would be silently misplaced — guarded by the
         staging-dir subset check below).  A touched bucket with no surviving
-        groups is dropped from the manifest.
-        """
+        groups is dropped from the manifest.  ``extra`` entries are stored
+        in the manifest — committed ATOMICALLY with the state (MV refresh
+        cursors ride here so a crash between state merge and cursor save
+        cannot cause the same delta to be re-applied)."""
         m = self._load_manifest()
         nxt = (m["version"] + 1) if m else 0
         buckets = dict(m["buckets"]) if m else {}
@@ -277,6 +283,12 @@ class AggState:
             "range_width": self.range_width,
             "buckets": buckets,
         }
+        if m:  # carry forward prior extras (e.g. the cursor) …
+            manifest.update(
+                {k: v for k, v in m.items() if k not in manifest}
+            )
+        if extra:  # … and overwrite with this commit's
+            manifest.update(extra)
         tmp = os.path.join(self.path, f".manifest-{nxt}.tmp")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -372,14 +384,29 @@ class MaterializedView:
         return grouped.agg(*aggs)
 
     # -- refresh -------------------------------------------------------------
+    def _state_cursor(self) -> int:
+        """The refresh cursor the STATE itself carries — committed
+        atomically with each state mutation, so a crash between the state
+        commit and ``_save_meta`` cannot make the next refresh re-apply
+        (and double-count) the same delta.  -1 when the state is fresh."""
+        if self.is_aggregate:
+            m = self.state._load_manifest()
+            return m.get("cursor", -1) if m else -1
+        return max(
+            (s.get("mv_cursor", -1) for s in self.state._segments()),
+            default=-1,
+        )
+
     def refresh(self) -> int:
         """Incremental refresh: pull base-table deltas since the last
         refresh, propagate, merge.  Returns number of delta rows consumed."""
         meta = self._load_meta()
         # the cursor is the base table's monotonic segment seq (NOT wall
         # clock — same-ms segments must not be skipped); old metas carrying
-        # only last_refresh_ms are treated as never-refreshed
-        since = meta.get("last_refresh_seq", -1)
+        # only last_refresh_ms are treated as never-refreshed.  The state's
+        # own atomically-committed cursor wins over a stale meta file (the
+        # crash-between-commit-and-meta window).
+        since = max(meta.get("last_refresh_seq", -1), self._state_cursor())
         now = self.base.last_seq()
         if now <= since:
             return 0
@@ -387,12 +414,14 @@ class MaterializedView:
         n = delta.count()
         if n:
             if self.is_aggregate:
-                self._merge_agg(self._delta_agg(delta))
+                self._merge_agg(self._delta_agg(delta), cursor={"cursor": now})
             else:
                 self.state.create(
                     self._apply_linear(delta).drop(FREQ).schema
                 ) if not self.state.exists() else None
-                self.state._write_segment(self._apply_linear(delta))
+                self.state._write_segment(
+                    self._apply_linear(delta), extra_meta={"mv_cursor": now}
+                )
         meta["last_refresh_seq"] = now
         self._save_meta(meta)
         return n
@@ -402,13 +431,14 @@ class MaterializedView:
         subclasses with a different input shape (joins) override this."""
         return self._delta_agg(self.base.scan(expand=False).limit(0))
 
-    def _merge_agg(self, delta_state: DataFrame) -> None:
+    def _merge_agg(self, delta_state: DataFrame, cursor: dict | None = None) -> None:
         """Merge per-group state deltas into the bucketed state: read ONLY
         the buckets the delta's groups hash into, re-aggregate those, and
         commit new versions of only those buckets — O(delta + touched
         buckets), never O(|state|).  The touched-bucket list is a bounded
         driver collect (≤ num_buckets distinct ints — the same O(1)-scalar
-        class as FreqTable's delete counts)."""
+        class as FreqTable's delete counts).  ``cursor`` rides in the
+        manifest commit (see ``_state_cursor``)."""
         keys = [c for c in delta_state.columns if not c.startswith("__")]
         state_cols = [c for c in delta_state.columns if c.startswith("__")]
         st = self.state
@@ -434,7 +464,7 @@ class MaterializedView:
                     .agg(*[F.sum(c).alias(c) for c in state_cols])
                 )
             merged = merged.filter(F.col("__cnt") != 0)
-            st.write_buckets(merged, keys, touched)
+            st.write_buckets(merged, keys, touched, extra=cursor)
         finally:
             delta_state.unpersist()
 
@@ -531,10 +561,22 @@ class JoinMaterializedView:
         self.meta_path = os.path.join(state_dir, "_mvmeta.json")
 
     def _meta(self) -> dict:
+        meta = {"left_seq": -1, "right_seq": -1}
         if os.path.exists(self.meta_path):
             with open(self.meta_path) as fh:
-                return json.load(fh)
-        return {"left_seq": -1, "right_seq": -1}
+                meta = json.load(fh)
+        # the state's own atomically-committed cursors win over a stale
+        # meta file (crash between segment write and meta save — without
+        # this the same delta would be re-applied and double-counted)
+        for s in self.state._segments() if self.state.exists() else []:
+            meta["left_seq"] = max(meta["left_seq"], s.get("mv_cursor_left", -1))
+            meta["right_seq"] = max(meta["right_seq"], s.get("mv_cursor_right", -1))
+        return meta
+
+    def _save(self, meta: dict) -> None:
+        os.makedirs(self.state_dir, exist_ok=True)
+        with open(self.meta_path, "w") as fh:
+            json.dump(meta, fh)
 
     def _join(self, a: DataFrame, b: DataFrame) -> DataFrame:
         fa = a.withColumnRenamed(FREQ, "__fa")
@@ -580,12 +622,14 @@ class JoinMaterializedView:
             ).unionByName(self._pad(a_flip, b_old, -1))
         if not self.state.exists():
             self.state.create(delta_view.drop(FREQ).schema)
-        # merged within _write_segment; empty deltas produce no segment
+        # merged within _write_segment; empty deltas produce no segment;
+        # the cursors ride IN the segment meta (atomic with the state)
         if delta_view.limit(1).count() > 0:
-            self.state._write_segment(delta_view)
-        os.makedirs(self.state_dir, exist_ok=True)
-        with open(self.meta_path, "w") as fh:
-            json.dump({"left_seq": l_new, "right_seq": r_new}, fh)
+            self.state._write_segment(
+                delta_view,
+                extra_meta={"mv_cursor_left": l_new, "mv_cursor_right": r_new},
+            )
+        self._save({"left_seq": l_new, "right_seq": r_new})
 
     def read(self) -> DataFrame:
         if not self.state.exists():
@@ -736,6 +780,12 @@ class AggregateJoinMaterializedView(MaterializedView):
         Returns the number of signed join-delta rows aggregated."""
         meta = self._load_meta()
         olds = meta.get("seqs", [-1] * len(self.tables))
+        # the manifest's atomically-committed cursor wins over a stale
+        # meta file (crash between state merge and meta save)
+        m = self.state._load_manifest()
+        state_seqs = (m or {}).get("cursor")
+        if state_seqs:
+            olds = [max(o, s) for o, s in zip(olds, state_seqs)]
         news = [t.last_seq() for t in self.tables]
         if all(n <= o for n, o in zip(news, olds)):
             return 0
@@ -792,7 +842,9 @@ class AggregateJoinMaterializedView(MaterializedView):
         try:
             n = delta_join.count()
             if n:
-                self._merge_agg(self._delta_agg(delta_join))
+                self._merge_agg(
+                    self._delta_agg(delta_join), cursor={"cursor": news}
+                )
         finally:
             delta_join.unpersist()
         self._save_meta({"seqs": news})

@@ -845,3 +845,97 @@ def test_agg_state_range_layout_localizes_touched_buckets(spark, tmp_path):
         assert len(got) == 1000 and got[950] == (2, 951) and got[10] == (1, 10)
     finally:
         spark.conf.unset("incresql.mv.state.range_width")
+
+
+def test_refresh_crash_between_state_commit_and_meta_is_exactly_once(spark, tmp_path):
+    """The refresh cursor rides INSIDE the state commit (manifest /
+    segment meta), so a crash AFTER the state merge but BEFORE the cursor
+    meta file is saved must NOT re-apply the same delta on the next
+    refresh — re-application would double-count every aggregate and
+    duplicate every linear row.  Simulated for all three MV classes by
+    making the meta save raise once."""
+    from incresql_spark.materialize import (
+        AggregateJoinMaterializedView,
+        MaterializedView,
+    )
+
+    # -- aggregate single-table MV ----------------------------------------
+    base = FreqTable(spark, str(tmp_path / "cbase"))
+    seed = spark.createDataFrame([("x", 1), ("y", 2)], "k STRING, v INT")
+    base.create(seed.schema)
+    base.insert(seed)
+    mv = MaterializedView(
+        spark, "mv_crash2", base, "k, count(*) AS cnt, sum(v) AS sv",
+        None, "k", str(tmp_path / "cstate"),
+    )
+    mv.refresh()
+    base.insert(spark.createDataFrame([("x", 10)], "k STRING, v INT"))
+    orig = mv._save_meta
+    mv._save_meta = lambda meta: (_ for _ in ()).throw(RuntimeError("crash"))
+    with pytest.raises(RuntimeError):
+        mv.refresh()  # state merged, cursor meta never saved
+    mv._save_meta = orig
+    mv.refresh()  # must be a no-op for the already-merged delta
+    got = sorted(tuple(r) for r in mv.read().collect())
+    assert got == [("x", 2, 11), ("y", 1, 2)], got
+
+    # -- linear MV ---------------------------------------------------------
+    lmv = MaterializedView(
+        spark, "mv_lin_crash", base, "k, v", "v >= 1", None,
+        str(tmp_path / "lstate"),
+    )
+    lmv.refresh()
+    base.insert(spark.createDataFrame([("z", 3)], "k STRING, v INT"))
+    orig = lmv._save_meta
+    lmv._save_meta = lambda meta: (_ for _ in ()).throw(RuntimeError("crash"))
+    with pytest.raises(RuntimeError):
+        lmv.refresh()
+    lmv._save_meta = orig
+    lmv.refresh()
+    got = sorted(tuple(r) for r in lmv.read().collect())
+    assert got.count(("z", 3)) == 1, got  # exactly once, not duplicated
+
+    # -- non-aggregate join MV --------------------------------------------
+    a = FreqTable(spark, str(tmp_path / "ja"))
+    b = FreqTable(spark, str(tmp_path / "jb"))
+    a.create(spark.createDataFrame([], "k int, av string").schema)
+    b.create(spark.createDataFrame([], "k int, bv string").schema)
+    a.insert(spark.createDataFrame([(1, "a1")], "k int, av string"))
+    b.insert(spark.createDataFrame([(1, "b1")], "k int, bv string"))
+    jmv = JoinMaterializedView(
+        spark, "jmv_crash", a, b, ["k"], ["k", "av", "bv"],
+        str(tmp_path / "jstate"),
+    )
+    jmv.refresh()
+    b.insert(spark.createDataFrame([(1, "b2")], "k int, bv string"))
+    orig = jmv._save
+    jmv._save = lambda meta: (_ for _ in ()).throw(RuntimeError("crash"))
+    with pytest.raises(RuntimeError):
+        jmv.refresh()
+    jmv._save = orig
+    jmv.refresh()
+    got = sorted(tuple(r) for r in jmv.read().collect())
+    assert got == [(1, "a1", "b1"), (1, "a1", "b2")], got
+
+    # -- aggregate join MV -------------------------------------------------
+    aa = FreqTable(spark, str(tmp_path / "aja"))
+    bb = FreqTable(spark, str(tmp_path / "ajb"))
+    aa.create(spark.createDataFrame([], "a_k int, grp string").schema)
+    bb.create(spark.createDataFrame([], "b_k int, v int").schema)
+    aa.insert(spark.createDataFrame([(1, "g")], "a_k int, grp string"))
+    bb.insert(spark.createDataFrame([(1, 5)], "b_k int, v int"))
+    amv = AggregateJoinMaterializedView(
+        spark, "amv_crash", [aa, bb], ["a_k = b_k"],
+        "grp, count(*) AS n, sum(v) AS s", None, "grp",
+        str(tmp_path / "astate"),
+    )
+    amv.refresh()
+    bb.insert(spark.createDataFrame([(1, 7)], "b_k int, v int"))
+    orig = amv._save_meta
+    amv._save_meta = lambda meta: (_ for _ in ()).throw(RuntimeError("crash"))
+    with pytest.raises(RuntimeError):
+        amv.refresh()  # manifest committed with the cursor, meta torn
+    amv._save_meta = orig
+    amv.refresh()  # must NOT re-apply the (1, 7) delta
+    got = sorted(tuple(r) for r in amv.read().collect())
+    assert got == [("g", 2, 12)], got
