@@ -939,3 +939,75 @@ def test_refresh_crash_between_state_commit_and_meta_is_exactly_once(spark, tmp_
     amv.refresh()  # must NOT re-apply the (1, 7) delta
     got = sorted(tuple(r) for r in amv.read().collect())
     assert got == [("g", 2, 12)], got
+
+
+def test_double_left_outer_chain_random_histories(spark, tmp_path):
+    """Randomized differential for A ⟕ B ⟕ C (left-outer at BOTH chain
+    positions — pads of pads: an unmatched A row carries NULL b_k, which
+    must then left-join C as unmatched again): seeded insert/delete
+    histories on all three tables, refreshed at random points, must equal
+    a Python recompute of standard SQL LEFT JOIN semantics."""
+    import random
+
+    from incresql_spark.materialize import AggregateJoinMaterializedView
+
+    rng = random.Random(77)
+    ta = FreqTable(spark, str(tmp_path / "d3a"))
+    tb = FreqTable(spark, str(tmp_path / "d3b"))
+    tc = FreqTable(spark, str(tmp_path / "d3c"))
+    ta.create(spark.createDataFrame([], "a_k int, grp string").schema)
+    tb.create(spark.createDataFrame([], "b_k int, v int").schema)
+    tc.create(spark.createDataFrame([], "c_k int, w int").schema)
+    mv = AggregateJoinMaterializedView(
+        spark, "d3mv", [ta, tb, tc], ["a_k = b_k", "b_k = c_k"],
+        "grp, count(*) AS n, count(w) AS nw, sum(w) AS sw",
+        None, "grp", str(tmp_path / "d3mv"),
+        hows=["left_outer", "left_outer"],
+    )
+
+    live_a: list = []
+    live_b: list = []
+    live_c: list = []
+    for step in range(7):
+        op = rng.choice(["ins_a", "ins_b", "ins_c", "del_b", "del_c"])
+        if op == "ins_a" or not live_a:
+            rows_ = [(rng.randint(0, 3), rng.choice("xy")) for _ in range(rng.randint(1, 2))]
+            ta.insert(spark.createDataFrame(rows_, "a_k int, grp string"))
+            live_a += rows_
+        elif op == "ins_b":
+            rows_ = [(rng.randint(0, 3), rng.randint(1, 9)) for _ in range(rng.randint(1, 2))]
+            tb.insert(spark.createDataFrame(rows_, "b_k int, v int"))
+            live_b += rows_
+        elif op == "ins_c":
+            rows_ = [(rng.randint(0, 3), rng.randint(1, 9)) for _ in range(rng.randint(1, 2))]
+            tc.insert(spark.createDataFrame(rows_, "c_k int, w int"))
+            live_c += rows_
+        elif op == "del_b" and live_b:
+            k = rng.randint(0, 3)
+            tb.delete_where(f"b_k = {k}")
+            live_b = [r for r in live_b if r[0] != k]
+        elif op == "del_c" and live_c:
+            k = rng.randint(0, 3)
+            tc.delete_where(f"c_k = {k}")
+            live_c = [r for r in live_c if r[0] != k]
+        if rng.random() < 0.7 or step == 6:
+            mv.refresh()
+            got = {r.grp: (r.n, r.nw, r.sw) for r in mv.read().collect()}
+            want: dict = {}
+            for ak, grp in live_a:
+                bs = [b for b in live_b if b[0] == ak] or [None]
+                for b in bs:
+                    cs = (
+                        [c for c in live_c if c[0] == b[0]] if b is not None else []
+                    ) or [None]
+                    for c in cs:
+                        n, nw, sw = want.get(grp, (0, 0, 0))
+                        want[grp] = (
+                            n + 1,
+                            nw + (1 if c is not None else 0),
+                            sw + (c[1] if c is not None else 0),
+                        )
+            want = {
+                g: (n, nw, sw if nw else None) for g, (n, nw, sw) in want.items()
+            }
+            assert got == want, (step, got, want)

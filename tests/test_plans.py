@@ -471,3 +471,55 @@ def test_dsir_explode_evaluated_exactly_once(spark):
         .toString()
     )
     assert final.count("Generate") == 0, final[:2000]
+
+
+def test_left_outer_mv_refresh_delta_is_all_hash_joins(spark, tmp_path):
+    """The left-outer MV refresh's scale contract, plan-locked: every join
+    in the step delta — the inner probe AND the pad semi/anti flips — must
+    plan as a hash join with the delta side as build (broadcast under AQE);
+    a BroadcastNestedLoopJoin or CartesianProduct would turn refresh into
+    O(|A|·|B|) at scale."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from incresql_spark.frequency import FreqTable
+    from incresql_spark.materialize import AggregateJoinMaterializedView
+
+    root = str(tmp_path / "pa")
+    ta = FreqTable(spark, f"{root}/a")
+    ta.create(spark.createDataFrame([], "a_k int, grp string").schema)
+    tb = FreqTable(spark, f"{root}/b")
+    tb.create(spark.createDataFrame([], "b_k int, v int").schema)
+    ta.insert(spark.range(1000).selectExpr("CAST(id AS INT) a_k", "CAST(id % 7 AS STRING) grp"))
+    tb.insert(spark.range(500).selectExpr("CAST(id*2 AS INT) b_k", "CAST(id AS INT) v"))
+    mv = AggregateJoinMaterializedView(
+        spark, "pa_mv", [ta, tb], ["a_k = b_k"],
+        "grp, count(v) AS nv, count(*) AS n", None, "grp", f"{root}/mv",
+        hows=["left_outer"],
+    )
+    mv.refresh()
+    tb.insert(spark.range(100).selectExpr("CAST(id*2+1 AS INT) b_k", "CAST(id AS INT) v"))
+
+    # rebuild the exact delta frame the next refresh aggregates
+    meta = mv._load_meta()
+    olds, news = meta["seqs"], [t.last_seq() for t in mv.tables]
+
+    def snap(i, seq):
+        return mv._side(i, mv.tables[i].scan(as_of_seq=seq, expand=False))
+
+    di = mv._side(1, mv.tables[1].delta(olds[1], news[1]))
+    old = snap(0, olds[0]).withColumnRenamed("__f0", "__f")
+    new = snap(0, news[0]).withColumnRenamed("__f0", "__f")
+    flip = old.join(di, F.expr(mv.join_conds[0]), "left_semi")
+    delta = (
+        mv._step(new, di, 1, how="inner")
+        .unionByName(mv._pad(flip, snap(1, news[1]), 1, 1))
+        .unionByName(mv._pad(flip, snap(1, olds[1]), 1, -1))
+    )
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # equality conds plan as hash joins: inner probe + semi flips + anti pads
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 5, plan[:2000]
+    assert "LeftAnti" in plan and "LeftSemi" in plan, plan[:2000]
