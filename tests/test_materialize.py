@@ -1011,3 +1011,74 @@ def test_double_left_outer_chain_random_histories(spark, tmp_path):
                 g: (n, nw, sw if nw else None) for g, (n, nw, sw) in want.items()
             }
             assert got == want, (step, got, want)
+
+
+def test_inner_join_keyword_in_mv_ddl(engine):
+    """The DDL join-splitter accepts the INNER JOIN keyword form (and the
+    bare JOIN form) equivalently — both maintain an inner MV."""
+    engine.execute_statement("CREATE TABLE ik1 (k INT, g TEXT)")
+    engine.execute_statement("CREATE TABLE ik2 (k2 INT, v INT)")
+    engine.execute_statement("INSERT INTO ik1 VALUES (1, 'a'), (2, 'b')")
+    engine.execute_statement("INSERT INTO ik2 VALUES (1, 5)")
+    engine.execute_statement(
+        "CREATE MATERIALIZED VIEW mv_ik AS "
+        "SELECT g, count(*) AS n FROM ik1 INNER JOIN ik2 ON k = k2 GROUP BY g"
+    )
+    assert rows(engine, "SELECT * FROM mv_ik") == [("a", 1)]
+    engine.execute_statement("INSERT INTO ik2 VALUES (2, 9)")
+    engine.execute_statement("REFRESH MATERIALIZED VIEW mv_ik")
+    assert rows(engine, "SELECT * FROM mv_ik") == [("a", 1), ("b", 1)]
+
+
+def test_stream_to_left_outer_mv_chain(spark, tmp_path):
+    """Structured-Streaming micro-batches → FreqTables → LEFT OUTER
+    aggregate MV: the continuous shape composed with the pad-flip delta —
+    a second wave of right-side files retracts the pads its matches
+    flip."""
+    from pyspark.sql import types as T
+
+    from incresql_spark.materialize import AggregateJoinMaterializedView
+    from incresql_spark.streaming.incremental import stream_into_table
+
+    c_schema = T.StructType(
+        [T.StructField("ck", T.IntegerType()), T.StructField("nm", T.StringType())]
+    )
+    o_schema = T.StructType(
+        [T.StructField("ok", T.IntegerType()), T.StructField("amt", T.IntegerType())]
+    )
+    c_src, o_src = tmp_path / "c-in", tmp_path / "o-in"
+    c_src.mkdir(); o_src.mkdir()
+    c_tbl = FreqTable(spark, str(tmp_path / "c_tbl")); c_tbl.create(c_schema)
+    o_tbl = FreqTable(spark, str(tmp_path / "o_tbl")); o_tbl.create(o_schema)
+
+    spark.createDataFrame([(1, "a"), (2, "b")], c_schema).coalesce(1).write.parquet(
+        str(c_src / "b0.parquet")
+    )
+    spark.createDataFrame([(1, 10)], o_schema).coalesce(1).write.parquet(
+        str(o_src / "b0.parquet")
+    )
+    for src, schema, tbl, ck in (
+        (c_src, c_schema, c_tbl, "c-ck"),
+        (o_src, o_schema, o_tbl, "o-ck"),
+    ):
+        q = stream_into_table(spark, str(src) + "/*", schema, tbl, str(tmp_path / ck))
+        q.awaitTermination(120)
+
+    mv = AggregateJoinMaterializedView(
+        spark, "slomv", [c_tbl, o_tbl], ["ck = ok"],
+        "nm, count(amt) AS n_orders, count(*) AS n", None, "nm",
+        str(tmp_path / "slomv"), hows=["left_outer"],
+    )
+    mv.refresh()
+    got = sorted(tuple(r) for r in mv.read().collect())
+    assert got == [("a", 1, 1), ("b", 0, 1)]  # b NULL-padded
+
+    # second wave: b's first order arrives by stream → pad flips on refresh
+    spark.createDataFrame([(2, 7)], o_schema).coalesce(1).write.parquet(
+        str(o_src / "b1.parquet")
+    )
+    q = stream_into_table(spark, str(o_src) + "/*", o_schema, o_tbl, str(tmp_path / "o-ck"))
+    q.awaitTermination(120)
+    mv.refresh()
+    got = sorted(tuple(r) for r in mv.read().collect())
+    assert got == [("a", 1, 1), ("b", 1, 1)]
