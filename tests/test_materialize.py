@@ -1082,3 +1082,61 @@ def test_stream_to_left_outer_mv_chain(spark, tmp_path):
     mv.refresh()
     got = sorted(tuple(r) for r in mv.read().collect())
     assert got == [("a", 1, 1), ("b", 1, 1)]
+
+
+def test_left_outer_mv_non_equi_condition(spark, tmp_path):
+    """The reference's left join accepts arbitrary conditions
+    (tests/join/mod.rs test_left_joins: ``l_id + r_id = 3``); the
+    incremental pad algebra never assumed equi-keys — anti/semi joins on
+    the raw condition keep it exact.  Mutations must flip pads under the
+    non-equi condition just as they do for equi keys."""
+    from incresql_spark.materialize import AggregateJoinMaterializedView
+
+    ta = FreqTable(spark, str(tmp_path / "nea"))
+    tb = FreqTable(spark, str(tmp_path / "neb"))
+    ta.create(spark.createDataFrame([], "l_id int, grp string").schema)
+    tb.create(spark.createDataFrame([], "r_id int, v int").schema)
+    mv = AggregateJoinMaterializedView(
+        spark, "nemv", [ta, tb], ["l_id + r_id = 3"],
+        "grp, count(v) AS nv, count(*) AS n, sum(v) AS sv",
+        None, "grp", str(tmp_path / "nemv"), hows=["left_outer"],
+    )
+
+    def recompute():
+        want: dict = {}
+        for l, grp in live_a:
+            ms = [v for r, v in live_b if l is not None and r is not None and l + r == 3]
+            nv, n, sv = want.get(grp, (0, 0, 0))
+            if ms:
+                want[grp] = (nv + len(ms), n + len(ms), sv + sum(ms))
+            else:
+                want[grp] = (nv, n + 1, sv)
+        return {g: (nv, n, sv if nv else None) for g, (nv, n, sv) in want.items()}
+
+    live_a = [(1, "x"), (2, "y"), (None, "z")]
+    live_b: list = []
+    ta.insert(spark.createDataFrame(live_a, "l_id int, grp string"))
+    mv.refresh()
+    got = {r.grp: (r.nv, r.n, r.sv) for r in mv.read().collect()}
+    assert got == recompute() == {"x": (0, 1, None), "y": (0, 1, None), "z": (0, 1, None)}
+
+    # r=2 matches l=1 (1+2=3): x flips off its pad; NULL l never matches
+    live_b = [(2, 10)]
+    tb.insert(spark.createDataFrame(live_b, "r_id int, v int"))
+    mv.refresh()
+    got = {r.grp: (r.nv, r.n, r.sv) for r in mv.read().collect()}
+    assert got == recompute() == {"x": (1, 1, 10), "y": (0, 1, None), "z": (0, 1, None)}
+
+    # second match for x (r=2 again), first for y (r=1)
+    tb.insert(spark.createDataFrame([(2, 20), (1, 5)], "r_id int, v int"))
+    live_b += [(2, 20), (1, 5)]
+    mv.refresh()
+    got = {r.grp: (r.nv, r.n, r.sv) for r in mv.read().collect()}
+    assert got == recompute() == {"x": (2, 2, 30), "y": (1, 1, 5), "z": (0, 1, None)}
+
+    # deleting ALL r=2 rows flips x back to a pad
+    tb.delete_where("r_id = 2")
+    live_b = [r for r in live_b if r[0] != 2]
+    mv.refresh()
+    got = {r.grp: (r.nv, r.n, r.sv) for r in mv.read().collect()}
+    assert got == recompute() == {"x": (0, 1, None), "y": (1, 1, 5), "z": (0, 1, None)}
