@@ -28,9 +28,6 @@ the driver — the per-batch pair list is pinned executor-side
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -44,6 +41,7 @@ from ..operators.dedup import (
     _NORM_SPARK,
     _embed_band_spark,
 )
+from ._geometry import pin_geometry, unpin_geometry
 from ..plans.layout import materialize, release
 
 _BANDS_SCHEMA = T.StructType(
@@ -75,26 +73,15 @@ class IncrementalEmbeddingDedup:
         # maintainer reopened with different band_bits / band count / plane
         # stride would silently mis-bucket every future delta against
         # history.  Persist it at creation, verify it on reopen.
-        self._geometry_path = os.path.join(state_dir, "_geometry.json")
-        geometry = {
-            "band_bits": band_bits,
-            "n_bands": N_EMBED_BANDS,
-            "plane_stride": EMBED_BAND_HI,
-            "plane_salt": "dplane",
-        }
-        if os.path.exists(self._geometry_path):
-            with open(self._geometry_path) as fh:
-                stored = json.load(fh)
-            if stored != geometry:
-                raise ValueError(
-                    f"frozen LSH geometry mismatch: state at {state_dir} "
-                    f"was built with {stored}, reopened with {geometry} — "
-                    f"re-banding requires an explicit state rebuild"
-                )
-        else:
-            os.makedirs(state_dir, exist_ok=True)
-            with open(self._geometry_path, "w") as fh:
-                json.dump(geometry, fh)
+        pin_geometry(
+            state_dir,
+            {
+                "band_bits": band_bits,
+                "n_bands": N_EMBED_BANDS,
+                "plane_stride": EMBED_BAND_HI,
+                "plane_salt": "dplane",
+            },
+        )
 
     def _ensure_state(self, embedding_type: T.DataType) -> None:
         if not self.bands.exists():
@@ -209,5 +196,4 @@ class IncrementalEmbeddingDedup:
         self.bands.drop()
         self.vectors.drop()
         # geometry dies with the state — a rebuilt index may re-band freely
-        if os.path.exists(self._geometry_path):
-            os.unlink(self._geometry_path)
+        unpin_geometry(self.state_dir)

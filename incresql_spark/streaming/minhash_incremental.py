@@ -41,10 +41,15 @@ from pyspark.sql import types as T
 from ..frequency import FREQ, FreqTable
 from ..plans.layout import materialize
 from ..operators.dedup import (
+    JACCARD_THRESHOLD,
+    N_BANDS,
+    N_MINHASH,
+    SHINGLES_SPARK,
     doc_shingles_df,
     minhash_bands_long,
     verify_jaccard_pairs,
 )
+from ._geometry import pin_geometry, unpin_geometry
 
 _BANDS_SCHEMA = T.StructType(
     [
@@ -73,8 +78,26 @@ class IncrementalMinHashDedup:
 
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
+        self.state_dir = state_dir
         self.bands = FreqTable(spark, f"{state_dir}/bands")
         self.shingles = FreqTable(spark, f"{state_dir}/shingles")
+        # Geometry here is all code constants, but state OUTLIVES code: a
+        # newer build with different signature/shingle construction must
+        # refuse this state, not silently stop matching history.  The
+        # shingle expression itself is part of the fingerprint.
+        import hashlib
+
+        pin_geometry(
+            state_dir,
+            {
+                "n_minhash": N_MINHASH,
+                "n_bands": N_BANDS,
+                "jaccard_threshold": JACCARD_THRESHOLD,
+                "shingle_expr_md5": hashlib.md5(
+                    SHINGLES_SPARK.encode()
+                ).hexdigest(),
+            },
+        )
 
     def _ensure_state(self) -> None:
         if not self.bands.exists():
@@ -157,3 +180,4 @@ class IncrementalMinHashDedup:
     def drop(self) -> None:
         self.bands.drop()
         self.shingles.drop()
+        unpin_geometry(self.state_dir)

@@ -60,8 +60,10 @@ from ..plans.layout import materialize
 from ..operators.dedup import (
     PASSAGE_MAX_SHARED_FRAC,
     PASSAGE_SHARED_MIN_DOCS,
+    PASSAGE_TOKENS,
     doc_chunks_df,
 )
+from ._geometry import pin_geometry, unpin_geometry
 
 _CHUNKS_SCHEMA = T.StructType(
     [
@@ -85,8 +87,20 @@ class IncrementalPassagesDedup:
 
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
+        self.state_dir = state_dir
         self.chunks = FreqTable(spark, f"{state_dir}/chunks")
         self.results = FreqTable(spark, f"{state_dir}/results")
+        # chunk geometry is frozen with the state: digests of differently
+        # sized chunks never match, so a changed PASSAGE_TOKENS in a newer
+        # build must refuse this state rather than silently stop dedup
+        pin_geometry(
+            state_dir,
+            {
+                "passage_tokens": PASSAGE_TOKENS,
+                "shared_min_docs": PASSAGE_SHARED_MIN_DOCS,
+                "max_shared_frac": PASSAGE_MAX_SHARED_FRAC,
+            },
+        )
 
     def _ensure_state(self) -> None:
         if not self.chunks.exists():
@@ -209,3 +223,4 @@ class IncrementalPassagesDedup:
     def drop(self) -> None:
         self.chunks.drop()
         self.results.drop()
+        unpin_geometry(self.state_dir)

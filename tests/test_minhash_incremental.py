@@ -88,3 +88,29 @@ def test_empty_history_then_empty_delta(spark, state_dir):
     # Re-ingesting nothing yields nothing (and state stays consistent).
     empty = docs.filter("doc_id < 0")
     assert inc.add_batch(empty).count() == 0
+
+
+def test_minhash_geometry_pinned_with_state(spark, tmp_path):
+    """Frozen-geometry pinning across all maintainers (round 9): the
+    minhash index records its signature/shingle geometry at creation;
+    tampered-geometry state refuses to reopen; drop() releases the pin."""
+    import json
+    import os
+
+    import pytest
+
+    inc = IncrementalMinHashDedup(spark, str(tmp_path / "mh_state"))
+    geo_path = os.path.join(str(tmp_path / "mh_state"), "_geometry.json")
+    assert os.path.exists(geo_path)
+    # same geometry reopens fine
+    IncrementalMinHashDedup(spark, str(tmp_path / "mh_state"))
+    # simulate a build with different constants: tamper the stored pin
+    with open(geo_path) as fh:
+        geo = json.load(fh)
+    geo["n_minhash"] = geo["n_minhash"] + 1
+    with open(geo_path, "w") as fh:
+        json.dump(geo, fh)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        IncrementalMinHashDedup(spark, str(tmp_path / "mh_state"))
+    inc.drop()
+    IncrementalMinHashDedup(spark, str(tmp_path / "mh_state"))

@@ -119,3 +119,26 @@ def test_three_batch_and_fresh_reader(spark, state_dir):
 
     fresh = IncrementalPassagesDedup(spark, state_dir)
     assert _rows(fresh.current()) == expected
+
+
+def test_passages_geometry_pinned_with_state(spark, tmp_path):
+    """Chunk geometry rides with the state: a different PASSAGE_TOKENS in
+    a newer build must refuse existing chunk digests, not silently stop
+    deduplicating against history."""
+    import json
+    import os
+
+    import pytest
+
+    inc = IncrementalPassagesDedup(spark, str(tmp_path / "pp_state"))
+    geo_path = os.path.join(str(tmp_path / "pp_state"), "_geometry.json")
+    assert os.path.exists(geo_path)
+    with open(geo_path) as fh:
+        geo = json.load(fh)
+    geo["passage_tokens"] = geo["passage_tokens"] * 2
+    with open(geo_path, "w") as fh:
+        json.dump(geo, fh)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        IncrementalPassagesDedup(spark, str(tmp_path / "pp_state"))
+    inc.drop()
+    IncrementalPassagesDedup(spark, str(tmp_path / "pp_state"))
