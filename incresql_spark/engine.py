@@ -157,6 +157,22 @@ class Engine:
         with open(self._mvs_path(db), "w") as fh:
             json.dump(mvs, fh)
 
+    def _register_and_refresh_mv(
+        self, db: str, name: str, mvs: dict[str, dict]
+    ) -> None:
+        """Save the MV catalog entry, then run the initial refresh; if the
+        refresh raises (bad select list, unresolvable condition, …) the
+        entry is rolled back so a failed CREATE never leaves a
+        registered-but-broken MV behind."""
+        self._save_mvs(db, mvs)
+        try:
+            self._mv(db, name).refresh()
+        except Exception:
+            self._mv(db, name).drop()
+            mvs.pop(name, None)
+            self._save_mvs(db, mvs)
+            raise
+
     def _mv(self, db: str, name: str) -> MaterializedView:
         meta = self._mvs(db)[name]
         state = os.path.join(self._db_path(db), f"{name}__mv")
@@ -543,7 +559,18 @@ class Engine:
                 )
             # LEFT [OUTER] JOIN steps maintain the reference's LeftOuter
             # (ast/src/rel/logical.rs:55-59) incrementally — pad-row flips
-            # handled by AggregateJoinMaterializedView's anti-join delta
+            # handled by AggregateJoinMaterializedView's anti-join delta.
+            # Any other qualifier would fall through the split below and
+            # glue itself onto the preceding table/cond — refuse it loudly.
+            bad = re.search(
+                r"\b(RIGHT|FULL|CROSS)(\s+OUTER)?\s+JOIN\b", body, re.IGNORECASE
+            )
+            if bad:
+                raise ValueError(
+                    f"unsupported join type {' '.join(bad.group(0).upper().split())} "
+                    "in materialized view — only [INNER] JOIN and "
+                    "LEFT [OUTER] JOIN are maintainable"
+                )
             parts = re.split(
                 r"\s+((?:LEFT(?:\s+OUTER)?\s+|INNER\s+)?JOIN)\s+",
                 body.strip(),
@@ -573,8 +600,7 @@ class Engine:
                 "where": where,
                 "group_by": group_by,
             }
-            self._save_mvs(db, mvs)
-            self._mv(db, name).refresh()
+            self._register_and_refresh_mv(db, name, mvs)
             return EngineResult()
 
         m = re.match(
@@ -596,8 +622,7 @@ class Engine:
                 "where": m.group(4),
                 "group_by": m.group(5),
             }
-            self._save_mvs(db, mvs)
-            self._mv(db, name).refresh()
+            self._register_and_refresh_mv(db, name, mvs)
             return EngineResult()
 
         m = re.match(rf"REFRESH MATERIALIZED VIEW ({_QNAME})\s*$", s, re.IGNORECASE)

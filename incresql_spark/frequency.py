@@ -104,7 +104,15 @@ class FreqTable:
             meta.setdefault("seq", idx)
             # pre-min_seq segments cover exactly their own seq
             meta.setdefault("min_seq", meta["seq"])
-            # pre-min_ts segments cover exactly their own write instant
+            # pre-min_ts segments cover exactly their own write instant —
+            # UNLESS min_seq says the segment is a compaction product
+            # (written by a pre-min_ts build): then its time span is
+            # unknown and defaulting to ts_ms would silently skip it,
+            # reintroducing the row loss this guard exists to prevent.
+            # Treat the unknown span as unbounded-below (refuse any older
+            # as_of_ms) instead.
+            if "min_ts" not in meta and meta["min_seq"] < meta["seq"]:
+                meta["min_ts"] = float("-inf")
             meta.setdefault("min_ts", meta["ts_ms"])
             if as_of_ms is not None and meta["ts_ms"] > as_of_ms:
                 # a compacted segment spans [min_ts, ts_ms]; an as_of_ms

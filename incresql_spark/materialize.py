@@ -586,11 +586,29 @@ class JoinMaterializedView:
             *self.columns, (F.col("__fa") * F.col("__fb")).alias(FREQ)
         )
 
-    def _pad(self, a: DataFrame, b_snapshot: DataFrame, sign: int) -> DataFrame:
+    def _pad(
+        self,
+        a: DataFrame,
+        b_snapshot: DataFrame,
+        sign: int,
+        probe_keys: DataFrame | None = None,
+    ) -> DataFrame:
         """Signed NULL-pad rows: left rows of ``a`` with no key match in
-        ``b_snapshot`` (reference NULL-pad, hash_join.rs:147-160)."""
+        ``b_snapshot`` (reference NULL-pad, hash_join.rs:147-160).
+
+        ``probe_keys`` (a delta's key projection) semi-restricts the
+        snapshot before the anti-join: every key ``a`` can carry appears
+        in ``probe_keys`` (``a`` is either the delta itself or a flip set
+        built by ⋉ that delta), so matchedness against the restricted
+        snapshot is identical — and the anti-join's build side becomes
+        delta-sized (broadcast) instead of O(|B| keys).  The join is USING
+        common key columns, i.e. pure equi, so the restriction is always
+        sound here."""
+        keys = b_snapshot.select(*self.on)
+        if probe_keys is not None:
+            keys = keys.join(probe_keys.select(*self.on), self.on, "left_semi")
         rschema = {f.name: f.dataType for f in self.right.schema().fields}
-        unmatched = a.join(b_snapshot.select(*self.on), self.on, "left_anti")
+        unmatched = a.join(keys, self.on, "left_anti")
         out = [
             F.lit(None).cast(rschema[c]).alias(c)
             if (c in rschema and c not in self.on)
@@ -611,24 +629,39 @@ class JoinMaterializedView:
         delta_view = self._join(da, b_old).unionByName(self._join(a_new, db))
         if self.how == "left_outer":
             b_new = self.right.scan(as_of_seq=r_new, expand=False)
-            # new left rows currently unmatched get pads …
-            delta_view = delta_view.unionByName(self._pad(da, b_new, 1))
-            # … and matchedness flips re-emit/retract pads of OLD left rows
+            # new left rows currently unmatched get pads (snapshot
+            # restricted to ΔA's own keys — delta-sized build side) …
+            delta_view = delta_view.unionByName(
+                self._pad(da, b_new, 1, probe_keys=da)
+            )
+            # … and matchedness flips re-emit/retract pads of OLD left rows;
+            # a_flip carries only ΔB keys by construction, so both snapshot
+            # probes restrict to ΔB's keys
             a_flip = self.left.scan(as_of_seq=l_old, expand=False).join(
                 db.select(*self.on), self.on, "left_semi"
             )
             delta_view = delta_view.unionByName(
-                self._pad(a_flip, b_new, 1)
-            ).unionByName(self._pad(a_flip, b_old, -1))
+                self._pad(a_flip, b_new, 1, probe_keys=db)
+            ).unionByName(self._pad(a_flip, b_old, -1, probe_keys=db))
         if not self.state.exists():
             self.state.create(delta_view.drop(FREQ).schema)
-        # merged within _write_segment; empty deltas produce no segment;
-        # the cursors ride IN the segment meta (atomic with the state)
-        if delta_view.limit(1).count() > 0:
-            self.state._write_segment(
-                delta_view,
-                extra_meta={"mv_cursor_left": l_new, "mv_cursor_right": r_new},
-            )
+        # Persisted across the emptiness probe, _write_segment's negative-
+        # freq probe, and the segment write — the join/anti-join terms are
+        # the expensive part of a refresh and must run exactly once.
+        delta_view = delta_view.persist()
+        try:
+            # merged within _write_segment; empty deltas produce no segment;
+            # the cursors ride IN the segment meta (atomic with the state)
+            if delta_view.limit(1).count() > 0:
+                self.state._write_segment(
+                    delta_view,
+                    extra_meta={
+                        "mv_cursor_left": l_new,
+                        "mv_cursor_right": r_new,
+                    },
+                )
+        finally:
+            delta_view.unpersist()
         self._save({"left_seq": l_new, "right_seq": r_new})
 
     def read(self) -> DataFrame:
@@ -751,6 +784,38 @@ class AggregateJoinMaterializedView(MaterializedView):
             f = F.col("__f") * F.col(f"__f{i}")
         return joined.withColumn("__f", f).drop(f"__f{i}")
 
+    def _equi_cond_keys(
+        self, i: int, chain_cols: list[str]
+    ) -> tuple[list[str], list[str]] | None:
+        """If join cond i is a pure column-equality conjunction, return
+        (chain-side key columns, table-i-side key columns); else None.
+
+        Used to semi-restrict pad anti-join snapshots to the delta's own
+        keys: sound only when matchedness is decided by key equality
+        (a non-equi cond can match snapshot rows outside any key set, so
+        those fall back to the full key-projection scan)."""
+        rnames = {f.name for f in self.tables[i].schema().fields}
+        chain_set = set(chain_cols)
+        lk: list[str] = []
+        rk: list[str] = []
+        for conj in re.split(r"(?i)\s+AND\s+", self.join_conds[i - 1].strip()):
+            m = re.fullmatch(
+                r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s*",
+                conj,
+            )
+            if not m:
+                return None
+            x, y = m.group(1), m.group(2)
+            if x in rnames and y not in rnames and y in chain_set:
+                lk.append(y)
+                rk.append(x)
+            elif y in rnames and x not in rnames and x in chain_set:
+                lk.append(x)
+                rk.append(y)
+            else:
+                return None
+        return lk, rk
+
     def _pad(self, chain: DataFrame, snapshot: DataFrame, i: int, sign: int) -> DataFrame:
         """Signed NULL-pad rows for left-outer step i: chain rows with no
         cond match in ``snapshot``, table i's columns as typed NULLs."""
@@ -775,20 +840,12 @@ class AggregateJoinMaterializedView(MaterializedView):
             )
         return self._delta_agg(chain.withColumnRenamed("__f", FREQ))
 
-    def refresh(self) -> int:
-        """One incremental refresh over ALL tables' outstanding deltas.
-        Returns the number of signed join-delta rows aggregated."""
-        meta = self._load_meta()
-        olds = meta.get("seqs", [-1] * len(self.tables))
-        # the manifest's atomically-committed cursor wins over a stale
-        # meta file (crash between state merge and meta save)
-        m = self.state._load_manifest()
-        state_seqs = (m or {}).get("cursor")
-        if state_seqs:
-            olds = [max(o, s) for o, s in zip(olds, state_seqs)]
-        news = [t.last_seq() for t in self.tables]
-        if all(n <= o for n, o in zip(news, olds)):
-            return 0
+    def _delta_plan(
+        self, olds: list[int], news: list[int]
+    ) -> tuple[DataFrame | None, list[DataFrame]]:
+        """Build the signed join-delta plan between the two cursor vectors.
+        Returns (delta frame with freq column ``__f``, persisted subplans
+        the caller must unpersist after evaluation)."""
 
         def snap(i: int, seq: int) -> DataFrame:
             return self._side(i, self.tables[i].scan(as_of_seq=seq, expand=False))
@@ -805,9 +862,18 @@ class AggregateJoinMaterializedView(MaterializedView):
         delta = d0.withColumnRenamed("__f0", "__f") if d0 is not None else None
         old = snap(0, olds[0]).withColumnRenamed("__f0", "__f")
         new = snap(0, news[0]).withColumnRenamed("__f0", "__f")
+        # subplans referenced from several union branches at left-outer
+        # steps (the prefix delta; the flip set) are persisted so the final
+        # single evaluation of the delta plan computes each once
+        pinned: list[DataFrame] = []
         for i in range(1, len(self.tables)):
             di = dlt(i)
             terms = []
+            if self.hows[i - 1] == "left_outer" and delta is not None:
+                # referenced by the inner step term, the pad term, AND the
+                # pad snapshot's key restriction below
+                delta = delta.persist()
+                pinned.append(delta)
             if delta is not None:
                 # inner part of the step delta: ΔC ⋈ Ti_old — always an
                 # inner probe (pads are differentiated separately below)
@@ -816,14 +882,37 @@ class AggregateJoinMaterializedView(MaterializedView):
                 terms.append(self._step(new, di, i, how="inner"))
             if self.hows[i - 1] == "left_outer":
                 key_new = snap(i, news[i])
+                # pure-equi conds: semi-restrict each pad snapshot to the
+                # keys its probe side can actually carry, making every
+                # anti-join build side delta-sized (broadcast) instead of
+                # the full O(|Ti| keys) projection.  Non-equi conds keep
+                # the full snapshot — a non-key match could come from
+                # anywhere.
+                eq = self._equi_cond_keys(i, old.columns)
                 if delta is not None:
-                    terms.append(self._pad(delta, key_new, i, 1))
+                    snap_d = key_new
+                    if eq is not None:
+                        snap_d = key_new.join(
+                            delta.select(*eq[0]),
+                            F.expr(self.join_conds[i - 1]),
+                            "left_semi",
+                        )
+                    terms.append(self._pad(delta, snap_d, i, 1))
                 if di is not None:
+                    # flip rows carry only ΔTi keys by construction
+                    # (they are old ⋉ ΔTi), so both snapshot probes
+                    # restrict to ΔTi's key projection
                     flip = old.join(
                         di, F.expr(self.join_conds[i - 1]), "left_semi"
-                    )
-                    terms.append(self._pad(flip, key_new, i, 1))
-                    terms.append(self._pad(flip, snap(i, olds[i]), i, -1))
+                    ).persist()  # referenced by both signed pad terms
+                    pinned.append(flip)
+                    snap_new_f, snap_old_f = key_new, snap(i, olds[i])
+                    if eq is not None:
+                        dkeys = di.select(*eq[1])
+                        snap_new_f = snap_new_f.join(dkeys, eq[1], "left_semi")
+                        snap_old_f = snap_old_f.join(dkeys, eq[1], "left_semi")
+                    terms.append(self._pad(flip, snap_new_f, i, 1))
+                    terms.append(self._pad(flip, snap_old_f, i, -1))
             if terms:
                 delta = terms[0]
                 for t in terms[1:]:
@@ -832,6 +921,23 @@ class AggregateJoinMaterializedView(MaterializedView):
                 delta = None
             old = self._step(old, snap(i, olds[i]), i)
             new = self._step(new, snap(i, news[i]), i)
+        return delta, pinned
+
+    def refresh(self) -> int:
+        """One incremental refresh over ALL tables' outstanding deltas.
+        Returns the number of signed join-delta rows aggregated."""
+        meta = self._load_meta()
+        olds = meta.get("seqs", [-1] * len(self.tables))
+        # the manifest's atomically-committed cursor wins over a stale
+        # meta file (crash between state merge and meta save)
+        m = self.state._load_manifest()
+        state_seqs = (m or {}).get("cursor")
+        if state_seqs:
+            olds = [max(o, s) for o, s in zip(olds, state_seqs)]
+        news = [t.last_seq() for t in self.tables]
+        if all(n <= o for n, o in zip(news, olds)):
+            return 0
+        delta, pinned = self._delta_plan(olds, news)
         if delta is None:
             self._save_meta({"seqs": news})
             return 0
@@ -847,5 +953,7 @@ class AggregateJoinMaterializedView(MaterializedView):
                 )
         finally:
             delta_join.unpersist()
+            for p in pinned:
+                p.unpersist()
         self._save_meta({"seqs": news})
         return n

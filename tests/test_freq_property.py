@@ -122,3 +122,42 @@ def test_scan_as_of_ms_raises_inside_compaction_span(spark, tmp_path):
     # cursors fully before / at-or-after the span still work
     assert t.scan(as_of_ms=999).collect() == []
     assert sorted(r.x for r in t.scan(as_of_ms=2000).collect()) == [1, 2]
+
+
+def test_legacy_compacted_segment_without_min_ts_is_conservative(spark, tmp_path):
+    """A segment compacted by a pre-min_ts build (min_seq < seq but no
+    min_ts in _segmeta.json) has an UNKNOWN time span; defaulting min_ts
+    to ts_ms would silently skip it for older as_of_ms cursors —
+    reintroducing the row loss the span guard prevents (ADVICE r9 low).
+    The span must be treated as unbounded-below: any as_of_ms older than
+    the segment's ts_ms is refused."""
+    import json
+    import os
+
+    import pytest
+
+    from incresql_spark.frequency import FreqTable
+
+    t = FreqTable(spark, str(tmp_path / "t_legacy"))
+    seed = spark.createDataFrame([(1,)], "x INT")
+    t.create(seed.schema)
+    t.insert(seed, ts_ms=1000)
+    t.insert(spark.createDataFrame([(2,)], "x INT"), ts_ms=2000)
+    t.compact()
+    # simulate the legacy on-disk state: strip min_ts from the compacted
+    # segment's metadata (segments are immutable; only the meta is edited)
+    [seg] = t._segments()
+    meta_path = os.path.join(seg["dir"], "_segmeta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    assert meta["min_seq"] < meta["seq"], "compaction should widen the span"
+    meta.pop("min_ts")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    # ANY cursor before the segment head is refused — even one that a
+    # known span would have allowed to skip cleanly
+    for cur in (999, 1500):
+        with pytest.raises(ValueError, match="compacted segment span"):
+            t.scan(as_of_ms=cur).collect()
+    # the head itself is still servable and complete
+    assert sorted(r.x for r in t.scan(as_of_ms=2000).collect()) == [1, 2]

@@ -1140,3 +1140,46 @@ def test_left_outer_mv_non_equi_condition(spark, tmp_path):
     mv.refresh()
     got = {r.grp: (r.nv, r.n, r.sv) for r in mv.read().collect()}
     assert got == recompute() == {"x": (0, 1, None), "y": (1, 1, 5), "z": (0, 1, None)}
+
+
+def test_mv_ddl_rejects_unsupported_join_types(engine):
+    """RIGHT/FULL/CROSS JOIN have no incremental maintainer; the DDL must
+    refuse them loudly instead of letting the qualifier glue itself onto
+    the preceding table name in the split (ADVICE r9 low) — and a refused
+    or failed CREATE must not leave a registered-but-broken MV behind."""
+    engine.execute_statement("CREATE TABLE jt_a (k INT, g TEXT)")
+    engine.execute_statement("CREATE TABLE jt_b (k2 INT, v INT)")
+    engine.execute_statement("INSERT INTO jt_a VALUES (1, 'x')")
+    engine.execute_statement("INSERT INTO jt_b VALUES (1, 10)")
+    for kw in ("RIGHT JOIN", "RIGHT OUTER JOIN", "FULL OUTER JOIN", "CROSS JOIN"):
+        with pytest.raises(ValueError, match="unsupported join type"):
+            engine.execute_statement(
+                "CREATE MATERIALIZED VIEW mv_bad AS "
+                f"SELECT g, count(*) AS n FROM jt_a {kw} jt_b ON k = k2 "
+                "GROUP BY g"
+            )
+    # nothing registered: the name is free and SHOW lists no MV table
+    engine.execute_statement(
+        "CREATE MATERIALIZED VIEW mv_bad AS "
+        "SELECT g, count(*) AS n FROM jt_a JOIN jt_b ON k = k2 GROUP BY g"
+    )
+    assert rows(engine, "SELECT * FROM mv_bad") == [("x", 1)]
+
+
+def test_mv_ddl_failed_initial_refresh_rolls_back(engine):
+    """A CREATE whose initial refresh raises (unresolvable select column)
+    must unregister the MV — previously the meta was saved first, leaving
+    a catalog entry every later statement would trip over."""
+    engine.execute_statement("CREATE TABLE rb_t (a INT)")
+    engine.execute_statement("INSERT INTO rb_t VALUES (1)")
+    with pytest.raises(Exception):
+        engine.execute_statement(
+            "CREATE MATERIALIZED VIEW mv_rb AS "
+            "SELECT no_such_col, count(*) AS n FROM rb_t GROUP BY no_such_col"
+        )
+    # the name is reusable — the broken entry was rolled back
+    engine.execute_statement(
+        "CREATE MATERIALIZED VIEW mv_rb AS "
+        "SELECT a, count(*) AS n FROM rb_t GROUP BY a"
+    )
+    assert rows(engine, "SELECT * FROM mv_rb") == [(1, 1)]

@@ -523,3 +523,67 @@ def test_left_outer_mv_refresh_delta_is_all_hash_joins(spark, tmp_path):
     # equality conds plan as hash joins: inner probe + semi flips + anti pads
     assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 5, plan[:2000]
     assert "LeftAnti" in plan and "LeftSemi" in plan, plan[:2000]
+
+
+def test_left_outer_mv_pad_probes_are_delta_key_restricted(spark, tmp_path):
+    """The r9 advisory scale fix: for pure-equi join conds every pad
+    anti-join's snapshot is first semi-restricted to the delta's own keys
+    (``b ⋉ Δkeys``), so the anti-join build side is delta-sized instead of
+    the full O(|B| keys) projection — the last O(|base|) shuffle term in
+    an otherwise O(delta) refresh.  Non-equi conds must keep the full
+    snapshot (a non-key match can come from anywhere)."""
+    from pyspark.sql import functions as F
+
+    from incresql_spark.frequency import FreqTable
+    from incresql_spark.materialize import AggregateJoinMaterializedView
+
+    root = str(tmp_path / "pr")
+    ta = FreqTable(spark, f"{root}/a")
+    ta.create(spark.createDataFrame([], "a_k int, grp string").schema)
+    tb = FreqTable(spark, f"{root}/b")
+    tb.create(spark.createDataFrame([], "b_k int, v int").schema)
+    ta.insert(spark.range(1000).selectExpr("CAST(id AS INT) a_k", "CAST(id % 7 AS STRING) grp"))
+    tb.insert(spark.range(500).selectExpr("CAST(id*2 AS INT) b_k", "CAST(id AS INT) v"))
+    mv = AggregateJoinMaterializedView(
+        spark, "pr_mv", [ta, tb], ["a_k = b_k"],
+        "grp, count(v) AS nv, count(*) AS n", None, "grp", f"{root}/mv",
+        hows=["left_outer"],
+    )
+    # equi-cond key classification
+    assert mv._equi_cond_keys(1, ["a_k", "grp", "__f"]) == (["a_k"], ["b_k"])
+    mv.refresh()
+    tb.insert(spark.range(100).selectExpr("CAST(id*2+1 AS INT) b_k", "CAST(id AS INT) v"))
+    meta = mv._load_meta()
+    olds, news = meta["seqs"], [t.last_seq() for t in mv.tables]
+    delta, pinned = mv._delta_plan(olds, news)
+    try:
+        plan = delta._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for p in pinned:
+            p.unpersist()
+    # the flip set (old ⋉ ΔB) appears under both signed pad terms (2
+    # LeftSemi), and each pad snapshot gains its own LeftSemi key
+    # restriction (2 more) — 4 total, vs 2 anti probes
+    assert plan.count("LeftSemi") == 4, plan[:3000]
+    assert plan.count("LeftAnti") == 2, plan[:3000]
+
+    # a NON-equi left-outer cond falls back to full snapshots: only the
+    # flip semi (referenced by both signed pad terms) remains
+    mv2 = AggregateJoinMaterializedView(
+        spark, "pr_mv2", [ta, tb], ["a_k = b_k AND v > 3"],
+        "grp, count(v) AS nv, count(*) AS n", None, "grp", f"{root}/mv2",
+        hows=["left_outer"],
+    )
+    assert mv2._equi_cond_keys(1, ["a_k", "grp", "__f"]) is None
+    mv2.refresh()
+    tb.insert(spark.range(50).selectExpr("CAST(id*3 AS INT) b_k", "CAST(id AS INT) v"))
+    meta2 = mv2._load_meta()
+    delta2, pinned2 = mv2._delta_plan(
+        meta2["seqs"], [t.last_seq() for t in mv2.tables]
+    )
+    try:
+        plan2 = delta2._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for p in pinned2:
+            p.unpersist()
+    assert plan2.count("LeftSemi") == 2, plan2[:3000]
