@@ -11,17 +11,19 @@ join, window functions), the dedup / similarity / multimodal suite,
 sessionization, the composed end-to-end curation dataflows
 (pipeline_curate / pipeline_pretrain), BOTH incremental join-MV gate
 queries (mv_q3_incremental inner, mv_q13_incremental left-outer — round
-9), and a rotating head of the text suite.  Round 9 rotated slots so
+9), and a rotating head of the text suite.  Slots ROTATE each round so
 long-unverified queries gain driver evidence (the round-6/7 DECIMAL
-lesson: a fetch-path mismatch can be invisible to every local check):
-text_lm_score, text_bpe_merges, text_dsir_select and dedup_url moved into
-the gate; dedup_simhash, mm_frame_sample, op_funnel, sim_kmeans and
-sim_topk_cosine — each driver-green for 3+ rounds with its mechanism
-covered by a richer gated sibling — moved to the tail.  Everything past
-the cap is equally oracle-checked locally via ``tools/check_oracle.py``
-and pytest (97 queries total, all locally value-hash-matched; oracle
-output types are additionally linted — HUGEINT and DECIMAL rejected —
-after driver-only hash mismatches in rounds 2-4 and 6-7).
+lesson: a fetch-path mismatch can be invisible to every local check).
+Round 10 rotated six: dedup_minhash_incremental (first driver evidence
+for a streaming maintainer), op_percentiles / op_time_window /
+op_rolling_window, and text_repetition / text_oov moved into the gate;
+sim_ann_lsh and tpch_q2/q9/q11/q16/q22 — each driver-green for 9 rounds
+with its plan class covered by a gated sibling — moved to the tail.
+Everything past the cap is equally oracle-checked locally via
+``tools/check_oracle.py`` and pytest (98 queries total, all locally
+value-hash-matched; oracle output types are additionally linted —
+HUGEINT and DECIMAL rejected — after driver-only hash mismatches in
+rounds 2-4 and 6-7).
 """
 
 from __future__ import annotations
@@ -46,11 +48,16 @@ SF0001 = "/root/testdata/sf0.001"
 # Substantive relational operators that must sit inside the driver gate;
 # everything else in relational.QUERIES is a demo of a built-in Spark op.
 # (op_funnel rotated to the tail in round 9 — window-shape mechanism is
-# gate-covered by op_window_functions + events_sessionize.)
+# gate-covered by op_window_functions + events_sessionize.  Round 10
+# promotes op_percentiles / op_time_window / op_rolling_window — each a
+# distinct single-shuffle shape with zero driver evidence until now.)
 _RELATIONAL_CORE = (
     "op_asof_join",
     "op_range_join",
     "op_window_functions",
+    "op_percentiles",
+    "op_time_window",
+    "op_rolling_window",
 )
 
 
@@ -72,12 +79,26 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_DEMOTED = (
     "sim_label_centroids", "mm_resize",
     "dedup_simhash", "mm_frame_sample", "sim_kmeans", "sim_topk_cosine",
+    # Round-10 rotation (VERDICT r9 tasks 1-2): six slots free up for
+    # dedup_minhash_incremental (the streaming maintainer's first driver
+    # evidence), the three promoted relational shapes, and two text ops.
+    # Demoted — each driver-green for 9 straight rounds with its mechanism
+    # still gated by a sibling: sim_ann_lsh (sim_ann_ivf / sim_knn_graph /
+    # sim_dedup_semantic share the LSH-bucket + exact-verify path), and
+    # five TPC-H whose plan class stays gated — q2 (correlated min
+    # subquery; q17/q20 gate scalar subqueries), q9 (multi-way join agg;
+    # q5/q7/q8), q11 (group agg vs global-threshold subquery; q15), q16
+    # (anti-join distinct agg; q4/q21), q22 (avg scalar subquery + anti
+    # join; q17).
+    "sim_ann_lsh", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q22",
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated
-# since round 1) plus the three whose only evidence was local.
+# since round 1) plus the three whose only evidence was local.  Round 10
+# adds text_repetition and text_oov (never driver-verified).
 _GATE_TEXT = (
     "text_stats", "text_lm_score", "text_bpe_merges", "text_dsir_select",
+    "text_repetition", "text_oov",
 )
 
 
@@ -88,7 +109,7 @@ def _ordered(registries: list[dict]) -> dict:
     # composed pipelines + incremental MVs, promoted text entries).
     (tpch_reg, rel_reg, text_reg, dedup_reg, sim_reg, mm_reg, sess_reg,
      pipe_reg) = registries
-    out.update(tpch_reg)
+    out.update({k: v for k, v in tpch_reg.items() if k not in _GATE_DEMOTED})
     for k in _RELATIONAL_CORE:
         if k in rel_reg:
             out[k] = rel_reg[k]
@@ -100,7 +121,7 @@ def _ordered(registries: list[dict]) -> dict:
     # Tail block: rest of the text suite, built-in-operator demos and
     # demoted entries (driver-gate overflow is OK here; everything is
     # still locally oracle-checked).
-    for reg in (text_reg, dedup_reg, sim_reg, mm_reg, rel_reg):
+    for reg in (text_reg, dedup_reg, sim_reg, mm_reg, rel_reg, tpch_reg):
         for k, v in reg.items():
             if k not in out:
                 out[k] = v

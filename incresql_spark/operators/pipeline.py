@@ -520,15 +520,69 @@ GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
 
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming near-dup maintainer driven end-to-end as a gate query
+    — the reference's changelog-consuming operator goal
+    (storage/src/storage.rs:26-65) applied to the flagship dedup pipeline:
+    the corpus arrives in THREE waves through ``IncrementalMinHashDedup``
+    (streaming/minhash_incremental.py), whose materialized band + shingle
+    state makes each wave O(|delta|) signature work plus key-equi probes
+    of the band history; the union of the per-wave outputs must equal the
+    batch ``dedup_minhash_lsh`` over the full corpus (every near-dup pair
+    is emitted exactly once, by the wave its LATER document arrives in).
+    The oracle recomputes the batch answer from scratch in DuckDB, so a
+    hash match proves three delta ingests compose to the batch result —
+    the same independent evidence class mv_q13_incremental gives the MV
+    family.
+
+    Scale: history is never rewritten (append-only segments); the
+    delta-vs-history candidate join shuffles only 16-byte band keys; the
+    exact-Jaccard verify fetches only candidate docs' shingle arrays."""
+    import shutil
+    import tempfile
+
+    from ..plans import layout
+    from ..streaming.minhash_incremental import IncrementalMinHashDedup
+
+    root = tempfile.mkdtemp(prefix="incr_minhash_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        dd = IncrementalMinHashDedup(spark, f"{root}/state")
+        waves = [
+            dd.add_batch(docs.filter(f"doc_id % 3 = {w}")) for w in range(3)
+        ]
+        out = waves[0]
+        for w in waves[1:]:
+            out = out.unionByName(w)
+        out = out.orderBy("doc_a", "doc_b").localCheckpoint()
+        # the per-wave pins are folded into the final pin — reclaim them
+        # (the driver runs 50 gate queries in one session)
+        for w in waves:
+            layout.release(w)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _minhash_incremental_oracle() -> str:
+    # the batch operator's oracle IS the incremental one: the union of the
+    # per-wave outputs must equal the full-corpus batch answer
+    from .dedup import DEDUP_MINHASH_LSH_SQL
+
+    return DEDUP_MINHASH_LSH_SQL
+
+
 QUERIES = {
     "pipeline_curate": pipeline_curate,
     "pipeline_pretrain": pipeline_pretrain,
     "mv_q3_incremental": mv_q3_incremental,
     "mv_q13_incremental": mv_q13_incremental,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
 }
 ORACLE = {
     "pipeline_curate": PIPELINE_CURATE_SQL,
     "pipeline_pretrain": PIPELINE_PRETRAIN_SQL,
     "mv_q3_incremental": MV_Q3_INCREMENTAL_SQL,
     "mv_q13_incremental": MV_Q13_INCREMENTAL_SQL,
+    "dedup_minhash_incremental": _minhash_incremental_oracle(),
 }
