@@ -52,6 +52,112 @@ DELTA_SHAPE = os.environ.get("SPARK_GRAFT_MV_DELTA", "uniform")
 #: (incresql.mv.state.range_width): key-local deltas then touch only the
 #: buckets their key span maps into
 MV_RANGE_WIDTH = int(os.environ.get("SPARK_GRAFT_MV_RANGE_WIDTH", "0"))
+#: SPARK_GRAFT_MV_SHAPE=q13 switches to the LEFT OUTER shape (customer ⟕
+#: orders per-customer counts, the mv_q13_incremental gate shape) and
+#: measures BOTH an insert wave and a pad-flipping delete wave — the pad
+#: anti-join terms are the left-outer-specific cost the inner-join rows
+#: above never exercise
+MV_SHAPE = os.environ.get("SPARK_GRAFT_MV_SHAPE", "q3")
+
+
+def main_q13() -> None:
+    """Left-outer MV economics: insert wave + pad-flipping delete wave vs
+    full recompute, at real state size (one group per customer)."""
+    from pyspark.sql import functions as F
+
+    from incresql_spark.catalog import load_table
+    from incresql_spark.frequency import FreqTable
+    from incresql_spark.materialize import AggregateJoinMaterializedView
+    from incresql_spark.session import get_spark
+
+    spark = get_spark(
+        "bench_mv_q13", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    if MV_BUCKETS:
+        spark.conf.set("incresql.mv.state.buckets", MV_BUCKETS)
+    root = tempfile.mkdtemp(prefix="bench_mv_q13_")
+    try:
+        cust_src = load_table(spark, SF_DIR, "customer").select("c_custkey")
+        ord_src = load_table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority"
+        )
+        cust = FreqTable(spark, f"{root}/customer")
+        cust.create(cust_src.schema)
+        ords = FreqTable(spark, f"{root}/orders")
+        ords.create(ord_src.schema)
+        mv = AggregateJoinMaterializedView(
+            spark,
+            "bench_mv_q13",
+            [cust, ords],
+            ["c_custkey = o_custkey"],
+            "c_custkey, count(o_orderkey) AS c_count",
+            None,
+            "c_custkey",
+            f"{root}/mv_state",
+            table_filters=[None, "o_orderpriority <> '1-URGENT'"],
+            hows=["left_outer"],
+        )
+        mod = int(round(100 / DELTA_PCT))
+        cust.insert(cust_src)
+        ords.insert(ord_src.filter(f"o_orderkey % {mod} <> 0"))
+        t0 = time.time()
+        mv.refresh()
+        build_sec = time.time() - t0
+        state_groups = mv.read().count()
+
+        # insert wave: ~delta_pct% new orders (some retract pads)
+        delta_ins = ord_src.filter(f"o_orderkey % {mod} = 0")
+        delta_rows = delta_ins.count()
+        ords.insert(delta_ins)
+        t0 = time.time()
+        mv.refresh()
+        refresh_insert_sec = time.time() - t0
+
+        # delete wave: one customer class loses ALL its orders — their
+        # groups flip back to pads (c_count 0); sized to ~delta_pct% of
+        # customers so the wave is delta-scale, not a tenth of the corpus
+        del_mod = int(round(100 / DELTA_PCT))
+        deleted = ords.delete_where(f"o_custkey % {del_mod} = 3")
+        t0 = time.time()
+        mv.refresh()
+        refresh_delete_sec = time.time() - t0
+        final_groups = mv.read().count()
+
+        # comparator: the same left-outer aggregate recomputed from the
+        # post-delete live rows in the same warm session
+        cs = cust.scan(expand=False).drop("__freq")
+        od = ords.scan(expand=False).drop("__freq").filter(
+            "o_orderpriority <> '1-URGENT'"
+        )
+        t0 = time.time()
+        n = (
+            cs.join(od, F.expr("c_custkey = o_custkey"), "left_outer")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .count()
+        )
+        recompute_sec = time.time() - t0
+        assert n == final_groups, (n, final_groups)
+
+        print(
+            json.dumps(
+                {
+                    "shape": "q13_left_outer",
+                    "sf_dir": SF_DIR,
+                    "delta_pct": DELTA_PCT,
+                    "delta_rows": delta_rows,
+                    "deleted_rows": deleted,
+                    "build_sec": round(build_sec, 2),
+                    "refresh_insert_sec": round(refresh_insert_sec, 2),
+                    "refresh_delete_sec": round(refresh_delete_sec, 2),
+                    "recompute_sec": round(recompute_sec, 2),
+                    "state_groups": final_groups,
+                    "seed_groups": state_groups,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
@@ -194,4 +300,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main_q13() if MV_SHAPE == "q13" else main()
