@@ -662,6 +662,17 @@ class JoinMaterializedView:
                 )
         finally:
             delta_view.unpersist()
+        # Bound state growth: every non-empty refresh appends one segment
+        # and read() merges across all of them, so an unbounded refresh
+        # history would make reads pay an ever-growing merge.  Compact once
+        # the live count exceeds the threshold — the refresh cursors ride
+        # through (compact preserves the max of each mv_cursor* key), so
+        # the next refresh resumes from the same position.
+        max_segs = int(
+            self.spark.conf.get("incresql.mv.join_state.max_segments", "8")
+        )
+        if len(self.state._segments()) > max_segs:
+            self.state.compact()
         self._save({"left_seq": l_new, "right_seq": r_new})
 
     def read(self) -> DataFrame:

@@ -1115,14 +1115,17 @@ def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins; one fact shuffle on (doc_id, bucket).  The final per-doc score
     frame (one row per corpus doc) is pinned so the LARGE per_doc blocks
     (≤ {B} rows per doc) are released before returning — only the small
-    returned score frame stays pinned, and the CALLER owns releasing it
-    (``plans.layout.release(result)``) once consumed; a long-lived session
-    that never releases accumulates one doc-count-sized block set per call.  Byte-sliced grams (O(1) offsets) with hex-encoded
+    returned score frame stays pinned, through the BOUNDED auto-pin
+    registry (``plans.layout.materialize_bounded``): a long-lived session
+    calling this repeatedly keeps at most ``incresql.materialize.
+    auto_pins`` score frames alive (oldest released first); a caller may
+    still ``plans.layout.release(result)`` early once consumed.
+    Byte-sliced grams (O(1) offsets) with hex-encoded
     hashing so the DuckDB oracle is byte-faithful on any text (the
     winnow/lm_score pattern).
     """
     per_doc = layout.materialize(_dsir_per_doc(spark, sf_dir))
-    out = layout.materialize(_dsir_score(per_doc))
+    out = layout.materialize_bounded(_dsir_score(per_doc))
     layout.release(per_doc)
     return out
 

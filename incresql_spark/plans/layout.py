@@ -72,6 +72,36 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+#: capacity of the bounded auto-pin registry (see materialize_bounded)
+AUTO_PIN_CAPACITY_CONF = "incresql.materialize.auto_pins"
+_auto_pins: "deque[DataFrame]" = None  # type: ignore[assignment]
+
+
+def materialize_bounded(df: DataFrame) -> DataFrame:
+    """``materialize()`` whose pin is tracked in a bounded FIFO registry:
+    once more than ``incresql.materialize.auto_pins`` (default 8) frames
+    are outstanding, the OLDEST is released automatically.
+
+    This is the long-lived-session guard for operators that return a
+    pinned result the caller may never release (text_dsir_select's score
+    frame was the documented footgun: one doc-count-sized block set leaked
+    per call).  Use it for returned results with consume-soon semantics;
+    frames a caller must hold indefinitely should use ``materialize()``
+    directly and own the release.  Releasing twice is harmless, so callers
+    may still ``release()`` early."""
+    global _auto_pins
+    if _auto_pins is None:
+        from collections import deque
+
+        _auto_pins = deque()
+    out = materialize(df)
+    cap = int(df.sparkSession.conf.get(AUTO_PIN_CAPACITY_CONF, "8"))
+    _auto_pins.append(out)
+    while len(_auto_pins) > cap:
+        release(_auto_pins.popleft())
+    return out
+
+
 def release(df: DataFrame) -> None:
     """Free the storage blocks of a ``materialize()``d DataFrame once every
     consumer has read it.

@@ -1183,3 +1183,44 @@ def test_mv_ddl_failed_initial_refresh_rolls_back(engine):
         "SELECT a, count(*) AS n FROM rb_t GROUP BY a"
     )
     assert rows(engine, "SELECT * FROM mv_rb") == [(1, 1)]
+
+
+def test_join_mv_segment_growth_is_bounded(spark, tmp_path):
+    """Every non-empty refresh appends one row-state segment; without a
+    bound, 1000 refreshes would make each read() merge 1000 segments.  The
+    auto-compact threshold (incresql.mv.join_state.max_segments) must keep
+    the live count bounded across many refreshes while preserving read
+    equivalence AND the refresh cursors (a lost cursor would re-apply old
+    deltas and double-count)."""
+    from pyspark.sql import types as T
+
+    from incresql_spark.materialize import JoinMaterializedView
+
+    a = FreqTable(spark, str(tmp_path / "ga"))
+    b = FreqTable(spark, str(tmp_path / "gb"))
+    a.create(T.StructType([T.StructField("k", T.IntegerType()),
+                           T.StructField("av", T.StringType())]))
+    b.create(T.StructType([T.StructField("k", T.IntegerType()),
+                           T.StructField("bv", T.StringType())]))
+    mv = JoinMaterializedView(
+        spark, "mv_g", a, b, ["k"], ["k", "av", "bv"],
+        str(tmp_path / "mvg"), how="left_outer",
+    )
+    live: dict[int, tuple] = {}
+    for i in range(20):
+        a.insert(spark.createDataFrame([(i, f"a{i}")], "k int, av string"))
+        if i % 2 == 0:
+            b.insert(spark.createDataFrame([(i, f"b{i}")], "k int, bv string"))
+        if i == 15:  # a retraction wave flips row 14 back to a pad
+            b.delete_where("k = 14")
+        mv.refresh()
+        n_segs = len(mv.state._segments())
+        assert n_segs <= 9, f"refresh {i}: {n_segs} live segments"
+    expect = sorted(
+        (i, f"a{i}", f"b{i}" if (i % 2 == 0 and i != 14) else None)
+        for i in range(20)
+    )
+    assert sorted(tuple(r) for r in mv.read().collect()) == expect
+    # cursors survived compaction: an idle refresh applies nothing
+    mv.refresh()
+    assert sorted(tuple(r) for r in mv.read().collect()) == expect

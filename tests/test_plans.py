@@ -587,3 +587,34 @@ def test_left_outer_mv_pad_probes_are_delta_key_restricted(spark, tmp_path):
         for p in pinned2:
             p.unpersist()
     assert plan2.count("LeftSemi") == 2, plan2[:3000]
+
+
+def test_materialize_bounded_caps_outstanding_pins(spark):
+    """The bounded auto-pin registry (r9 advisory: text_dsir_select's
+    returned pin was caller-released only — a long-lived session leaked
+    one doc-count-sized block set per call).  N calls with capacity C must
+    leave at most C frames' blocks pinned: the evicted frames' RDDs report
+    no storage level, the survivors still read."""
+    from pyspark.storagelevel import StorageLevel
+
+    prev = spark.conf.get(layout.AUTO_PIN_CAPACITY_CONF, None)
+    spark.conf.set(layout.AUTO_PIN_CAPACITY_CONF, "3")
+    try:
+        frames = [
+            layout.materialize_bounded(
+                spark.range(100).selectExpr("id", f"id * {i} AS v")
+            )
+            for i in range(10)
+        ]
+        pinned = [
+            f for f in frames
+            if f.rdd.getStorageLevel() != StorageLevel(False, False, False, False, 1)
+        ]
+        assert len(pinned) <= 3, f"{len(pinned)} frames still pinned"
+        # the survivors are intact
+        assert frames[-1].count() == 100
+    finally:
+        if prev is None:
+            spark.conf.unset(layout.AUTO_PIN_CAPACITY_CONF)
+        else:
+            spark.conf.set(layout.AUTO_PIN_CAPACITY_CONF, prev)
