@@ -74,10 +74,14 @@ _DEFAULT_STATE_BUCKETS = 64
 #: instead of a hash — key-LOCAL deltas (the recency-shaped ingest of
 #: append-mostly fact tables) then touch O(delta span / W) buckets instead
 #: of all of them (hash deliberately destroys locality for skew-immunity;
-#: see SCALING.md round-9 bucketed-merge economics).  Requires a numeric
-#: leading group key; 0 (default) = hash layout.  Pinned in the manifest
-#: like the bucket count.
+#: see SCALING.md round-9 bucketed-merge economics).  The range key is the
+#: LEADING group key unless ``incresql.mv.state.range_key`` names another
+#: group key; it must be numeric (a non-numeric key raises — folding every
+#: group to one bucket would silently serialize the merge).  0 (default) =
+#: hash layout.  Both knobs are pinned in the manifest like the bucket
+#: count.
 STATE_RANGE_WIDTH_CONF = "incresql.mv.state.range_width"
+STATE_RANGE_KEY_CONF = "incresql.mv.state.range_key"
 
 
 class AggState:
@@ -112,6 +116,7 @@ class AggState:
         path: str,
         num_buckets: int | None = None,
         range_width: int | None = None,
+        range_key: str | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -120,14 +125,18 @@ class AggState:
         # defaults defer to the manifest (the layout owns itself)
         self._explicit = num_buckets is not None
         self._explicit_width = range_width is not None
+        self._explicit_range_key = range_key is not None
         if num_buckets is None:
             num_buckets = int(
                 spark.conf.get(STATE_BUCKETS_CONF, str(_DEFAULT_STATE_BUCKETS))
             )
         if range_width is None:
             range_width = int(spark.conf.get(STATE_RANGE_WIDTH_CONF, "0"))
+        if range_key is None:
+            range_key = spark.conf.get(STATE_RANGE_KEY_CONF, "")
         self.num_buckets = num_buckets
         self.range_width = range_width
+        self.range_key = range_key
 
     # -- manifest -------------------------------------------------------------
     def _manifest_versions(self) -> list[int]:
@@ -162,24 +171,53 @@ class AggState:
                 f"{stored_width}, caller requested "
                 f"{self.range_width} ({self.path})"
             )
+        stored_key = m.get("range_key", "")
+        if self._explicit_range_key and stored_key != self.range_key:
+            raise ValueError(
+                f"range key mismatch: state manifest pins "
+                f"{stored_key!r}, caller requested "
+                f"{self.range_key!r} ({self.path})"
+            )
         self.num_buckets = m["num_buckets"]
         self.range_width = stored_width
+        self.range_key = stored_key
         return m
 
-    def bucket_expr(self, keys: list[str]):
+    def bucket_expr(self, keys: list[str], df: DataFrame | None = None):
         """The deterministic group-key → bucket mapping.  Global aggregates
         (no keys) live in bucket 0.  Default is a hash of ALL keys
         (skew-immune, locality-free); with a pinned ``range_width`` W the
-        LEADING key maps by ``(key DIV W) mod num_buckets`` so key-local
-        deltas touch contiguous, few buckets (NULL/non-numeric leading
-        keys fold to bucket 0 — deterministic, merely unbalanced if the
-        caller picked range layout for a non-numeric key)."""
+        range key — ``incresql.mv.state.range_key`` if declared, else the
+        LEADING group key — maps by ``(key DIV W) mod num_buckets`` so
+        key-local deltas touch contiguous, few buckets.  NULL key values
+        fold to bucket 0 (deterministic).  A declared range key must be
+        one of the group keys, and (when ``df`` provides the schema) of a
+        numeric type — a non-numeric key would silently fold EVERY group
+        to bucket 0, turning the layout into a single hot bucket, so it
+        raises instead."""
         if not keys:
             return F.lit(0)
         if self.range_width:
+            rk = self.range_key or keys[0]
+            if rk not in keys:
+                raise ValueError(
+                    f"range key {rk!r} is not a group key {keys} "
+                    f"({self.path})"
+                )
+            if df is not None:
+                from pyspark.sql import types as T
+
+                dtype = df.schema[rk].dataType
+                if not isinstance(dtype, T.NumericType):
+                    raise ValueError(
+                        f"range layout needs a numeric range key; "
+                        f"{rk!r} is {dtype.simpleString()} — use the hash "
+                        f"layout (range_width=0) or declare a numeric key "
+                        f"via {STATE_RANGE_KEY_CONF} ({self.path})"
+                    )
             return F.pmod(
                 F.expr(
-                    f"CAST(coalesce(CAST(`{keys[0]}` AS BIGINT), 0) "
+                    f"CAST(coalesce(CAST(`{rk}` AS BIGINT), 0) "
                     f"DIV {self.range_width} AS BIGINT)"
                 ),
                 F.lit(self.num_buckets),
@@ -250,7 +288,7 @@ class AggState:
                         shutil.rmtree(os.path.join(p, d), ignore_errors=True)
         stage = os.path.join(self.path, f"stage-{nxt}")
         (
-            merged.withColumn("__bkt", self.bucket_expr(keys))
+            merged.withColumn("__bkt", self.bucket_expr(keys, merged))
             # one shuffle over O(touched-bucket) rows → one file per bucket
             .repartition(max(len(touched), 1), F.col("__bkt"))
             .write.partitionBy("__bkt")
@@ -281,6 +319,7 @@ class AggState:
             "version": nxt,
             "num_buckets": self.num_buckets,
             "range_width": self.range_width,
+            "range_key": self.range_key,
             "buckets": buckets,
         }
         if m:  # carry forward prior extras (e.g. the cursor) …
@@ -447,7 +486,7 @@ class MaterializedView:
         # hash the delta with the layout's count, not its own
         st._load_manifest()
         delta_state = delta_state.withColumn(
-            "__bkt", st.bucket_expr(keys)
+            "__bkt", st.bucket_expr(keys, delta_state)
         ).persist()
         try:
             touched = sorted(

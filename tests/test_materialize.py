@@ -1224,3 +1224,63 @@ def test_join_mv_segment_growth_is_bounded(spark, tmp_path):
     # cursors survived compaction: an idle refresh applies nothing
     mv.refresh()
     assert sorted(tuple(r) for r in mv.read().collect()) == expect
+
+
+def test_agg_state_range_key_declared_and_non_numeric_raises(spark, tmp_path):
+    """Round-10 range-layout generalization: (a) the range key may be any
+    DECLARED group key (incresql.mv.state.range_key), not just the leading
+    one; (b) a non-numeric range key raises at bucketing time instead of
+    silently folding every group into bucket 0 (one hot bucket = a
+    serialized merge); (c) the declared key is manifest-pinned."""
+    import json
+    import os
+
+    from incresql_spark.materialize import MaterializedView
+
+    spark.conf.set("incresql.mv.state.range_width", "100")
+    spark.conf.set("incresql.mv.state.range_key", "k2")
+    try:
+        base = FreqTable(spark, str(tmp_path / "base_rk"))
+        seed = spark.range(1000).selectExpr(
+            "CAST(id % 7 AS STRING) AS tag", "CAST(id AS INT) AS k2",
+            "CAST(id AS INT) AS v",
+        )
+        base.create(seed.schema)
+        base.insert(seed)
+        # leading group key is the STRING tag; range bucketing must use k2
+        mv = MaterializedView(
+            spark, "mv_rk", base, "tag, k2, count(*) AS cnt",
+            None, "tag, k2", str(tmp_path / "state_rk"),
+        )
+        mv.refresh()
+        agg_path = os.path.join(str(tmp_path / "state_rk"), "agg")
+        vs = sorted(
+            int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(agg_path)
+            if f.startswith("manifest-") and f.endswith(".json")
+        )
+        with open(os.path.join(agg_path, f"manifest-{vs[-1]}.json")) as fh:
+            m = json.load(fh)
+        assert m["range_key"] == "k2"
+        assert len(m["buckets"]) == 10  # k2 spans 0..999, width 100
+        assert mv.read().count() == 1000
+
+        # non-numeric declared range key → loud error, not a hot bucket
+        spark.conf.set("incresql.mv.state.range_key", "tag")
+        mv_bad = MaterializedView(
+            spark, "mv_rk_bad", base, "tag, k2, count(*) AS cnt",
+            None, "tag, k2", str(tmp_path / "state_rk_bad"),
+        )
+        with pytest.raises(ValueError, match="numeric range key"):
+            mv_bad.refresh()
+        # a key that is not a group key at all is refused too
+        spark.conf.set("incresql.mv.state.range_key", "nope")
+        mv_bad2 = MaterializedView(
+            spark, "mv_rk_bad2", base, "tag, k2, count(*) AS cnt",
+            None, "tag, k2", str(tmp_path / "state_rk_bad2"),
+        )
+        with pytest.raises(ValueError, match="not a group key"):
+            mv_bad2.refresh()
+    finally:
+        spark.conf.unset("incresql.mv.state.range_width")
+        spark.conf.unset("incresql.mv.state.range_key")
