@@ -91,6 +91,10 @@ _GATE_DEMOTED = (
     # (anti-join distinct agg; q4/q21), q22 (avg scalar subquery + anti
     # join; q17).
     "sim_ann_lsh", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q22",
+    # New in round 10 but TAIL-FIRST (the gate is full): the passages and
+    # embedding maintainers' end-to-end queries — locally oracle-green,
+    # first-priority rotation candidates for round 11.
+    "dedup_passages_incremental", "dedup_embedding_incremental",
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated
@@ -121,7 +125,8 @@ def _ordered(registries: list[dict]) -> dict:
     # Tail block: rest of the text suite, built-in-operator demos and
     # demoted entries (driver-gate overflow is OK here; everything is
     # still locally oracle-checked).
-    for reg in (text_reg, dedup_reg, sim_reg, mm_reg, rel_reg, tpch_reg):
+    for reg in (text_reg, dedup_reg, sim_reg, mm_reg, rel_reg, tpch_reg,
+                sess_reg, pipe_reg):
         for k, v in reg.items():
             if k not in out:
                 out[k] = v

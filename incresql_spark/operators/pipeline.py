@@ -564,6 +564,65 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def dedup_passages_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The passage-dedup maintainer driven end-to-end: documents ingest in
+    three waves through ``IncrementalPassagesDedup`` (materialized chunk +
+    result state; unlike minhash its output is NOT append-only — a later
+    wave can push a chunk over the shared threshold and retroactively flip
+    an OLD doc's keep flag, which the maintainer emits as −1/+1 freq
+    retractions).  ``current()`` over the maintained state must equal the
+    batch ``dedup_passages`` over the full corpus, which is exactly what
+    the oracle recomputes."""
+    import shutil
+    import tempfile
+
+    from ..streaming.passages_incremental import IncrementalPassagesDedup
+
+    root = tempfile.mkdtemp(prefix="incr_passages_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        dd = IncrementalPassagesDedup(spark, f"{root}/state")
+        for w in range(3):
+            dd.add_batch(docs.filter(f"doc_id % 3 = {w}"))
+        return dd.current().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hyperplane-LSH embedding maintainer driven end-to-end: vectors
+    ingest in three waves through ``IncrementalEmbeddingDedup`` at the
+    band width the batch operator derives for the FULL corpus (width is
+    frozen state geometry — streaming/_geometry.py), and the union of the
+    per-wave near-dup pairs must equal batch ``dedup_embedding``, whose
+    width-dynamic SQL the oracle reuses."""
+    import shutil
+    import tempfile
+
+    from ..plans import layout
+    from ..streaming.embedding_incremental import IncrementalEmbeddingDedup
+    from .dedup import _embed_band_bits
+
+    root = tempfile.mkdtemp(prefix="incr_embed_")
+    try:
+        vecs = load_table(spark, sf_dir, "embeddings")
+        dd = IncrementalEmbeddingDedup(
+            spark, f"{root}/state", _embed_band_bits(vecs.count())
+        )
+        waves = [
+            dd.add_batch(vecs.filter(f"vec_id % 3 = {w}")) for w in range(3)
+        ]
+        out = waves[0]
+        for w in waves[1:]:
+            out = out.unionByName(w)
+        out = out.orderBy("vec_a", "vec_b").localCheckpoint()
+        for w in waves:
+            layout.release(w)
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _minhash_incremental_oracle() -> str:
     # the batch operator's oracle IS the incremental one: the union of the
     # per-wave outputs must equal the full-corpus batch answer
@@ -578,6 +637,8 @@ QUERIES = {
     "mv_q3_incremental": mv_q3_incremental,
     "mv_q13_incremental": mv_q13_incremental,
     "dedup_minhash_incremental": dedup_minhash_incremental,
+    "dedup_passages_incremental": dedup_passages_incremental,
+    "dedup_embedding_incremental": dedup_embedding_incremental,
 }
 ORACLE = {
     "pipeline_curate": PIPELINE_CURATE_SQL,
@@ -585,4 +646,18 @@ ORACLE = {
     "mv_q3_incremental": MV_Q3_INCREMENTAL_SQL,
     "mv_q13_incremental": MV_Q13_INCREMENTAL_SQL,
     "dedup_minhash_incremental": _minhash_incremental_oracle(),
+    # the maintained state must equal the batch operator over the full
+    # corpus, so the batch oracles ARE the incremental oracles
+    "dedup_passages_incremental": None,  # filled below (import-order)
+    "dedup_embedding_incremental": None,
 }
+
+
+def _fill_incremental_oracles() -> None:
+    from .dedup import DEDUP_EMBEDDING_SQL, DEDUP_PASSAGES_SQL
+
+    ORACLE["dedup_passages_incremental"] = DEDUP_PASSAGES_SQL
+    ORACLE["dedup_embedding_incremental"] = DEDUP_EMBEDDING_SQL
+
+
+_fill_incremental_oracles()
