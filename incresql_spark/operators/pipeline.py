@@ -28,7 +28,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .dedup import _DOC_SHINGLES_DUCK, _doc_shingles, EVAL_SET_MAX_DOC
+from .dedup import (
+    _DOC_SHINGLES_DUCK,
+    _doc_shingles,
+    DEDUP_EMBEDDING_SQL,
+    DEDUP_MINHASH_LSH_SQL,
+    DEDUP_PASSAGES_SQL,
+    EVAL_SET_MAX_DOC,
+)
 from .text import STOPWORDS, TOKENS_DUCK, TOKENS_SPARK, _sql_list
 
 #: quality gate: floor on token count and on the stopword (fluency) ratio
@@ -623,14 +630,6 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _minhash_incremental_oracle() -> str:
-    # the batch operator's oracle IS the incremental one: the union of the
-    # per-wave outputs must equal the full-corpus batch answer
-    from .dedup import DEDUP_MINHASH_LSH_SQL
-
-    return DEDUP_MINHASH_LSH_SQL
-
-
 QUERIES = {
     "pipeline_curate": pipeline_curate,
     "pipeline_pretrain": pipeline_pretrain,
@@ -645,19 +644,9 @@ ORACLE = {
     "pipeline_pretrain": PIPELINE_PRETRAIN_SQL,
     "mv_q3_incremental": MV_Q3_INCREMENTAL_SQL,
     "mv_q13_incremental": MV_Q13_INCREMENTAL_SQL,
-    "dedup_minhash_incremental": _minhash_incremental_oracle(),
     # the maintained state must equal the batch operator over the full
     # corpus, so the batch oracles ARE the incremental oracles
-    "dedup_passages_incremental": None,  # filled below (import-order)
-    "dedup_embedding_incremental": None,
+    "dedup_minhash_incremental": DEDUP_MINHASH_LSH_SQL,
+    "dedup_passages_incremental": DEDUP_PASSAGES_SQL,
+    "dedup_embedding_incremental": DEDUP_EMBEDDING_SQL,
 }
-
-
-def _fill_incremental_oracles() -> None:
-    from .dedup import DEDUP_EMBEDDING_SQL, DEDUP_PASSAGES_SQL
-
-    ORACLE["dedup_passages_incremental"] = DEDUP_PASSAGES_SQL
-    ORACLE["dedup_embedding_incremental"] = DEDUP_EMBEDDING_SQL
-
-
-_fill_incremental_oracles()
