@@ -1011,9 +1011,12 @@ def op_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark; ``streaming/incremental.windowed_counts`` is that variant).
 
     Scale: window assignment is a narrow projection (epoch arithmetic, no
-    explode for tumbling windows); the only shuffle is the (window,
-    event_type) hash-agg with map-side partials.  Epoch-aligned buckets
-    mean late data lands in the right window deterministically.
+    explode for tumbling windows); the aggregation is the standard
+    two-phase distinct shape (COUNT DISTINCT shuffles once on (window,
+    event_type, user_id) for the partial dedup, then once on (window,
+    event_type) for the final counts — the canonical exact-distinct plan;
+    approx_count_distinct would collapse it to one).  Epoch-aligned
+    buckets mean late data lands in the right window deterministically.
     """
     e = load_table(spark, sf_dir, "events")
     return (
@@ -1150,19 +1153,23 @@ def op_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank ceil(0.9 * n) computed in integer arithmetic ((9n + 9) DIV 10).
     Selection is engine-independent, so results hash-match exactly.
 
-    Scale: one sort-shuffle on the group key (WindowExec streams sorted
-    runs, no per-group materialization), then the 5-row count table joins
-    back as a broadcast.  This is the standard distributed exact-percentile
-    shape — contrast with percentile_approx, which trades exactness for a
-    mergeable sketch.
+    Scale: ONE sort-shuffle on the group key total (WindowExec streams
+    sorted runs, no per-group materialization) — the per-group count is a
+    second window over the SAME partitioning (exactly the oracle's
+    ``count(*) OVER (PARTITION BY …)``), so it reuses the row_number
+    exchange instead of paying a separate groupBy shuffle + join-back, and
+    the final groupBy reuses the same partitioning too.  This is the
+    standard distributed exact-percentile shape — contrast with
+    percentile_approx, which trades exactness for a mergeable sketch.
     """
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", F.col("o_totalprice").cast("double").alias("v"), "o_orderkey"
     )
     w = Window.partitionBy("o_orderpriority").orderBy("v", "o_orderkey")
-    r = o.withColumn("rn", F.row_number().over(w))
-    counts = r.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
-    j = r.join(F.broadcast(counts), "o_orderpriority")
+    wn = Window.partitionBy("o_orderpriority")
+    j = o.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
     return (
         j.withColumn("med_lo", F.expr("(n + 1) DIV 2"))
         .withColumn("med_hi", F.expr("(n + 2) DIV 2"))

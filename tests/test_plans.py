@@ -618,3 +618,26 @@ def test_materialize_bounded_caps_outstanding_pins(spark):
             spark.conf.unset(layout.AUTO_PIN_CAPACITY_CONF)
         else:
             spark.conf.set(layout.AUTO_PIN_CAPACITY_CONF, prev)
+
+
+def test_gated_round10_ops_plan_shapes(spark):
+    """Plan locks for the round-10 gate promotions: op_percentiles is ONE
+    hash shuffle total (the per-group count rides the row_number window's
+    partitioning — no groupBy shuffle, no join-back), and op_time_window
+    is the canonical two-phase exact-distinct aggregate with no joins."""
+    from incresql_spark.operators.relational import op_percentiles, op_time_window
+
+    def executed(df):
+        df.collect()
+        return (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+
+    pct = executed(op_percentiles(spark, SF_SMALL))
+    assert pct.count("Exchange hashpartitioning") == 1, pct[:2000]
+    assert "Join" not in pct, pct[:2000]
+
+    tw = executed(op_time_window(spark, SF_SMALL))
+    assert tw.count("Exchange hashpartitioning") == 2, tw[:2000]
+    assert "Join" not in tw, tw[:2000]
