@@ -988,21 +988,24 @@ class AggregateJoinMaterializedView(MaterializedView):
         if all(n <= o for n, o in zip(news, olds)):
             return 0
         delta, pinned = self._delta_plan(olds, news)
-        if delta is None:
-            self._save_meta({"seqs": news})
-            return 0
-        delta_join = delta.withColumnRenamed("__f", FREQ)
-        # cached across the count and the aggregate merge — the join terms
-        # are the expensive part of a refresh and must run exactly once
-        delta_join = delta_join.persist()
         try:
-            n = delta_join.count()
-            if n:
-                self._merge_agg(
-                    self._delta_agg(delta_join), cursor={"cursor": news}
-                )
+            if delta is None:
+                self._save_meta({"seqs": news})
+                return 0
+            delta_join = delta.withColumnRenamed("__f", FREQ)
+            # cached across the count and the aggregate merge — the join
+            # terms are the expensive part of a refresh and must run
+            # exactly once
+            delta_join = delta_join.persist()
+            try:
+                n = delta_join.count()
+                if n:
+                    self._merge_agg(
+                        self._delta_agg(delta_join), cursor={"cursor": news}
+                    )
+            finally:
+                delta_join.unpersist()
         finally:
-            delta_join.unpersist()
             for p in pinned:
                 p.unpersist()
         self._save_meta({"seqs": news})
