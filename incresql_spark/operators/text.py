@@ -329,6 +329,108 @@ ORDER BY doc_id
 TEXT_SAMPLE_STRATIFIED_SQL = _sample_sql()
 
 
+_TEMP_SEED = "temp"
+
+
+def text_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced language sampling — the mT5/XLM-R recipe
+    (Xue et al., arXiv:2010.11934 §3.1): sample language l with
+    probability ∝ n_l^α so low-resource languages are up-sampled relative
+    to their corpus share.  α = 0.5 here, i.e. weights √n_l.
+
+    Exact-arithmetic form (the cross-engine-verifiability price): the only
+    float op is ``sqrt`` — IEEE 754 requires it correctly rounded, so both
+    engines produce the bit-identical double — immediately quantized to an
+    integer weight ``w_l = floor(1e6·√n_l)``; every subsequent step (the
+    weight sum, the per-language target ``(S·w_l) DIV Σw``, the keep
+    threshold ``min(1e6, 1e6·target DIV n_l)``, the hash-gated selection)
+    is BIGINT arithmetic, so no float ACCUMULATION ever happens and
+    summation order cannot perturb the result.  Budget S = half the
+    corpus.  Selection is the stratified operator's stable hash gate
+    (``hash60(seed|doc_id) mod 1e6 < thr``) — deterministic under reruns
+    and backfills.
+
+    Output: one row per language (n_docs, the ppm keep threshold, and the
+    selected count) — small languages carry visibly higher thresholds.
+
+    Scale: two scans of ``documents`` with map-side partial aggregation
+    (per-language counts, then per-language selected counts), each
+    shuffling only #languages×partitions partial rows; the threshold
+    table (#languages rows) broadcasts back.  No floats cross machine
+    boundaries.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    wall = Window.partitionBy()
+    t = (
+        counts.withColumn(
+            "w",
+            F.expr(
+                "CAST(FLOOR(CAST(1000000 AS DOUBLE) "
+                "* SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)"
+            ),
+        )
+        .withColumn("sum_w", F.sum("w").over(wall))
+        .withColumn("total", F.sum("n_docs").over(wall))
+        .withColumn("target", F.expr("((total DIV 2) * w) DIV sum_w"))
+        .withColumn(
+            "thr_ppm",
+            F.expr(
+                "LEAST(CAST(1000000 AS BIGINT), (1000000 * target) DIV n_docs)"
+            ),
+        )
+    )
+    h = hash60(F.col("doc_id").cast("string"), seed=_TEMP_SEED)
+    sel = d.join(F.broadcast(t.select("lang", "n_docs", "thr_ppm")), "lang")
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("thr_ppm").alias("thr_ppm"),
+            F.sum(((h % 1000000) < F.col("thr_ppm")).cast("bigint")).alias(
+                "n_selected"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sample_temperature_sql() -> str:
+    h = hash60_sql("CAST(doc_id AS VARCHAR)", seed=_TEMP_SEED)
+    return f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+),
+t AS (
+  SELECT lang, n_docs,
+         CAST(floor(CAST(1000000 AS DOUBLE)
+              * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w,
+         CAST(SUM(CAST(floor(CAST(1000000 AS DOUBLE)
+              * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)) OVER () AS BIGINT) AS sum_w,
+         CAST(SUM(n_docs) OVER () AS BIGINT) AS total
+  FROM counts
+),
+thr AS (
+  SELECT lang, n_docs,
+         CAST(LEAST(CAST(1000000 AS BIGINT),
+               (1000000 * (((total // 2) * w) // sum_w)) // n_docs) AS BIGINT) AS thr_ppm
+  FROM t
+)
+SELECT d.lang,
+       MAX(thr.n_docs) AS n_docs,
+       MAX(thr.thr_ppm) AS thr_ppm,
+       CAST(SUM(CASE WHEN {h} % 1000000 < thr.thr_ppm
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+FROM documents d JOIN thr USING (lang)
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+TEXT_SAMPLE_TEMPERATURE_SQL = _sample_temperature_sql()
+
+
 VOCAB_TOP_K = 100
 
 
@@ -1232,6 +1334,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "text_oov": text_oov,
     "text_sample_stratified": text_sample_stratified,
+    "text_sample_temperature": text_sample_temperature,
     "text_vocab": text_vocab,
     "text_langid": text_langid,
     "text_tokens": text_tokens,
@@ -1251,6 +1354,7 @@ ORACLE = {
     "text_repetition": TEXT_REPETITION_SQL,
     "text_oov": TEXT_OOV_SQL,
     "text_sample_stratified": TEXT_SAMPLE_STRATIFIED_SQL,
+    "text_sample_temperature": TEXT_SAMPLE_TEMPERATURE_SQL,
     "text_vocab": TEXT_VOCAB_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_tokens": TEXT_TOKENS_SQL,

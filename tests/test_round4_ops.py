@@ -304,3 +304,37 @@ def test_winnow_finds_shared_substring_regardless_of_alignment(spark, tmp_path):
     got = {(r.doc_a, r.doc_b) for r in dedup.dedup_substring_winnow(spark, sf).collect()}
     assert (1, 2) in got
     assert all(3 not in pair for pair in got)
+
+
+# --- text_sample_temperature ------------------------------------------------
+def test_temperature_sampling_upsamples_small_languages(spark, tmp_path):
+    """α=0.5 temperature sampling must give the low-resource language a
+    strictly HIGHER keep threshold than the high-resource one (its corpus
+    share is √-flattened), thresholds stay ≤ 1e6 ppm, and the selected
+    counts land near n_docs·thr/1e6 (hash-gate expectation)."""
+    rows = [(i, f"doc number {i} text") for i in range(330)]
+    df = spark.createDataFrame(
+        [
+            (i, t, "en" if i < 300 else "de", "synth", len(t))
+            for i, t in rows
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.lang: r.asDict()
+        for r in text.text_sample_temperature(spark, str(tmp_path)).collect()
+    }
+    assert out["en"]["n_docs"] == 300 and out["de"]["n_docs"] == 30
+    # proportional sampling would keep 50% of each; √-temperature shifts
+    # budget toward the small language
+    assert out["de"]["thr_ppm"] > out["en"]["thr_ppm"]
+    assert out["de"]["thr_ppm"] > 500_000 > out["en"]["thr_ppm"]
+    for r in out.values():
+        assert 0 <= r["thr_ppm"] <= 1_000_000
+        assert 0 <= r["n_selected"] <= r["n_docs"]
+    # overall budget ≈ half the corpus (hash wobble allowed)
+    total_sel = sum(r["n_selected"] for r in out.values())
+    assert 0.3 * 330 < total_sel < 0.7 * 330
