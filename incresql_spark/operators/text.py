@@ -966,6 +966,63 @@ ORDER BY doc_id
 """
 
 
+def text_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al.,
+    arXiv:1911.00359 §4.3): rank every document within its language by the
+    LM plausibility score and split into head / middle / tail terciles —
+    the bucketing a pretraining pipeline uses to keep "head" data,
+    down-weight "middle", and drop "tail".
+
+    Exact-arithmetic form: CCNet cuts on perplexity terciles; engines
+    disagree on float perplexity, so the cut is pure RANK selection over
+    the integer-ppm ``text_lm_score`` (ties broken by doc_id):
+    ``bucket = ((rank − 1) · 3) DIV n`` — no thresholds, no floats, the
+    same nearest-rank philosophy as ``op_percentiles``.
+
+    Scale: the LM-score pipeline's shuffles plus ONE window sort-shuffle
+    on the language key (WindowExec streams sorted runs); the per-language
+    count rides the same partitioning (no extra exchange — the
+    op_percentiles round-10 pattern).
+    """
+    lm = text_lm_score(spark, sf_dir).select("doc_id", "lm_avg_df_ppm")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = lm.join(d, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("lm_avg_df_ppm"), F.asc("doc_id")
+    )
+    wn = Window.partitionBy("lang")
+    r = j.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    label = F.expr(
+        "CASE ((rnk - 1) * 3) DIV n WHEN 0 THEN 'head' "
+        "WHEN 1 THEN 'middle' ELSE 'tail' END"
+    )
+    return (
+        r.select("doc_id", "lang", "lm_avg_df_ppm", label.alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
+TEXT_CCNET_BUCKET_SQL = f"""
+WITH lm AS ({TEXT_LM_SCORE_SQL}),
+ranked AS (
+  SELECT l.doc_id, d.lang, l.lm_avg_df_ppm,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY l.lm_avg_df_ppm DESC, l.doc_id) AS rnk,
+         CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT) AS n
+  FROM lm l JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, lm_avg_df_ppm,
+       CASE ((rnk - 1) * 3) // n WHEN 0 THEN 'head'
+            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+
+
 # --- BPE tokenizer-vocabulary induction -------------------------------------
 #: merge steps to learn; fixed so the DuckDB oracle can unroll the loop.
 BPE_N_MERGES = 8
@@ -1335,6 +1392,7 @@ QUERIES = {
     "text_oov": text_oov,
     "text_sample_stratified": text_sample_stratified,
     "text_sample_temperature": text_sample_temperature,
+    "text_ccnet_bucket": text_ccnet_bucket,
     "text_vocab": text_vocab,
     "text_langid": text_langid,
     "text_tokens": text_tokens,
@@ -1355,6 +1413,7 @@ ORACLE = {
     "text_oov": TEXT_OOV_SQL,
     "text_sample_stratified": TEXT_SAMPLE_STRATIFIED_SQL,
     "text_sample_temperature": TEXT_SAMPLE_TEMPERATURE_SQL,
+    "text_ccnet_bucket": TEXT_CCNET_BUCKET_SQL,
     "text_vocab": TEXT_VOCAB_SQL,
     "text_langid": TEXT_LANGID_SQL,
     "text_tokens": TEXT_TOKENS_SQL,

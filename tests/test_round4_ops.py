@@ -338,3 +338,23 @@ def test_temperature_sampling_upsamples_small_languages(spark, tmp_path):
     # overall budget ≈ half the corpus (hash wobble allowed)
     total_sel = sum(r["n_selected"] for r in out.values())
     assert 0.3 * 330 < total_sel < 0.7 * 330
+
+
+# --- text_ccnet_bucket ------------------------------------------------------
+def test_ccnet_bucket_terciles_are_balanced_and_ordered(spark):
+    """Per-language tercile bucketing: each language's head/middle/tail
+    counts differ by at most 1, and every head doc scores >= every tail
+    doc within its language (rank cut, not threshold cut)."""
+    out = text.text_ccnet_bucket(spark, SF_SMALL).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang) >= 2
+    for lang, rs in by_lang.items():
+        counts = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            counts[r.bucket] += 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (lang, counts)
+        heads = [r.lm_avg_df_ppm for r in rs if r.bucket == "head"]
+        tails = [r.lm_avg_df_ppm for r in rs if r.bucket == "tail"]
+        assert min(heads) >= max(tails), lang
