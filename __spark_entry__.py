@@ -92,9 +92,11 @@ _GATE_DEMOTED = (
     # join; q17).
     "sim_ann_lsh", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q22",
     # New in round 10 but TAIL-FIRST (the gate is full): the passages and
-    # embedding maintainers' end-to-end queries — locally oracle-green,
-    # first-priority rotation candidates for round 11.
+    # embedding maintainers' end-to-end queries and the cluster-canonical
+    # selection — locally oracle-green, first-priority rotation candidates
+    # for round 11.
     "dedup_passages_incremental", "dedup_embedding_incremental",
+    "dedup_canonical",
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated

@@ -630,6 +630,66 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster — the step that
+    closes the dedup pipeline: pairwise evidence → clusters
+    (``dedup_clusters`` min-label propagation) → ONE survivor per cluster,
+    chosen by QUALITY (highest ``text_lm_score`` integer-ppm plausibility,
+    ties broken by lowest doc_id) instead of arbitrary first-seen order —
+    keep the best copy, not a random one.
+
+    Output: every clustered doc with its cluster, score, and an
+    ``is_canonical`` flag (exactly one true per cluster); unclustered docs
+    are implicitly kept and not listed.
+
+    Scale: the cluster + LM pipelines' own shuffles, one broadcast-ish
+    hash join between them (clustered docs ≪ corpus), and one window
+    sort-shuffle on cluster_id.  Rank selection keeps the choice
+    deterministic on any engine — no float comparison crosses machines.
+    """
+    from .dedup import dedup_clusters
+    from .text import text_lm_score
+
+    cl = dedup_clusters(spark, sf_dir)
+    lm = text_lm_score(spark, sf_dir).select("doc_id", "lm_avg_df_ppm")
+    j = cl.join(lm, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("lm_avg_df_ppm"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .select(
+            "cluster_id",
+            "doc_id",
+            "lm_avg_df_ppm",
+            (F.col("rn") == 1).alias("is_canonical"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def _dedup_canonical_sql() -> str:
+    from .dedup import DEDUP_CLUSTERS_SQL
+    from .text import TEXT_LM_SCORE_SQL
+
+    return f"""
+WITH clusters AS ({DEDUP_CLUSTERS_SQL}),
+lm AS ({TEXT_LM_SCORE_SQL}),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, l.lm_avg_df_ppm,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY l.lm_avg_df_ppm DESC, c.doc_id) AS rn
+  FROM clusters c JOIN lm l USING (doc_id)
+)
+SELECT cluster_id, doc_id, lm_avg_df_ppm, rn = 1 AS is_canonical
+FROM ranked
+ORDER BY cluster_id, doc_id
+"""
+
+
+DEDUP_CANONICAL_SQL = _dedup_canonical_sql()
+
+
 QUERIES = {
     "pipeline_curate": pipeline_curate,
     "pipeline_pretrain": pipeline_pretrain,
@@ -638,6 +698,7 @@ QUERIES = {
     "dedup_minhash_incremental": dedup_minhash_incremental,
     "dedup_passages_incremental": dedup_passages_incremental,
     "dedup_embedding_incremental": dedup_embedding_incremental,
+    "dedup_canonical": dedup_canonical,
 }
 ORACLE = {
     "pipeline_curate": PIPELINE_CURATE_SQL,
@@ -649,4 +710,5 @@ ORACLE = {
     "dedup_minhash_incremental": DEDUP_MINHASH_LSH_SQL,
     "dedup_passages_incremental": DEDUP_PASSAGES_SQL,
     "dedup_embedding_incremental": DEDUP_EMBEDDING_SQL,
+    "dedup_canonical": DEDUP_CANONICAL_SQL,
 }
