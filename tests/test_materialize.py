@@ -1284,3 +1284,75 @@ def test_agg_state_range_key_declared_and_non_numeric_raises(spark, tmp_path):
     finally:
         spark.conf.unset("incresql.mv.state.range_width")
         spark.conf.unset("incresql.mv.state.range_key")
+
+
+def test_join_mv_left_outer_randomized_differential_with_compaction(spark, tmp_path):
+    """Randomized insert/delete histories through the 2-way LEFT OUTER
+    JoinMaterializedView — the round-10 surface (delta-key-restricted pad
+    probes, persisted delta_view, auto-compact) — must match a Python
+    multiset left-join model after EVERY refresh, with the compaction
+    threshold forced low so segments merge mid-history (cursors must ride
+    through; duplicates exercise freq > 1)."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from incresql_spark.materialize import JoinMaterializedView
+
+    prev = spark.conf.get("incresql.mv.join_state.max_segments", None)
+    spark.conf.set("incresql.mv.join_state.max_segments", "3")
+    try:
+        for seed in (0, 1):
+            rng = random.Random(seed)
+            a = FreqTable(spark, str(tmp_path / f"ra{seed}"))
+            b = FreqTable(spark, str(tmp_path / f"rb{seed}"))
+            a.create(T.StructType([T.StructField("k", T.IntegerType()),
+                                   T.StructField("av", T.StringType())]))
+            b.create(T.StructType([T.StructField("k", T.IntegerType()),
+                                   T.StructField("bv", T.StringType())]))
+            mv = JoinMaterializedView(
+                spark, f"rmv{seed}", a, b, ["k"], ["k", "av", "bv"],
+                str(tmp_path / f"rmv{seed}"), how="left_outer",
+            )
+            la: list[tuple] = []  # live multiset of (k, av)
+            lb: list[tuple] = []  # live multiset of (k, bv)
+            for step in range(10):
+                op = rng.choice(["ins_a", "ins_b", "ins_b", "del_a", "del_b"])
+                if op == "ins_a":
+                    rows = [(rng.randrange(5), f"a{rng.randrange(3)}")
+                            for _ in range(rng.randrange(1, 4))]
+                    la += rows
+                    a.insert(spark.createDataFrame(rows, "k int, av string"))
+                elif op == "ins_b":
+                    rows = [(rng.randrange(5), f"b{rng.randrange(3)}")
+                            for _ in range(rng.randrange(1, 4))]
+                    lb += rows
+                    b.insert(spark.createDataFrame(rows, "k int, bv string"))
+                elif op == "del_a" and la:
+                    key = rng.randrange(5)
+                    la = [r for r in la if r[0] != key]
+                    a.delete_where(f"k = {key}")
+                elif op == "del_b" and lb:
+                    key = rng.randrange(5)
+                    lb = [r for r in lb if r[0] != key]
+                    b.delete_where(f"k = {key}")
+                mv.refresh()
+                expected = []
+                for k, av in la:
+                    matches = [bv for kb, bv in lb if kb == k]
+                    if matches:
+                        expected += [(k, av, bv) for bv in matches]
+                    else:
+                        expected.append((k, av, None))
+                got = sorted(
+                    tuple(r) for r in mv.read().collect()
+                )
+                assert got == sorted(
+                    expected, key=lambda t: (t[0], t[1], t[2] or "")
+                ), f"seed={seed} step={step} op={op}"
+            assert len(mv.state._segments()) <= 4
+    finally:
+        if prev is None:
+            spark.conf.unset("incresql.mv.join_state.max_segments")
+        else:
+            spark.conf.set("incresql.mv.join_state.max_segments", prev)
