@@ -1211,11 +1211,60 @@ ORDER BY o_orderpriority
 """
 
 
+def op_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted LEFT OUTER join, driver-verified equal to the plain
+    join: the big side scatters across ``salts`` buckets, the small side
+    replicates into every bucket (``plans.skew.salted_join``) — the
+    explicit hot-key mitigation for power-law join keys AQE's skew split
+    can't always save (a single key larger than any split).  The oracle
+    computes the PLAIN left join, so the hash match proves salting is
+    result-invariant — pads included (each big row meets every matching
+    small replica exactly once, or none).
+
+    Integer-exact rollup (count + orderkey sum per segment) so no float
+    summation order crosses engines; unmatched orders fold into a
+    '(none)' segment to keep ordering engine-neutral.
+    """
+    from ..plans.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter("c_mktsegment IN ('BUILDING', 'MACHINERY')")
+        .select("c_custkey", "c_mktsegment")
+    )
+    j = salted_join(o, c, "c_custkey", salts=8, how="left")
+    return (
+        j.groupBy(F.coalesce("c_mktsegment", F.lit("(none)")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_okey"),
+        )
+        .orderBy("segment")
+    )
+
+
+OP_SALTED_JOIN_SQL = """
+SELECT COALESCE(c_mktsegment, '(none)') AS segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+FROM orders LEFT JOIN (
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+) c ON o_custkey = c_custkey
+GROUP BY 1
+ORDER BY segment
+"""
+
+
 QUERIES = {
     "op_asof_join": op_asof_join,
     "op_percentiles": op_percentiles,
     "op_time_window": op_time_window,
     "op_rolling_window": op_rolling_window,
+    "op_salted_join": op_salted_join,
     "op_cube": op_cube,
     "op_range_join": op_range_join,
     "op_funnel": op_funnel,
@@ -1251,6 +1300,7 @@ ORACLE = {
     "op_percentiles": OP_PERCENTILES_SQL,
     "op_time_window": OP_TIME_WINDOW_SQL,
     "op_rolling_window": OP_ROLLING_WINDOW_SQL,
+    "op_salted_join": OP_SALTED_JOIN_SQL,
     "op_cube": OP_CUBE_SQL,
     "op_range_join": OP_RANGE_JOIN_SQL,
     "op_funnel": OP_FUNNEL_SQL,

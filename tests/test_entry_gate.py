@@ -37,4 +37,4 @@ def test_gate_composition_is_pinned():
     # conscious omission, currently none)
     osql = m.oracle_sql()
     assert [k for k in qs if k not in osql] == []
-    assert len(qs) == len(set(qs)) == 103
+    assert len(qs) == len(set(qs)) == 104
