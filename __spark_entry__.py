@@ -14,16 +14,19 @@ queries (mv_q3_incremental inner, mv_q13_incremental left-outer — round
 9), and a rotating head of the text suite.  Slots ROTATE each round so
 long-unverified queries gain driver evidence (the round-6/7 DECIMAL
 lesson: a fetch-path mismatch can be invisible to every local check).
-Round 10 rotated six: dedup_minhash_incremental (first driver evidence
-for a streaming maintainer), op_percentiles / op_time_window /
-op_rolling_window, and text_repetition / text_oov moved into the gate;
-sim_ann_lsh and tpch_q2/q9/q11/q16/q22 — each driver-green for 9 rounds
-with its plan class covered by a gated sibling — moved to the tail.
-Everything past the cap is equally oracle-checked locally via
-``tools/check_oracle.py`` and pytest (98 queries total, all locally
-value-hash-matched; oracle output types are additionally linted —
-HUGEINT and DECIMAL rejected — after driver-only hash mismatches in
-rounds 2-4 and 6-7).
+Round 11 rotated six: the round-10 tail newcomers
+dedup_passages_incremental / dedup_embedding_incremental /
+dedup_canonical plus text_sample_temperature / text_ccnet_bucket /
+op_salted_join moved into the gate (none had ever been driver-fetched);
+tpch_q4/q17/q20, mm_features, dedup_passages and sim_dedup_semantic —
+each driver-green for 10 straight rounds with its plan class covered by
+a gated sibling — moved to the tail.  Everything past the cap is equally
+oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
+registered queries locally value-hash-matched — the exact count is
+asserted against this docstring by tests/test_entry_gate.py: 104
+queries total; oracle output types are additionally linted — HUGEINT
+and DECIMAL rejected — after driver-only hash mismatches in rounds 2-4
+and 6-7).
 """
 
 from __future__ import annotations
@@ -58,6 +61,9 @@ _RELATIONAL_CORE = (
     "op_percentiles",
     "op_time_window",
     "op_rolling_window",
+    # Round 11: explicit hot-key salting proven result-invariant against
+    # the plain-join oracle — the one skew lever AQE cannot always supply.
+    "op_salted_join",
 )
 
 
@@ -91,12 +97,27 @@ _GATE_DEMOTED = (
     # (anti-join distinct agg; q4/q21), q22 (avg scalar subquery + anti
     # join; q17).
     "sim_ann_lsh", "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q16", "tpch_q22",
-    # New in round 10 but TAIL-FIRST (the gate is full): the passages and
-    # embedding maintainers' end-to-end queries and the cluster-canonical
-    # selection — locally oracle-green, first-priority rotation candidates
-    # for round 11.
-    "dedup_passages_incremental", "dedup_embedding_incremental",
-    "dedup_canonical",
+    # Round-11 rotation (VERDICT r10 task 1): six slots free up for the
+    # round-10 tail newcomers (dedup_passages_incremental,
+    # dedup_embedding_incremental, dedup_canonical, text_sample_temperature,
+    # text_ccnet_bucket, op_salted_join) — none ever driver-fetched.
+    # Demoted — each driver-green for 10 straight rounds with its
+    # mechanism still gated by a sibling: tpch_q4 (EXISTS semi; q21 gates
+    # exists/anti), tpch_q17 (scalar avg subquery; q15's global-max
+    # threshold + q18's IN-agg subquery stay gated), tpch_q20 (nested IN
+    # subqueries; q18/q21), mm_features (Arrow mapInPandas plumbing gated
+    # via mm_audio_chunks + mm_image_phash), dedup_passages (chunk-hash
+    # mechanism now gated by dedup_passages_incremental, whose oracle IS
+    # the batch recompute), sim_dedup_semantic (LSH-bucket + exact-verify
+    # path gated by sim_knn_graph / sim_ann_ivf).
+    "tpch_q4", "tpch_q17", "tpch_q20", "mm_features", "dedup_passages",
+    "sim_dedup_semantic",
+    # Remaining never-driver-verified tail after round 11 (11 rows), with
+    # the planned burn-down schedule: round 12 promotes op_cube,
+    # op_grouping_sets, op_pivot, op_full_outer_join, op_retention_cohorts,
+    # op_histogram; round 13 promotes op_corr, text_pack_sequences,
+    # text_chunk_overlap, text_mix_sources, text_bpe_tokenize — finishing
+    # the blind spot entirely.
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated
@@ -105,6 +126,10 @@ _GATE_DEMOTED = (
 _GATE_TEXT = (
     "text_stats", "text_lm_score", "text_bpe_merges", "text_dsir_select",
     "text_repetition", "text_oov",
+    # Round 11: the mT5 temperature-sampling recipe (integer-quantized
+    # weights, zero float accumulation) and the CCNet per-language
+    # perplexity terciles — both round-10 additions, never driver-fetched.
+    "text_sample_temperature", "text_ccnet_bucket",
 )
 
 

@@ -163,14 +163,24 @@ class Engine:
         """Save the MV catalog entry, then run the initial refresh; if the
         refresh raises (bad select list, unresolvable condition, …) the
         entry is rolled back so a failed CREATE never leaves a
-        registered-but-broken MV behind."""
+        registered-but-broken MV behind.  The rollback must not depend on
+        ``_mv()`` construction succeeding — a meta that fails validation in
+        the MV constructor (e.g. join + GROUP BY with no aggregate in the
+        select list) would otherwise re-raise inside the handler BEFORE the
+        catalog entry is removed, bricking the database (round-10 advice)."""
         self._save_mvs(db, mvs)
         try:
-            self._mv(db, name).refresh()
+            mv = self._mv(db, name)
+            mv.refresh()
         except Exception:
-            self._mv(db, name).drop()
+            # Un-register first — this alone restores a working catalog —
+            # then best-effort remove any partial state on disk.
             mvs.pop(name, None)
             self._save_mvs(db, mvs)
+            shutil.rmtree(
+                os.path.join(self._db_path(db), f"{name}__mv"),
+                ignore_errors=True,
+            )
             raise
 
     def _mv(self, db: str, name: str) -> MaterializedView:

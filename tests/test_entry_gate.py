@@ -2,26 +2,30 @@
 ``__spark_entry__.queries()`` — registration order IS the gate.  Pin the
 composition so a refactor cannot silently rotate queries in or out of
 driver evidence; a deliberate rotation updates this list in the same
-commit (round-10 composition)."""
+commit (round-11 composition)."""
 
 from __future__ import annotations
 
 GATE_50 = [
-    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13",
-    "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q18",
+    "tpch_q19", "tpch_q21",
     "op_asof_join", "op_range_join", "op_window_functions",
     "op_percentiles", "op_time_window", "op_rolling_window",
-    "dedup_exact", "dedup_passages", "dedup_ngram_jaccard",
+    "op_salted_join",
+    "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_embedding", "dedup_url",
     "dedup_contamination", "dedup_clusters", "dedup_substring_winnow",
-    "sim_knn_graph", "sim_dedup_semantic", "sim_ann_ivf",
-    "mm_features", "mm_audio_chunks", "mm_image_phash",
+    "sim_knn_graph", "sim_ann_ivf",
+    "mm_audio_chunks", "mm_image_phash",
     "events_sessionize", "pipeline_curate", "pipeline_pretrain",
     "mv_q3_incremental", "mv_q13_incremental", "dedup_minhash_incremental",
+    "dedup_passages_incremental", "dedup_embedding_incremental",
+    "dedup_canonical",
     "text_stats", "text_lm_score", "text_bpe_merges", "text_dsir_select",
     "text_repetition", "text_oov",
+    "text_sample_temperature", "text_ccnet_bucket",
 ]
 
 
@@ -38,3 +42,17 @@ def test_gate_composition_is_pinned():
     osql = m.oracle_sql()
     assert [k for k in qs if k not in osql] == []
     assert len(qs) == len(set(qs)) == 104
+
+
+def test_docstring_query_count_matches_registry():
+    """The module docstring's stated query count drifted three rounds in a
+    row ("95", "98" while 104 were registered) — pin it mechanically."""
+    import re
+
+    import __spark_entry__ as m
+
+    match = re.search(r"(\d+)\s*\nqueries total", m.__doc__)
+    assert match, "docstring must state '<N> queries total'"
+    assert int(match.group(1)) == len(m.queries()), (
+        "docstring query count is stale — update it alongside the registry"
+    )

@@ -1185,6 +1185,32 @@ def test_mv_ddl_failed_initial_refresh_rolls_back(engine):
     assert rows(engine, "SELECT * FROM mv_rb") == [(1, 1)]
 
 
+def test_mv_ddl_failed_constructor_rolls_back(engine):
+    """A meta that fails validation in the MV *constructor* (join + GROUP
+    BY with no aggregate in the select list) must also roll back.  The old
+    handler called _mv() again to drop state — re-raising the construction
+    error before the catalog pop, so every later statement in the db
+    (including DROP MATERIALIZED VIEW) failed until _mvs.json was
+    hand-edited (round-10 ADVICE medium)."""
+    engine.execute_statement("CREATE TABLE rc_a (k INT, g TEXT)")
+    engine.execute_statement("CREATE TABLE rc_b (k2 INT, v INT)")
+    engine.execute_statement("INSERT INTO rc_a VALUES (1, 'x')")
+    engine.execute_statement("INSERT INTO rc_b VALUES (1, 10)")
+    with pytest.raises(ValueError, match="non-aggregate joins"):
+        engine.execute_statement(
+            "CREATE MATERIALIZED VIEW mv_rc AS "
+            "SELECT g, v FROM rc_a JOIN rc_b ON k = k2 GROUP BY g, v"
+        )
+    # the db still works: unrelated statements run and the name is free
+    assert rows(engine, "SELECT count(*) AS n FROM rc_a") == [(1,)]
+    engine.execute_statement(
+        "CREATE MATERIALIZED VIEW mv_rc AS "
+        "SELECT g, count(*) AS n FROM rc_a JOIN rc_b ON k = k2 GROUP BY g"
+    )
+    assert rows(engine, "SELECT * FROM mv_rc") == [("x", 1)]
+    engine.execute_statement("DROP MATERIALIZED VIEW mv_rc")
+
+
 def test_join_mv_segment_growth_is_bounded(spark, tmp_path):
     """Every non-empty refresh appends one row-state segment; without a
     bound, 1000 refreshes would make each read() merge 1000 segments.  The
