@@ -110,19 +110,24 @@ class FreqTable:
             # unknown and defaulting to ts_ms would silently skip it,
             # reintroducing the row loss this guard exists to prevent.
             # Treat the unknown span as unbounded-below (refuse any older
-            # as_of_ms) instead.
+            # as_of_ms) instead.  The sentinel is None — NOT float('-inf'),
+            # which compact() would persist and json.dump would emit as the
+            # non-standard '-Infinity' token strict-JSON consumers reject
+            # (round-10 advice).
             if "min_ts" not in meta and meta["min_seq"] < meta["seq"]:
-                meta["min_ts"] = float("-inf")
+                meta["min_ts"] = None
             meta.setdefault("min_ts", meta["ts_ms"])
             if as_of_ms is not None and meta["ts_ms"] > as_of_ms:
                 # a compacted segment spans [min_ts, ts_ms]; an as_of_ms
                 # cursor INSIDE that span would silently lose every row the
                 # compaction absorbed from ≤ cursor segments — the same
                 # data-loss class the as_of_seq guard below refuses
-                if meta["min_ts"] <= as_of_ms:
+                if meta["min_ts"] is None or meta["min_ts"] <= as_of_ms:
+                    span_lo = ("-inf" if meta["min_ts"] is None
+                               else meta["min_ts"])
                     raise ValueError(
                         f"as_of_ms {as_of_ms} falls inside compacted "
-                        f"segment span {meta['min_ts']}..{meta['ts_ms']} — "
+                        f"segment span {span_lo}..{meta['ts_ms']} — "
                         f"the requested snapshot was merged away; scan at "
                         f"ts ≥ {meta['ts_ms']} or re-materialize"
                     )
@@ -317,7 +322,11 @@ class FreqTable:
         ts = max(s["ts_ms"] for s in segs)
         seq = max(s["seq"] for s in segs)
         min_seq = min(s["min_seq"] for s in segs)
-        min_ts = min(s["min_ts"] for s in segs)
+        # None = unbounded-below (legacy compacted segment of unknown span)
+        # — it wins the min and stays None, keeping _segmeta.json strict
+        # JSON (null) rather than the non-standard -Infinity token.
+        min_ts = (None if any(s["min_ts"] is None for s in segs)
+                  else min(s["min_ts"] for s in segs))
         tmp = os.path.join(self.path, f"compact-{uuid.uuid4().hex[:8]}")
         merged.write.mode("overwrite").parquet(tmp)
         meta = {"ts_ms": ts, "seq": seq, "min_seq": min_seq,

@@ -74,31 +74,45 @@ def materialize(df: DataFrame) -> DataFrame:
 
 #: capacity of the bounded auto-pin registry (see materialize_bounded)
 AUTO_PIN_CAPACITY_CONF = "incresql.materialize.auto_pins"
-_auto_pins: "deque[DataFrame]" = None  # type: ignore[assignment]
+#: per-SparkSession FIFO registries, weakly keyed — a stopped/dropped
+#: session's entry disappears with the session instead of pinning dead
+#: DataFrame handles for the life of the process, and two engines in one
+#: process can no longer evict each other's pins (round-10 advice; the
+#: registry used to be one process-global deque).
+_auto_pins_by_session: "weakref.WeakKeyDictionary[SparkSession, deque]" = None  # type: ignore[assignment]
 
 
 def materialize_bounded(df: DataFrame) -> DataFrame:
-    """``materialize()`` whose pin is tracked in a bounded FIFO registry:
-    once more than ``incresql.materialize.auto_pins`` (default 8) frames
-    are outstanding, the OLDEST is released automatically.
+    """``materialize()`` whose pin is tracked in a bounded FIFO registry,
+    scoped to the frame's SparkSession: once more than
+    ``incresql.materialize.auto_pins`` (default 8) frames are outstanding
+    in that session, the OLDEST is released automatically.
 
     This is the long-lived-session guard for operators that return a
     pinned result the caller may never release (text_dsir_select's score
     frame was the documented footgun: one doc-count-sized block set leaked
-    per call).  Use it for returned results with consume-soon semantics;
-    frames a caller must hold indefinitely should use ``materialize()``
-    directly and own the release.  Releasing twice is harmless, so callers
-    may still ``release()`` early."""
-    global _auto_pins
-    if _auto_pins is None:
+    per call).  Use it for returned results with consume-soon semantics —
+    a caller holding a returned frame past the eviction window gets an
+    unreadable frame (lineage truncated, blocks gone); frames a caller
+    must hold indefinitely should use ``materialize()`` directly and own
+    the release.  Releasing twice is harmless, so callers may still
+    ``release()`` early."""
+    global _auto_pins_by_session
+    if _auto_pins_by_session is None:
+        import weakref
+
+        _auto_pins_by_session = weakref.WeakKeyDictionary()
+    spark = df.sparkSession
+    pins = _auto_pins_by_session.get(spark)
+    if pins is None:
         from collections import deque
 
-        _auto_pins = deque()
+        pins = _auto_pins_by_session[spark] = deque()
     out = materialize(df)
-    cap = int(df.sparkSession.conf.get(AUTO_PIN_CAPACITY_CONF, "8"))
-    _auto_pins.append(out)
-    while len(_auto_pins) > cap:
-        release(_auto_pins.popleft())
+    cap = int(spark.conf.get(AUTO_PIN_CAPACITY_CONF, "8"))
+    pins.append(out)
+    while len(pins) > cap:
+        release(pins.popleft())
     return out
 
 

@@ -161,3 +161,21 @@ def test_legacy_compacted_segment_without_min_ts_is_conservative(spark, tmp_path
             t.scan(as_of_ms=cur).collect()
     # the head itself is still servable and complete
     assert sorted(r.x for r in t.scan(as_of_ms=2000).collect()) == [1, 2]
+    # a re-compaction that absorbs the legacy segment must persist the
+    # unbounded-below sentinel as strict JSON (null), NOT the non-standard
+    # -Infinity token a float('-inf') sentinel would emit (ADVICE r10 low)
+    t.insert(spark.createDataFrame([(3,)], "x INT"), ts_ms=3000)
+    t.compact()
+    [seg2] = t._segments()
+    with open(os.path.join(seg2["dir"], "_segmeta.json")) as fh:
+        raw = fh.read()
+
+    def _reject_const(name):
+        raise AssertionError(f"non-strict JSON constant persisted: {name}")
+
+    meta2 = json.loads(raw, parse_constant=_reject_const)
+    assert meta2["min_ts"] is None
+    # the widened span still refuses everything below its head
+    with pytest.raises(ValueError, match="compacted segment span"):
+        t.scan(as_of_ms=2500).collect()
+    assert sorted(r.x for r in t.scan(as_of_ms=3000).collect()) == [1, 2, 3]

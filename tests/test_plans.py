@@ -620,6 +620,42 @@ def test_materialize_bounded_caps_outstanding_pins(spark):
             spark.conf.set(layout.AUTO_PIN_CAPACITY_CONF, prev)
 
 
+def test_materialize_bounded_registry_is_session_scoped(spark):
+    """Two engines in one process must not evict each other's auto-pins
+    (r10 advice: the registry was one process-global deque).  Flooding a
+    second session's registry past its cap must leave the first session's
+    pinned frames registered and readable (an evicted localCheckpoint
+    frame has no lineage left to recompute from)."""
+    prev = spark.conf.get(layout.AUTO_PIN_CAPACITY_CONF, None)
+    spark.conf.set(layout.AUTO_PIN_CAPACITY_CONF, "2")
+    other = spark.newSession()
+    other.conf.set(layout.AUTO_PIN_CAPACITY_CONF, "2")
+    try:
+        mine = [
+            layout.materialize_bounded(
+                spark.range(50).selectExpr("id", f"id + {i} AS v")
+            )
+            for i in range(2)
+        ]
+        for i in range(8):  # well past the other session's cap
+            layout.materialize_bounded(
+                other.range(50).selectExpr("id", f"id * {i} AS v")
+            )
+        # the first session's pins were untouched by the flood: still in
+        # its registry (never evicted/released) and still readable
+        my_pins = layout._auto_pins_by_session[spark]
+        assert all(any(f is p for p in my_pins) for f in mine)
+        for f in mine:
+            assert f.count() == 50
+        # and the other session's own cap still applied
+        assert len(layout._auto_pins_by_session[other]) <= 2
+    finally:
+        if prev is None:
+            spark.conf.unset(layout.AUTO_PIN_CAPACITY_CONF)
+        else:
+            spark.conf.set(layout.AUTO_PIN_CAPACITY_CONF, prev)
+
+
 def test_gated_round10_ops_plan_shapes(spark):
     """Plan locks for the round-10 gate promotions: op_percentiles is ONE
     hash shuffle total (the per-group count rides the row_number window's
