@@ -630,7 +630,12 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_canonical(
+    spark: SparkSession,
+    sf_dir: str,
+    clusters: DataFrame | None = None,
+    scores: DataFrame | None = None,
+) -> DataFrame:
     """Canonical-document selection per near-dup cluster — the step that
     closes the dedup pipeline: pairwise evidence → clusters
     (``dedup_clusters`` min-label propagation) → ONE survivor per cluster,
@@ -646,12 +651,21 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join between them (clustered docs ≪ corpus), and one window
     sort-shuffle on cluster_id.  Rank selection keeps the choice
     deterministic on any engine — no float comparison crosses machines.
+
+    A real curation pipeline has usually already materialized both inputs
+    (``dedup_clusters`` and ``text_lm_score`` are standalone registered
+    queries); pass them as ``clusters`` / ``scores`` and this operator
+    costs ONE hash join + ONE window over existing artifacts instead of
+    recomputing the ngram-Jaccard candidate stage from scratch (round-10
+    advice; the sf1 warm numbers are in SCALING.md).  The defaults keep
+    the standalone (spark, sf_dir) gate contract self-contained.
     """
     from .dedup import dedup_clusters
     from .text import text_lm_score
 
-    cl = dedup_clusters(spark, sf_dir)
-    lm = text_lm_score(spark, sf_dir).select("doc_id", "lm_avg_df_ppm")
+    cl = clusters if clusters is not None else dedup_clusters(spark, sf_dir)
+    lm = (scores if scores is not None
+          else text_lm_score(spark, sf_dir)).select("doc_id", "lm_avg_df_ppm")
     j = cl.join(lm, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("lm_avg_df_ppm"), F.asc("doc_id")

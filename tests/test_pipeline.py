@@ -172,3 +172,28 @@ def test_mm_audio_chunking(spark):
     for r in rows:
         assert 1 <= r.n_samples <= multimodal.AUDIO_CHUNK
         assert 0 <= r.amp_sq_sum <= r.n_samples * 255 * 255
+
+
+def test_dedup_canonical_accepts_precomputed_inputs(spark):
+    """A real pipeline has already materialized dedup_clusters and
+    text_lm_score; passing them in must produce byte-identical results to
+    the self-contained path while skipping both recomputations (r10
+    advice — the composed operator cost two full pipelines per call)."""
+    from incresql_spark.operators import dedup, text
+    from incresql_spark.plans import layout
+
+    base = pipeline.dedup_canonical(spark, SF_SMALL).collect()
+    cl = layout.materialize(dedup.dedup_clusters(spark, SF_SMALL))
+    lm = layout.materialize(text.text_lm_score(spark, SF_SMALL))
+    try:
+        shared = pipeline.dedup_canonical(
+            spark, SF_SMALL, clusters=cl, scores=lm
+        )
+        # the shared plan reads the materialized artifacts — the
+        # ngram-candidate stage (a self-join Generate explode) is gone
+        plan = shared._jdf.queryExecution().optimizedPlan().toString()
+        assert "Generate" not in plan, plan[:2000]
+        assert shared.collect() == base
+    finally:
+        layout.release(cl)
+        layout.release(lm)
