@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import commit
+
 FREQ = "__freq"
 
 
@@ -50,9 +52,26 @@ def _type_from_str(s: str) -> T.DataType:
 class FreqTable:
     """One log-structured multiset table (directory of segment parquets)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, backend=None):
         self.spark = spark
         self.path = path
+        # every atomic publication (segment seal, compaction) goes through
+        # the commit backend — POSIX rename by default, manifest-pointer
+        # CAS for object stores (incresql.commit.backend; see commit.py)
+        self.backend = backend if backend is not None else commit.backend_for(spark)
+        self._fence: "commit.WriterFence | None" = None
+
+    def acquire_writer_fence(self) -> None:
+        """Claim single-writer ownership of this table directory.
+
+        Every subsequent commit re-checks the fence and raises
+        ``WriterFenced`` once a newer writer has acquired — a takeover
+        fences the old writer loudly instead of letting two writers
+        silently interleave segment sequence numbers.  Optional: the
+        embedded engine is single-process single-writer by construction;
+        long-lived external maintainers sharing a state directory should
+        acquire."""
+        self._fence = commit.WriterFence.acquire(self.path)
 
     # -- metadata ------------------------------------------------------------
     @property
@@ -90,9 +109,17 @@ class FreqTable:
         segs = []
         if not os.path.isdir(self.path):
             return segs
+        # A seg-* dir WITHOUT its _segmeta.json marker is uncommitted — a
+        # writer crashed before the seal (the marker is the commit point
+        # under the CAS backend, where parquet lands at the final key
+        # before the seal).  Invisible to every read; reclaimed by the
+        # next write/compact.
         names = sorted(
-            n for n in os.listdir(self.path) if n.startswith("seg-")
+            n for n in os.listdir(self.path)
+            if n.startswith("seg-")
+            and os.path.exists(os.path.join(self.path, n, "_segmeta.json"))
         )
+        metas = []
         for idx, name in enumerate(names):
             with open(os.path.join(self.path, name, "_segmeta.json")) as fh:
                 meta = json.load(fh)
@@ -117,6 +144,22 @@ class FreqTable:
             if "min_ts" not in meta and meta["min_seq"] < meta["seq"]:
                 meta["min_ts"] = None
             meta.setdefault("min_ts", meta["ts_ms"])
+            meta["dir"] = os.path.join(self.path, name)
+            metas.append(meta)
+        # Drop segments SUBSUMED by a compaction product whose seq span
+        # strictly covers theirs: compact() publishes the merged segment
+        # BEFORE deleting the inputs (crash-safe ordering — the reverse
+        # would lose the table in the crash window), so for one listing
+        # both may coexist; counting both would double every absorbed row.
+        live = [
+            m for m in metas
+            if not any(
+                o["min_seq"] <= m["min_seq"] and m["seq"] <= o["seq"]
+                and (o["min_seq"], o["seq"]) != (m["min_seq"], m["seq"])
+                for o in metas
+            )
+        ]
+        for meta in live:
             if as_of_ms is not None and meta["ts_ms"] > as_of_ms:
                 # a compacted segment spans [min_ts, ts_ms]; an as_of_ms
                 # cursor INSIDE that span would silently lose every row the
@@ -148,7 +191,6 @@ class FreqTable:
                         f"seq ≥ {meta['seq']} or re-materialize"
                     )
                 continue
-            meta["dir"] = os.path.join(self.path, name)
             segs.append(meta)
         return segs
 
@@ -199,13 +241,19 @@ class FreqTable:
         if has_negative is None:
             has_negative = merged.filter(F.col(FREQ) < 0).limit(1).count() > 0
         seg = f"seg-{ts_ms}-{uuid.uuid4().hex[:8]}"
-        seg_dir = os.path.join(self.path, seg)
-        merged.write.mode("overwrite").parquet(seg_dir)
+        # stage → seal is the backend's atomic publication: rename backend
+        # stages in a dot-prefixed dir and renames marker+data into place
+        # together; CAS backend writes parquet at the final key and the
+        # marker PUT is the commit point (readers skip unmarked dirs)
+        self.backend.clean_stale_segments(self.path)
+        sink = self.backend.segment_sink(self.path, seg)
+        merged.write.mode("overwrite").parquet(sink)
         meta = {"ts_ms": ts_ms, "seq": seq, "has_negative": bool(has_negative)}
         if extra_meta:
             meta.update(extra_meta)
-        with open(os.path.join(seg_dir, "_segmeta.json"), "w") as fh:
-            json.dump(meta, fh)
+        if self._fence is not None:
+            self._fence.check()
+        self.backend.seal_segment(self.path, seg, meta)
 
     def insert(
         self,
@@ -310,12 +358,21 @@ class FreqTable:
         re-delivering already-consumed rows to an MV; it likewise records
         its ts span (``min_ts..ts_ms``) so an ``as_of_ms`` snapshot inside
         the span refuses instead of silently dropping absorbed rows."""
-        # a crashed earlier compact leaves a compact-* tmp dir; it holds no
-        # acknowledged data (the rename is the commit point) — clear it
-        for name in os.listdir(self.path):
-            if name.startswith("compact-"):
-                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        if self._fence is not None:
+            self._fence.check()
+        # reclaim scratch of crashed writers (stage dirs / legacy compact-*
+        # tmps / unmarked CAS segments) — none of it holds acknowledged data
+        self.backend.clean_stale_segments(self.path)
         segs = self._segments()
+        # reclaim SEALED leftovers of a compact that crashed after
+        # publishing its merged segment but before deleting the inputs:
+        # they are subsumed (readers already ignore them) but hold disk
+        live_dirs = {s["dir"] for s in segs}
+        for name in os.listdir(self.path):
+            p = os.path.join(self.path, name)
+            if (name.startswith("seg-") and os.path.isdir(p)
+                    and p not in live_dirs):
+                shutil.rmtree(p, ignore_errors=True)
         if len(segs) <= 1:
             return
         merged = self.scan(expand=False)
@@ -327,19 +384,25 @@ class FreqTable:
         # JSON (null) rather than the non-standard -Infinity token.
         min_ts = (None if any(s["min_ts"] is None for s in segs)
                   else min(s["min_ts"] for s in segs))
-        tmp = os.path.join(self.path, f"compact-{uuid.uuid4().hex[:8]}")
-        merged.write.mode("overwrite").parquet(tmp)
+        seg = f"seg-{ts}-{uuid.uuid4().hex[:8]}"
+        sink = self.backend.segment_sink(self.path, seg)
+        merged.write.mode("overwrite").parquet(sink)
         meta = {"ts_ms": ts, "seq": seq, "min_seq": min_seq,
                 "min_ts": min_ts, "has_negative": False}
         # MV refresh cursors riding on state segments survive compaction
         # (max per key — the cursor is monotonic)
         for key in {k for s in segs for k in s if k.startswith("mv_cursor")}:
             meta[key] = max(s.get(key, -1) for s in segs)
-        with open(os.path.join(tmp, "_segmeta.json"), "w") as fh:
-            json.dump(meta, fh)
+        if self._fence is not None:
+            self._fence.check()
+        # PUBLISH FIRST, delete after: the merged segment's seq span
+        # strictly covers every input, so if we crash between seal and
+        # delete the inputs are subsumed (readers drop them — no double
+        # count) and the next compact reclaims the dirs.  The reverse
+        # order (delete then publish) loses the table in the crash window.
+        self.backend.seal_segment(self.path, seg, meta)
         for s in segs:
-            shutil.rmtree(s["dir"])
-        os.rename(tmp, os.path.join(self.path, f"seg-{ts}-{uuid.uuid4().hex[:8]}"))
+            shutil.rmtree(s["dir"], ignore_errors=True)
 
     # -- reads ---------------------------------------------------------------
     def scan(

@@ -42,6 +42,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import commit
 from .frequency import FREQ, FreqTable
 
 _AGG_RE = re.compile(
@@ -117,9 +118,16 @@ class AggState:
         num_buckets: int | None = None,
         range_width: int | None = None,
         range_key: str | None = None,
+        backend=None,
     ):
         self.spark = spark
         self.path = path
+        # manifest publication goes through the commit backend — POSIX
+        # rename by default, manifest-pointer CAS for object stores
+        # (incresql.commit.backend; see commit.py)
+        self.backend = (backend if backend is not None
+                        else commit.backend_for(spark))
+        self._fence: "commit.WriterFence | None" = None
         # an EXPLICIT layout must agree with an existing manifest —
         # silently re-pinning would hide a caller bug; the conf-derived
         # defaults defer to the manifest (the layout owns itself)
@@ -138,22 +146,20 @@ class AggState:
         self.range_width = range_width
         self.range_key = range_key
 
+    def acquire_writer_fence(self) -> None:
+        """Claim single-writer ownership of this state directory; every
+        later commit re-checks and raises ``WriterFenced`` if a newer
+        writer has acquired (see commit.WriterFence)."""
+        self._fence = commit.WriterFence.acquire(self.path)
+
     # -- manifest -------------------------------------------------------------
     def _manifest_versions(self) -> list[int]:
-        if not os.path.isdir(self.path):
-            return []
-        return sorted(
-            int(f.split("-")[1].split(".")[0])
-            for f in os.listdir(self.path)
-            if f.startswith("manifest-") and f.endswith(".json")
-        )
+        return self.backend.manifest_versions(self.path)
 
     def _load_manifest(self) -> dict | None:
-        vs = self._manifest_versions()
-        if not vs:
+        m = self.backend.load_manifest(self.path)
+        if m is None:
             return None
-        with open(os.path.join(self.path, f"manifest-{vs[-1]}.json")) as fh:
-            m = json.load(fh)
         # the on-disk layout owns the bucket count AND range width from
         # first write onward; an explicitly requested conflicting layout is
         # a caller bug — fail with the real cause, not a downstream
@@ -266,6 +272,8 @@ class AggState:
         in the manifest — committed ATOMICALLY with the state (MV refresh
         cursors ride here so a crash between state merge and cursor save
         cannot cause the same delta to be re-applied)."""
+        if self._fence is not None:
+            self._fence.check()
         m = self._load_manifest()
         nxt = (m["version"] + 1) if m else 0
         buckets = dict(m["buckets"]) if m else {}
@@ -313,7 +321,7 @@ class AggState:
             if os.path.isdir(src):  # emptied buckets just leave the manifest
                 dst_dir = os.path.join(self.path, f"b-{k}")
                 os.makedirs(dst_dir, exist_ok=True)
-                os.replace(src, os.path.join(dst_dir, f"v-{nxt}"))
+                self.backend.place_dir(src, os.path.join(dst_dir, f"v-{nxt}"))
                 buckets[str(k)] = nxt
         manifest = {
             "version": nxt,
@@ -328,14 +336,16 @@ class AggState:
             )
         if extra:  # … and overwrite with this commit's
             manifest.update(extra)
-        tmp = os.path.join(self.path, f".manifest-{nxt}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self.path, f"manifest-{nxt}.json"))
+        if self._fence is not None:
+            self._fence.check()
+        # THE transaction point: rename backend os.replace-publishes the
+        # version-named file; CAS backend writes a content-unique object
+        # and compare-and-swaps the pointer — a racing writer loses with
+        # CommitConflict and the winner's state is untouched
+        self.backend.publish_manifest(self.path, nxt, manifest)
         # retain exactly one superseded generation for debug/time-travel
         shutil.rmtree(stage, ignore_errors=True)
-        for v in self._manifest_versions()[:-2]:
-            os.unlink(os.path.join(self.path, f"manifest-{v}.json"))
+        self.backend.retire_manifests(self.path, keep=2)
         for k, old_v in prev.items():
             bdir = os.path.join(self.path, f"b-{k}")
             if not os.path.isdir(bdir):

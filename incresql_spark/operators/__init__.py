@@ -8,9 +8,9 @@ from __future__ import annotations
 
 def bench_queries():
     """Headline pipeline-operator queries included in bench.py."""
-    from . import dedup, relational, similarity, text
+    from . import dedup, pipeline, relational, similarity, text
 
     out = {}
-    for mod in (dedup, relational, similarity, text):
+    for mod in (dedup, pipeline, relational, similarity, text):
         out.update(getattr(mod, "BENCH_QUERIES", {}))
     return out

@@ -726,3 +726,14 @@ ORACLE = {
     "dedup_embedding_incremental": DEDUP_EMBEDDING_SQL,
     "dedup_canonical": DEDUP_CANONICAL_SQL,
 }
+
+# Round 11 (VERDICT r10 task 7): the incremental-maintainer hot path gets
+# round-over-round regression tracking in BENCH_r* — previously its cost
+# was visible only in the one-off BENCH_MV_MERGE runs.  Each entry is the
+# self-contained gate shape (multi-wave ingest + refresh + teardown), so
+# the number tracks the WHOLE maintainer cycle, not just one refresh.
+BENCH_QUERIES = {
+    "mv_q3_incremental": mv_q3_incremental,
+    "mv_q13_incremental": mv_q13_incremental,
+    "dedup_minhash_incremental": dedup_minhash_incremental,
+}

@@ -1,0 +1,284 @@
+"""Commit-backend seam: POSIX-rename vs CAS manifest-pointer publication,
+compaction crash windows, and the single-writer fence.
+
+The storage layer's exactly-once claims previously held only on
+rename-atomic filesystems (SCALING.md documented the object-store gap);
+these tests pin the adapter that closes it: every FreqTable/AggState
+transaction funnels through ``commit.CommitBackend``, the CAS backend
+never renames, a racing writer loses LOUDLY (CommitConflict), and a fenced
+writer fails LOUDLY (WriterFenced) instead of interleaving commits."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import types as T
+
+from incresql_spark import commit
+from incresql_spark.commit import (
+    CasPointerCommitBackend,
+    CommitConflict,
+    RenameCommitBackend,
+    WriterFence,
+    WriterFenced,
+)
+from incresql_spark.frequency import FreqTable
+from incresql_spark.materialize import AggState
+
+
+def _schema():
+    return T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("v", T.StringType()),
+    ])
+
+
+def test_backend_for_reads_session_conf(spark):
+    assert isinstance(commit.backend_for(spark), RenameCommitBackend)
+    spark.conf.set(commit.BACKEND_CONF, "cas")
+    try:
+        assert isinstance(commit.backend_for(spark), CasPointerCommitBackend)
+        with pytest.raises(ValueError, match="unknown"):
+            spark.conf.set(commit.BACKEND_CONF, "s4")
+            commit.backend_for(spark)
+    finally:
+        spark.conf.unset(commit.BACKEND_CONF)
+
+
+def test_cas_freqtable_full_lifecycle_without_rename(spark, tmp_path, monkeypatch):
+    """The whole FreqTable lifecycle (insert, delete, compact, delta,
+    point-in-time scan) through the CAS backend — with os.rename/os.replace
+    forbidden for the duration, proving no commit path still depends on
+    rename atomicity."""
+    t = FreqTable(spark, str(tmp_path / "cas_t"),
+                  backend=CasPointerCommitBackend())
+    t.create(_schema())
+
+    def _no_rename(*a, **k):
+        raise AssertionError("CAS backend must never rename")
+
+    monkeypatch.setattr(os, "rename", _no_rename)
+    monkeypatch.setattr(os, "replace", _no_rename)
+    t.insert(spark.createDataFrame([(1, "a"), (2, "b")], _schema()), ts_ms=1000)
+    t.insert(spark.createDataFrame([(3, "c")], _schema()), ts_ms=2000)
+    assert sorted((r.k, r.v) for r in t.scan().collect()) == [
+        (1, "a"), (2, "b"), (3, "c")]
+    assert sorted(r.k for r in t.scan(as_of_ms=1000).collect()) == [1, 2]
+    t.delete_where("k = 2")
+    assert sorted(r.k for r in t.scan().collect()) == [1, 3]
+    t.compact()
+    assert sorted(r.k for r in t.scan().collect()) == [1, 3]
+    # exactly one live segment, committed via its marker object
+    [seg] = t._segments()
+    assert os.path.exists(os.path.join(seg["dir"], "_segmeta.json"))
+    # post-compaction delta from the head cursor is empty, as usual
+    assert t.delta(seg["seq"]).count() == 0
+
+
+def test_cas_unsealed_segment_is_invisible_then_reclaimed(spark, tmp_path):
+    """Under CAS, parquet lands at the final key BEFORE the marker PUT; a
+    crash in between leaves an unmarked seg dir that must be invisible to
+    readers and reclaimed by the next write."""
+    t = FreqTable(spark, str(tmp_path / "cas_crash"),
+                  backend=CasPointerCommitBackend())
+    t.create(_schema())
+    t.insert(spark.createDataFrame([(1, "a")], _schema()))
+    # simulate the crash: data files under a final seg name, no marker
+    orphan = os.path.join(t.path, "seg-9999999999999-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")
+    assert [r.k for r in t.scan().collect()] == [1]  # invisible, not fatal
+    t.insert(spark.createDataFrame([(2, "b")], _schema()))
+    assert not os.path.isdir(orphan), "stale unsealed segment not reclaimed"
+    assert sorted(r.k for r in t.scan().collect()) == [1, 2]
+
+
+def test_compact_publishes_before_deleting_inputs(spark, tmp_path, monkeypatch):
+    """Crash-ordering of compaction: the merged segment is sealed BEFORE
+    the input segments are deleted.  A crash in between leaves inputs
+    subsumed (span-covered) — readers must NOT double-count them, and the
+    next compact reclaims the leftovers.  The pre-round-11 order (delete
+    inputs, then publish) lost the whole table in this window."""
+    import incresql_spark.frequency as freq_mod
+
+    t = FreqTable(spark, str(tmp_path / "cmp"))
+    t.create(_schema())
+    t.insert(spark.createDataFrame([(1, "a"), (2, "b")], _schema()), ts_ms=1000)
+    t.insert(spark.createDataFrame([(2, "b"), (3, "c")], _schema()), ts_ms=2000)
+
+    real_rmtree = shutil.rmtree
+
+    def crashing_rmtree(*a, **k):
+        raise RuntimeError("simulated crash before input deletion")
+
+    monkeypatch.setattr(freq_mod.shutil, "rmtree", crashing_rmtree)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        t.compact()
+    monkeypatch.setattr(freq_mod.shutil, "rmtree", real_rmtree)
+
+    # merged + both inputs coexist on disk, but reads see each row once
+    seg_dirs = [n for n in os.listdir(t.path) if n.startswith("seg-")]
+    assert len(seg_dirs) == 3
+    got = sorted((r.k, r.v) for r in t.scan().collect())
+    assert got == [(1, "a"), (2, "b"), (2, "b"), (3, "c")]
+    # (2,'b') appears twice because it was inserted twice — multiset
+    # semantics — NOT because the subsumed inputs leak through; prove it
+    # by frequency: k=2 carries total freq 2, not 4
+    unexp = {r["k"]: r["__freq"] for r in t.scan(expand=False).collect()}
+    assert unexp == {1: 1, 2: 2, 3: 1}
+    # the next compact reclaims the subsumed leftovers
+    t.compact()
+    seg_dirs = [n for n in os.listdir(t.path) if n.startswith("seg-")]
+    assert len(seg_dirs) == 1
+    assert sorted(r.k for r in t.scan().collect()) == [1, 2, 2, 3]
+
+
+def test_cas_manifest_contention_loser_fails_loudly(tmp_path):
+    """Two writers CAS the same manifest version: exactly one wins; the
+    loser raises CommitConflict and its manifest object is removed — the
+    committed state is byte-for-byte the winner's."""
+    b = CasPointerCommitBackend()
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    b.publish_manifest(path, 0, {"version": 0, "who": "A"})
+    with pytest.raises(CommitConflict, match="committed by another writer"):
+        b.publish_manifest(path, 0, {"version": 0, "who": "B"})
+    assert b.load_manifest(path)["who"] == "A"
+    # the loser's orphan object was cleaned up
+    mobjs = [f for f in os.listdir(path) if f.startswith("mobj-")]
+    assert len(mobjs) == 1
+    # the winner continues normally at the next version
+    b.publish_manifest(path, 1, {"version": 1, "who": "A"})
+    assert b.load_manifest(path)["version"] == 1
+
+
+def test_cas_aggstate_two_writer_contention(spark, tmp_path):
+    """End-to-end AggState race under CAS: writer B loses the pointer CAS
+    to writer A (who lands the same version first), B's write_buckets
+    raises CommitConflict, and the state serves exactly A's commit."""
+    path = str(tmp_path / "agg")
+    key_schema = "k INT, cnt BIGINT"
+
+    a = AggState(spark, path, num_buckets=4, backend=CasPointerCommitBackend())
+    b = AggState(spark, path, num_buckets=4, backend=CasPointerCommitBackend())
+
+    df_a = spark.createDataFrame([(1, 10), (2, 20)], key_schema)
+    df_b = spark.createDataFrame([(1, 99)], key_schema)
+    touched = list(range(4))
+
+    orig = b.backend.publish_manifest
+
+    def racing_publish(state_path, version, payload):
+        # the rival writer commits the same version a moment earlier
+        a.write_buckets(df_a, ["k"], touched)
+        orig(state_path, version, payload)
+
+    b.backend.publish_manifest = racing_publish
+    with pytest.raises(CommitConflict):
+        b.write_buckets(df_b, ["k"], touched)
+
+    got = sorted((r.k, r.cnt) for r in a.read().collect())
+    assert got == [(1, 10), (2, 20)], "state must be exactly the winner's"
+    # and the loser can retry from the fresh manifest like any writer
+    b.backend.publish_manifest = orig
+    merged = spark.createDataFrame([(1, 109), (2, 20)], key_schema)
+    b.write_buckets(merged, ["k"], touched)
+    got = sorted((r.k, r.cnt) for r in b.read().collect())
+    assert got == [(1, 109), (2, 20)]
+
+
+def test_cas_aggstate_lifecycle_and_retention(spark, tmp_path):
+    """AggState through CAS: versions advance via the pointer, old
+    generations are retired, reads always serve the committed manifest."""
+    st = AggState(spark, str(tmp_path / "life"), num_buckets=4,
+                  backend=CasPointerCommitBackend())
+    sch = "k INT, cnt BIGINT"
+    st.write_buckets(spark.createDataFrame([(1, 1)], sch), ["k"],
+                     list(range(4)), extra={"cursor": 7})
+    st.write_buckets(spark.createDataFrame([(1, 2), (5, 1)], sch), ["k"],
+                     list(range(4)))
+    st.write_buckets(spark.createDataFrame([(1, 3), (5, 1), (9, 4)], sch),
+                     ["k"], list(range(4)))
+    m = st._load_manifest()
+    assert m["version"] == 2
+    assert m["cursor"] == 7, "extras must carry across commits"
+    assert sorted((r.k, r.cnt) for r in st.read().collect()) == [
+        (1, 3), (5, 1), (9, 4)]
+    # retention: at most 2 pointer generations + their objects remain
+    assert len(st.backend.manifest_versions(st.path)) <= 2
+    mobjs = [f for f in os.listdir(st.path) if f.startswith("mobj-")]
+    assert len(mobjs) <= 2
+
+
+def test_writer_fence_takeover_fails_old_writer_loudly(spark, tmp_path):
+    """Two FreqTable writers on one directory: the second acquires the
+    fence (takeover — no stale-lock brickage after a crash), after which
+    the FIRST writer's next commit raises WriterFenced BEFORE publishing
+    anything.  Segment seqs never interleave."""
+    path = str(tmp_path / "fenced")
+    wa = FreqTable(spark, path)
+    wa.create(_schema())
+    wa.acquire_writer_fence()
+    wa.insert(spark.createDataFrame([(1, "a")], _schema()))
+
+    wb = FreqTable(spark, path)
+    wb.acquire_writer_fence()  # takeover
+    wb.insert(spark.createDataFrame([(2, "b")], _schema()))
+
+    with pytest.raises(WriterFenced, match="fenced by epoch"):
+        wa.insert(spark.createDataFrame([(3, "x")], _schema()))
+    with pytest.raises(WriterFenced):
+        wa.compact()
+
+    # state holds exactly the fenced-writer's pre-fence row + B's row
+    assert sorted(r.k for r in wb.scan().collect()) == [1, 2]
+    seqs = [s["seq"] for s in wb._segments()]
+    assert seqs == sorted(seqs) == list(range(len(seqs)))
+
+
+def test_writer_fence_aggstate(spark, tmp_path):
+    """Same fence discipline on the AggState commit path."""
+    path = str(tmp_path / "fenced_agg")
+    sch = "k INT, cnt BIGINT"
+    a = AggState(spark, path, num_buckets=2)
+    a.acquire_writer_fence()
+    a.write_buckets(spark.createDataFrame([(1, 1)], sch), ["k"], [0, 1])
+
+    b = AggState(spark, path, num_buckets=2)
+    b.acquire_writer_fence()
+    with pytest.raises(WriterFenced):
+        a.write_buckets(spark.createDataFrame([(1, 2)], sch), ["k"], [0, 1])
+    # the new owner proceeds; state reflects its commit only
+    b.write_buckets(spark.createDataFrame([(1, 5)], sch), ["k"], [0, 1])
+    assert [(r.k, r.cnt) for r in b.read().collect()] == [(1, 5)]
+
+
+def test_writer_fence_epoch_acquire_is_exclusive(tmp_path):
+    """The epoch create is O_EXCL: racing acquirers get distinct epochs
+    and the highest one owns the directory."""
+    path = str(tmp_path / "ep")
+    os.makedirs(path)
+    f1 = WriterFence.acquire(path)
+    f2 = WriterFence.acquire(path)
+    assert f2.epoch == f1.epoch + 1
+    with pytest.raises(WriterFenced):
+        f1.check()
+    f2.check()  # current owner passes
+
+
+def test_rename_backend_reclaims_legacy_unmarked_segment(spark, tmp_path):
+    """Pre-seam crash garbage (parquet written to a final seg dir, crash
+    before _segmeta.json) is invisible and reclaimed under the rename
+    backend too."""
+    t = FreqTable(spark, str(tmp_path / "legacy"))
+    t.create(_schema())
+    t.insert(spark.createDataFrame([(1, "a")], _schema()))
+    orphan = os.path.join(t.path, "seg-1-cafecafe")
+    os.makedirs(orphan)
+    assert [r.k for r in t.scan().collect()] == [1]
+    t.insert(spark.createDataFrame([(2, "b")], _schema()))
+    assert not os.path.isdir(orphan)
+    assert sorted(r.k for r in t.scan().collect()) == [1, 2]
