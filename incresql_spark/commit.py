@@ -229,20 +229,31 @@ class CasPointerCommitBackend:
         obj = f"mobj-{version}-{uuid.uuid4().hex[:8]}.json"
         with open(os.path.join(state_path, obj), "w") as fh:
             json.dump(payload, fh)
-        os.makedirs(self._ptr_dir(state_path), exist_ok=True)
-        ptr = os.path.join(self._ptr_dir(state_path), f"ptr-{version}")
+        ptr_dir = self._ptr_dir(state_path)
+        os.makedirs(ptr_dir, exist_ok=True)
+        ptr = os.path.join(ptr_dir, f"ptr-{version}")
+        # CAS with content-atomicity: the pointer appears with its target
+        # name already inside (a real conditional PUT is atomic with its
+        # body; an O_EXCL create + separate write would leave a torn empty
+        # pointer if the writer died in between).  hard-link is
+        # create-if-absent, not a rename.
+        src = os.path.join(ptr_dir, f".ptr-{version}-{uuid.uuid4().hex[:8]}")
+        with open(src, "w") as fh:
+            fh.write(obj)
         try:
-            fd = os.open(ptr, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(src, ptr)
         except FileExistsError as exc:
             os.unlink(os.path.join(state_path, obj))
             raise CommitConflict(
                 f"manifest version {version} was committed by another "
                 f"writer; re-read the state and retry"
             ) from exc
-        with os.fdopen(fd, "w") as fh:
-            fh.write(obj)
+        finally:
+            os.unlink(src)
 
     def retire_manifests(self, state_path: str, keep: int = 2) -> None:
+        if not os.path.isdir(self._ptr_dir(state_path)):
+            return
         vs = self.manifest_versions(state_path)
         live: set[str] = set()
         for v in vs[-keep:]:
@@ -251,6 +262,9 @@ class CasPointerCommitBackend:
                 live.add(fh.read().strip())
         for v in vs[:-keep]:
             os.unlink(os.path.join(self._ptr_dir(state_path), f"ptr-{v}"))
+        for name in os.listdir(self._ptr_dir(state_path)):
+            if name.startswith(".ptr-"):  # torn CAS scratch of a crashed writer
+                os.unlink(os.path.join(self._ptr_dir(state_path), name))
         for name in os.listdir(state_path):
             if name.startswith("mobj-") and name not in live:
                 os.unlink(os.path.join(state_path, name))
