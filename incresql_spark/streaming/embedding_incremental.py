@@ -56,7 +56,8 @@ _BANDS_SCHEMA = T.StructType(
 class IncrementalEmbeddingDedup:
     """Materialized hyperplane-LSH state + per-batch delta maintenance."""
 
-    def __init__(self, spark: SparkSession, state_dir: str, band_bits: int):
+    def __init__(self, spark: SparkSession, state_dir: str, band_bits: int,
+                 fence: bool = False):
         # the stride between bands is EMBED_BAND_HI physical planes: a band
         # wider than the stride would reuse a neighbouring band's planes
         if not 1 <= band_bits <= EMBED_BAND_HI:
@@ -69,6 +70,10 @@ class IncrementalEmbeddingDedup:
         self.state_dir = state_dir
         self.bands = FreqTable(spark, f"{state_dir}/bands")
         self.vectors = FreqTable(spark, f"{state_dir}/vectors")
+        if fence:
+            # single-writer fence over both state tables (see commit.py)
+            self.bands.acquire_writer_fence()
+            self.vectors.acquire_writer_fence()
         # The geometry an existing state was built with is FROZEN — a
         # maintainer reopened with different band_bits / band count / plane
         # stride would silently mis-bucket every future delta against

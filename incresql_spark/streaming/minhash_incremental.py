@@ -76,11 +76,19 @@ class IncrementalMinHashDedup:
     ordered doc_a < doc_b, same schema as ``dedup_minhash_lsh``).
     """
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 fence: bool = False):
         self.spark = spark
         self.state_dir = state_dir
         self.bands = FreqTable(spark, f"{state_dir}/bands")
         self.shingles = FreqTable(spark, f"{state_dir}/shingles")
+        if fence:
+            # long-lived maintainers are the natural single-writer owners
+            # of their state dirs: claim the writer fence so a second
+            # maintainer instance fences this one loudly at its next
+            # commit instead of interleaving segment seqs (commit.py)
+            self.bands.acquire_writer_fence()
+            self.shingles.acquire_writer_fence()
         # Geometry here is all code constants, but state OUTLIVES code: a
         # newer build with different signature/shingle construction must
         # refuse this state, not silently stop matching history.  The

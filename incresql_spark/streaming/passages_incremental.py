@@ -85,11 +85,16 @@ _RESULTS_SCHEMA = T.StructType(
 class IncrementalPassagesDedup:
     """Materialized passage-dedup state + per-batch delta maintenance."""
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 fence: bool = False):
         self.spark = spark
         self.state_dir = state_dir
         self.chunks = FreqTable(spark, f"{state_dir}/chunks")
         self.results = FreqTable(spark, f"{state_dir}/results")
+        if fence:
+            # single-writer fence over both state tables (see commit.py)
+            self.chunks.acquire_writer_fence()
+            self.results.acquire_writer_fence()
         # chunk geometry is frozen with the state: digests of differently
         # sized chunks never match, so a changed PASSAGE_TOKENS in a newer
         # build must refuse this state rather than silently stop dedup

@@ -323,3 +323,27 @@ def test_engine_end_to_end_on_cas_backend(spark, tmp_path):
                 assert not f.startswith("manifest-"), os.path.join(root, f)
     finally:
         spark.conf.unset(commit.BACKEND_CONF)
+
+
+def test_maintainer_fence_two_instances(spark, tmp_path):
+    """Two IncrementalMinHashDedup maintainers pointed at one state dir
+    with fence=True: the second instance's acquisition fences the first,
+    whose next add_batch raises WriterFenced before touching state."""
+    from incresql_spark.streaming.minhash_incremental import (
+        IncrementalMinHashDedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "an entirely different document about spark and parquet files")],
+        "doc_id BIGINT, text STRING",
+    )
+    path = str(tmp_path / "mh_state")
+    m1 = IncrementalMinHashDedup(spark, path, fence=True)
+    m1.add_batch(docs)
+
+    m2 = IncrementalMinHashDedup(spark, path, fence=True)  # takeover
+    with pytest.raises(WriterFenced):
+        m1.add_batch(docs.withColumn("doc_id", docs.doc_id + 10))
+    # the new owner operates normally over the state the old one built
+    m2.add_batch(docs.withColumn("doc_id", docs.doc_id + 100))
