@@ -341,3 +341,16 @@ class WriterFence:
                 f"writer epoch {self.epoch} fenced by epoch {newest} on "
                 f"{self.path} — a newer writer owns this state directory"
             )
+
+
+def write_json_atomic(path: str, obj: dict) -> None:
+    """Publish a small JSON control file (catalog, table schema, geometry
+    pin, MV meta) via write-then-rename: a crash mid-write leaves the old
+    file (or none), never a truncated document that would make every
+    subsequent open die in ``json.load``.  On object stores a single PUT
+    is already atomic with its body — this is the local-filesystem analog,
+    so control files need no backend dispatch."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, path)

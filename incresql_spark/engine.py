@@ -33,7 +33,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from . import dialect
+from . import commit, dialect
 from .explain import reference_explain
 from .frequency import FreqTable
 from .materialize import AggregateJoinMaterializedView, MaterializedView
@@ -140,8 +140,7 @@ class Engine:
         return {}
 
     def _save_views(self, db: str, views: dict[str, dict]) -> None:
-        with open(self._views_path(db), "w") as fh:
-            json.dump(views, fh)
+        commit.write_json_atomic(self._views_path(db), views)
 
     def _mvs_path(self, db: str) -> str:
         return os.path.join(self._db_path(db), "_mvs.json")
@@ -154,8 +153,9 @@ class Engine:
         return {}
 
     def _save_mvs(self, db: str, mvs: dict[str, dict]) -> None:
-        with open(self._mvs_path(db), "w") as fh:
-            json.dump(mvs, fh)
+        # atomic: a torn catalog file would brick every later statement
+        # in the database (json.load at each _mvs() call)
+        commit.write_json_atomic(self._mvs_path(db), mvs)
 
     def _register_and_refresh_mv(
         self, db: str, name: str, mvs: dict[str, dict]

@@ -84,8 +84,7 @@ class FreqTable:
             "columns": [(f.name, f.dataType.simpleString()) for f in schema.fields],
             "created_ms": int(time.time() * 1000),
         }
-        with open(self._schema_path, "w") as fh:
-            json.dump(meta, fh)
+        commit.write_json_atomic(self._schema_path, meta)
 
     def exists(self) -> bool:
         return os.path.exists(self._schema_path)

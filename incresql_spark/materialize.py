@@ -395,8 +395,7 @@ class MaterializedView:
 
     def _save_meta(self, meta: dict) -> None:
         os.makedirs(self.state_dir, exist_ok=True)
-        with open(self.meta_path, "w") as fh:
-            json.dump(meta, fh)
+        commit.write_json_atomic(self.meta_path, meta)
 
     # -- delta pipeline ------------------------------------------------------
     def _apply_linear(self, df: DataFrame) -> DataFrame:
@@ -624,8 +623,7 @@ class JoinMaterializedView:
 
     def _save(self, meta: dict) -> None:
         os.makedirs(self.state_dir, exist_ok=True)
-        with open(self.meta_path, "w") as fh:
-            json.dump(meta, fh)
+        commit.write_json_atomic(self.meta_path, meta)
 
     def _join(self, a: DataFrame, b: DataFrame) -> DataFrame:
         fa = a.withColumnRenamed(FREQ, "__fa")

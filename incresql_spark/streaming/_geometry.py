@@ -21,6 +21,8 @@ from __future__ import annotations
 import json
 import os
 
+from ..commit import write_json_atomic
+
 
 def geometry_path(state_dir: str) -> str:
     return os.path.join(state_dir, "_geometry.json")
@@ -41,8 +43,7 @@ def pin_geometry(state_dir: str, geometry: dict) -> None:
             )
         return
     os.makedirs(state_dir, exist_ok=True)
-    with open(path, "w") as fh:
-        json.dump(geometry, fh)
+    write_json_atomic(path, geometry)
 
 
 def unpin_geometry(state_dir: str) -> None:

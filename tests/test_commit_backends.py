@@ -347,3 +347,31 @@ def test_maintainer_fence_two_instances(spark, tmp_path):
         m1.add_batch(docs.withColumn("doc_id", docs.doc_id + 10))
     # the new owner operates normally over the state the old one built
     m2.add_batch(docs.withColumn("doc_id", docs.doc_id + 100))
+
+
+def test_write_json_atomic_crash_leaves_old_file(tmp_path, monkeypatch):
+    """Control files (catalogs, schema.json, geometry pins, MV metas) are
+    published write-then-rename: a crash mid-write must leave the OLD
+    document readable, never a truncated one that bricks every later
+    json.load."""
+    import json as _json
+
+    target = str(tmp_path / "ctl.json")
+    commit.write_json_atomic(target, {"gen": 1})
+
+    real_dump = _json.dump
+
+    def torn_dump(obj, fh, **kw):
+        fh.write('{"gen": 2, "tru')  # partial bytes, then the crash
+        raise RuntimeError("simulated crash mid-write")
+
+    monkeypatch.setattr(commit.json, "dump", torn_dump)
+    with pytest.raises(RuntimeError, match="mid-write"):
+        commit.write_json_atomic(target, {"gen": 2})
+    monkeypatch.setattr(commit.json, "dump", real_dump)
+
+    with open(target) as fh:
+        assert _json.load(fh) == {"gen": 1}
+    commit.write_json_atomic(target, {"gen": 3})
+    with open(target) as fh:
+        assert _json.load(fh) == {"gen": 3}
