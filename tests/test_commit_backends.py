@@ -375,3 +375,117 @@ def test_write_json_atomic_crash_leaves_old_file(tmp_path, monkeypatch):
     commit.write_json_atomic(target, {"gen": 3})
     with open(target) as fh:
         assert _json.load(fh) == {"gen": 3}
+
+
+def test_cas_aggstate_recovers_from_crashed_refresh_leftovers(spark, tmp_path):
+    """The crashed-refresh reclaim (uncommitted v-{next} bucket versions +
+    stage dirs) is backend-independent — it keys off the COMMITTED
+    manifest version.  Repeat the rename-backend recovery scenario under
+    CAS: orphans newer than the pointer must be reclaimed and the next
+    commit must land cleanly."""
+    path = str(tmp_path / "agg_crash")
+    sch = "k INT, cnt BIGINT"
+    st = AggState(spark, path, num_buckets=4, backend=CasPointerCommitBackend())
+    st.write_buckets(spark.createDataFrame([(1, 1), (2, 2)], sch), ["k"],
+                     list(range(4)))
+    m = st._load_manifest()
+    nxt = m["version"] + 1
+    # simulate the crash: uncommitted v-{nxt} under every live bucket plus
+    # a leftover stage dir, pointer never advanced
+    for b in m["buckets"]:
+        d = os.path.join(path, f"b-{b}", f"v-{nxt}")
+        os.makedirs(d)
+        with open(os.path.join(d, "junk.parquet"), "w") as fh:
+            fh.write("crashed")
+    os.makedirs(os.path.join(path, f"stage-{nxt}", "__bkt=0"))
+
+    st.write_buckets(spark.createDataFrame([(1, 5), (2, 2)], sch), ["k"],
+                     list(range(4)))
+    assert sorted((r.k, r.cnt) for r in st.read().collect()) == [(1, 5), (2, 2)]
+    assert st._load_manifest()["version"] == nxt
+
+
+def test_randomized_compact_crash_differential(spark, tmp_path):
+    """Randomized history of inserts / deletes / compactions with crashes
+    injected at BOTH compaction crash points (before the seal: stage
+    garbage only; after the seal, before input deletion: subsumed inputs
+    coexist with the merged segment), checked after every step against a
+    Python multiset model.  This is the differential that pins the new
+    publish-first compaction + span-subsumption reader rule under
+    arbitrary interleavings, for both commit backends."""
+    import random
+    from collections import Counter
+
+    import incresql_spark.frequency as freq_mod
+
+    rng = random.Random(20260815)
+
+    for backend_name, backend in (("rename", RenameCommitBackend()),
+                                  ("cas", CasPointerCommitBackend())):
+        t = FreqTable(spark, str(tmp_path / f"rand_{backend_name}"),
+                      backend=backend)
+        t.create(T.StructType([T.StructField("k", T.IntegerType())]))
+        model: Counter = Counter()
+        ts = 1000
+
+        def check():
+            got = Counter(r["k"] for r in t.scan().collect())
+            assert got == +model, f"{backend_name}: {got} != {+model}"
+
+        for step in range(14):
+            op = rng.choice(["insert", "insert", "delete", "compact",
+                             "crash_compact"])
+            ts += 1000
+            if op == "insert":
+                ks = [rng.randrange(6) for _ in range(rng.randrange(1, 4))]
+                t.insert(spark.createDataFrame([(k,) for k in ks], "k INT"),
+                         ts_ms=ts)
+                model.update(ks)
+            elif op == "delete":
+                k = rng.randrange(6)
+                t.delete_where(f"k = {k}")
+                model[k] = 0
+            elif op == "compact":
+                t.compact()
+            else:
+                if len(t._segments()) < 2:
+                    t.compact()  # nothing to merge — no crash point exists
+                    check()
+                    continue
+                # crash inside compact at a random point: the seal itself
+                # (stage only published for rename = nothing visible; for
+                # CAS the marker never lands = dir invisible), or the
+                # input-deletion pass right after the seal
+                point = rng.choice(["pre_seal", "post_seal"])
+                if point == "pre_seal":
+                    orig_seal = t.backend.seal_segment
+
+                    def crash_seal(*a, **kw):
+                        raise RuntimeError("crash before seal")
+
+                    t.backend.seal_segment = crash_seal
+                    try:
+                        with pytest.raises(RuntimeError, match="before seal"):
+                            t.compact()
+                    except BaseException:
+                        t.backend.seal_segment = orig_seal
+                        raise
+                    t.backend.seal_segment = orig_seal
+                else:
+                    real_rmtree = shutil.rmtree
+
+                    def crash_rmtree(*a, **kw):
+                        raise RuntimeError("crash before input deletion")
+
+                    freq_mod.shutil.rmtree = crash_rmtree
+                    try:
+                        with pytest.raises(RuntimeError,
+                                           match="input deletion"):
+                            t.compact()
+                    finally:
+                        freq_mod.shutil.rmtree = real_rmtree
+            check()
+        # final compaction converges to one live segment, same contents
+        t.compact()
+        check()
+        assert len(t._segments()) <= 1
