@@ -687,7 +687,17 @@ def op_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     order can't change it), so unlike a naive double Σxy the result is
     bit-stable across partitionings AND engines; the final r is a fixed
     sequence of double ops over those exact moments.  This is also the
-    mergeable-moments shape a streaming/MV variant would keep as state."""
+    mergeable-moments shape a streaming/MV variant would keep as state.
+
+    Output is r in integer PARTS-PER-BILLION, not a raw DOUBLE: at sf0.1
+    the moments are byte-identical across engines but DuckDB's
+    DECIMAL(38,4)→DOUBLE cast mis-rounds the 20-significant-digit Σy² by
+    1 ulp (measured: 0x1.f9b1fab04dd2cp+50 vs the correctly-rounded
+    ...2dp+50 Spark/Python produce), shifting r by ~5e-19 — hash-red on
+    an exact compare.  Rounding r·10⁹ to an integer absorbs any sub-ulp
+    cast divergence (it would need to land within ~1e-10 of a half-count
+    to flip) and keeps the gate output in the repo's fixed-point BIGINT
+    convention."""
     l = load_table(spark, sf_dir, "lineitem").select(
         F.expr("CAST(l_quantity AS DECIMAL(12,2))").alias("x"),
         F.expr("CAST(l_extendedprice AS DECIMAL(14,2))").alias("y"),
@@ -705,7 +715,10 @@ def op_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
         "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
     )
-    return m.select("n", F.expr(r).alias("corr_qty_price"))
+    return m.select(
+        "n",
+        F.expr(f"CAST(ROUND(({r}) * 1e9) AS BIGINT)").alias("corr_ppb"),
+    )
 
 
 OP_CORR_SQL = """
@@ -722,10 +735,11 @@ m AS (
   FROM l
 )
 SELECT n,
+       CAST(ROUND((
        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
        (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
         sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-         AS corr_qty_price
+       ) * 1e9) AS BIGINT) AS corr_ppb
 FROM m
 """
 
