@@ -374,21 +374,28 @@ def mv_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"l_shipdate > DATE '{_MV_DATE}'",
             ],
         )
-        # batch 1: dimension + even orderkeys; refresh 1
-        tables["customer"][0].insert(tables["customer"][1])
+        # batch 1: dimension + even orderkeys; refresh 1.  TPC-H rows are
+        # tuple-distinct (unique primary keys), so every ingest skips the
+        # in-batch merge shuffle — the same fast path the maintainers use.
+        tables["customer"][0].insert(tables["customer"][1],
+                                     assume_distinct=True)
         tables["orders"][0].insert(
-            tables["orders"][1].filter("o_orderkey % 2 = 0")
+            tables["orders"][1].filter("o_orderkey % 2 = 0"),
+            assume_distinct=True,
         )
         tables["lineitem"][0].insert(
-            tables["lineitem"][1].filter("l_orderkey % 2 = 0")
+            tables["lineitem"][1].filter("l_orderkey % 2 = 0"),
+            assume_distinct=True,
         )
         mv.refresh()
         # batch 2: odd orderkeys on BOTH fact-side tables; refresh 2
         tables["orders"][0].insert(
-            tables["orders"][1].filter("o_orderkey % 2 = 1")
+            tables["orders"][1].filter("o_orderkey % 2 = 1"),
+            assume_distinct=True,
         )
         tables["lineitem"][0].insert(
-            tables["lineitem"][1].filter("l_orderkey % 2 = 1")
+            tables["lineitem"][1].filter("l_orderkey % 2 = 1"),
+            assume_distinct=True,
         )
         mv.refresh()
         # retraction: DELETE one return-flag class; refresh 3
@@ -487,10 +494,13 @@ def mv_q13_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             table_filters=[None, "o_orderpriority <> '1-URGENT'"],
             hows=["left_outer"],
         )
-        cust.insert(cust_src)
-        ords.insert(ord_src.filter("o_orderkey % 2 = 0"))
+        # TPC-H rows are tuple-distinct — skip the in-batch merge shuffle
+        cust.insert(cust_src, assume_distinct=True)
+        ords.insert(ord_src.filter("o_orderkey % 2 = 0"),
+                    assume_distinct=True)
         mv.refresh()  # refresh 1: many customers still NULL-padded
-        ords.insert(ord_src.filter("o_orderkey % 2 = 1"))
+        ords.insert(ord_src.filter("o_orderkey % 2 = 1"),
+                    assume_distinct=True)
         mv.refresh()  # refresh 2: most pads retract as matches arrive
         # retraction wave: one customer class loses ALL its orders — their
         # rows must flip BACK to pads (c_count 0), not vanish
