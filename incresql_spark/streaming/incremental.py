@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+from ..commit import write_json_atomic
 from ..frequency import FreqTable
 from ..plans.layout import release as layout_release
 
@@ -324,13 +325,10 @@ def _apply_ingest_batch(
     # micro-batch.
     layout_release(pairs)
     layout_release(batch_df)
-    # Atomic marker update: write-then-rename so a crash mid-write leaves
-    # the OLD marker (or none), never a truncated JSON that would make
-    # every restart die in json.load.
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"run_id": run_id, "batch_id": batch_id}, fh)
-    os.replace(tmp, marker)
+    # Atomic marker update (write-then-rename via the shared control-file
+    # helper): a crash mid-write leaves the OLD marker (or none), never a
+    # truncated JSON that would make every restart die in json.load.
+    write_json_atomic(marker, {"run_id": run_id, "batch_id": batch_id})
 
 
 def stream_embedding_ingest(
