@@ -489,3 +489,43 @@ def test_randomized_compact_crash_differential(spark, tmp_path):
         t.compact()
         check()
         assert len(t._segments()) <= 1
+
+
+def test_writer_fence_composes_with_cas_backend(spark, tmp_path):
+    """Fence and CAS are orthogonal and compose: a fenced CAS writer is
+    fenced out by a takeover exactly as on the rename backend."""
+    path = str(tmp_path / "fenced_cas")
+    wa = FreqTable(spark, path, backend=CasPointerCommitBackend())
+    wa.create(_schema())
+    wa.acquire_writer_fence()
+    wa.insert(spark.createDataFrame([(1, "a")], _schema()))
+    wb = FreqTable(spark, path, backend=CasPointerCommitBackend())
+    wb.acquire_writer_fence()
+    with pytest.raises(WriterFenced):
+        wa.insert(spark.createDataFrame([(2, "x")], _schema()))
+    wb.insert(spark.createDataFrame([(3, "b")], _schema()))
+    assert sorted(r.k for r in wb.scan().collect()) == [1, 3]
+
+
+def test_writer_fence_acquire_races_across_processes(tmp_path):
+    """O_EXCL epoch acquisition is race-free across real processes: N
+    concurrent acquirers all succeed and receive N distinct epochs."""
+    import multiprocessing as mp
+
+    path = str(tmp_path / "mp_fence")
+    os.makedirs(path)
+
+    def worker(p, q):
+        from incresql_spark.commit import WriterFence
+
+        q.put(WriterFence.acquire(p).epoch)
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=worker, args=(path, q)) for _ in range(8)]
+    for p in procs:
+        p.start()
+    epochs = [q.get(timeout=30) for _ in procs]
+    for p in procs:
+        p.join(timeout=30)
+    assert sorted(epochs) == list(range(8)), epochs
