@@ -14,13 +14,12 @@ queries (mv_q3_incremental inner, mv_q13_incremental left-outer — round
 9), and a rotating head of the text suite.  Slots ROTATE each round so
 long-unverified queries gain driver evidence (the round-6/7 DECIMAL
 lesson: a fetch-path mismatch can be invisible to every local check).
-Round 11 rotated six: the round-10 tail newcomers
-dedup_passages_incremental / dedup_embedding_incremental /
-dedup_canonical plus text_sample_temperature / text_ccnet_bucket /
-op_salted_join moved into the gate (none had ever been driver-fetched);
-tpch_q4/q17/q20, mm_features, dedup_passages and sim_dedup_semantic —
-each driver-green for 10 straight rounds with its plan class covered by
-a gated sibling — moved to the tail.  Everything past the cap is equally
+Round 12 rotated six per the recorded burn-down: op_cube /
+op_grouping_sets / op_pivot / op_full_outer_join / op_retention_cohorts /
+op_histogram moved into the gate (none had ever been driver-fetched);
+tpch_q3/q8/q12, dedup_url, sim_knn_graph and mm_audio_chunks — each
+driver-green for 11 straight rounds with its plan class covered by a
+gated sibling — moved to the tail.  Everything past the cap is equally
 oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
 registered queries locally value-hash-matched — the exact count is
 asserted against this docstring by tests/test_entry_gate.py: 104
@@ -64,6 +63,12 @@ _RELATIONAL_CORE = (
     # Round 11: explicit hot-key salting proven result-invariant against
     # the plain-join oracle — the one skew lever AQE cannot always supply.
     "op_salted_join",
+    # Round 12 (burn-down schedule, VERDICT r11 task 1): the six cheapest
+    # never-driver-fetched rows — CUBE/GROUPING SETS/PIVOT rollup shapes,
+    # full-outer NULL-padding both sides, cohort retention (self-join over
+    # time buckets) and equi-width histogramming.
+    "op_cube", "op_grouping_sets", "op_pivot", "op_full_outer_join",
+    "op_retention_cohorts", "op_histogram",
 )
 
 
@@ -112,12 +117,23 @@ _GATE_DEMOTED = (
     # path gated by sim_knn_graph / sim_ann_ivf).
     "tpch_q4", "tpch_q17", "tpch_q20", "mm_features", "dedup_passages",
     "sim_dedup_semantic",
-    # Remaining never-driver-verified tail after round 11 (11 rows), with
-    # the planned burn-down schedule: round 12 promotes op_cube,
-    # op_grouping_sets, op_pivot, op_full_outer_join, op_retention_cohorts,
-    # op_histogram; round 13 promotes op_corr, text_pack_sequences,
-    # text_chunk_overlap, text_mix_sources, text_bpe_tokenize — finishing
-    # the blind spot entirely.
+    # Round-12 rotation (VERDICT r11 task 1): six slots free up for the
+    # scheduled burn-down promotions (op_cube, op_grouping_sets, op_pivot,
+    # op_full_outer_join, op_retention_cohorts, op_histogram — none ever
+    # driver-fetched).  Demoted — each driver-green for 11 straight rounds
+    # with its mechanism still gated by a sibling: tpch_q3 (join+agg+TopK;
+    # q10 gates the TakeOrderedAndProject class and mv_q3_incremental's
+    # oracle IS q3's batch recompute), tpch_q8 (multi-way join agg; q5/q7),
+    # tpch_q12 (join + CASE-conditional agg; q14), dedup_url (digest
+    # normalize + hash groupBy; dedup_exact), sim_knn_graph (LSH bucket +
+    # exact-cosine verify; sim_ann_ivf), mm_audio_chunks (chunked Arrow
+    # mapInPandas decode; mm_image_phash).
+    "tpch_q3", "tpch_q8", "tpch_q12", "dedup_url", "sim_knn_graph",
+    "mm_audio_chunks",
+    # Remaining never-driver-verified tail after round 12 (5 rows): round
+    # 13 promotes op_corr, text_pack_sequences, text_chunk_overlap,
+    # text_mix_sources, text_bpe_tokenize — finishing the blind spot
+    # entirely (plus text_pii_scrub, new this round, never fetched).
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated

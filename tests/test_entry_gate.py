@@ -2,23 +2,24 @@
 ``__spark_entry__.queries()`` — registration order IS the gate.  Pin the
 composition so a refactor cannot silently rotate queries in or out of
 driver evidence; a deliberate rotation updates this list in the same
-commit (round-11 composition)."""
+commit (round-12 composition)."""
 
 from __future__ import annotations
 
 GATE_50 = [
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q13",
-    "tpch_q12", "tpch_q14", "tpch_q15", "tpch_q18",
-    "tpch_q19", "tpch_q21",
+    "tpch_q1", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q18", "tpch_q19", "tpch_q21",
     "op_asof_join", "op_range_join", "op_window_functions",
     "op_percentiles", "op_time_window", "op_rolling_window",
     "op_salted_join",
+    "op_cube", "op_grouping_sets", "op_pivot", "op_full_outer_join",
+    "op_retention_cohorts", "op_histogram",
     "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_embedding", "dedup_url",
+    "dedup_minhash_lsh", "dedup_embedding",
     "dedup_contamination", "dedup_clusters", "dedup_substring_winnow",
-    "sim_knn_graph", "sim_ann_ivf",
-    "mm_audio_chunks", "mm_image_phash",
+    "sim_ann_ivf",
+    "mm_image_phash",
     "events_sessionize", "pipeline_curate", "pipeline_pretrain",
     "mv_q3_incremental", "mv_q13_incremental", "dedup_minhash_incremental",
     "dedup_passages_incremental", "dedup_embedding_incremental",
