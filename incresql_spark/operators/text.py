@@ -225,54 +225,93 @@ ORDER BY doc_id
 """
 
 
-# PII scrubbing: the corpus is synthetic (no real PII), so each doc gains a
-# deterministic injected email + phone, then the scrubber masks them.  The
-# regexes are the deliverable — identical RE2/Java-compatible subset in both
-# engines; production swaps in a fuller pattern bank.
-EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
-PHONE_RE = "555-[0-9]{4}"
+# PII redaction — the standard curation stage between quality scoring and
+# packing (C4 strips lines with bad-words/PII markers; CCNet and Dolma run
+# regex redaction passes; RefinedWeb masks emails/phones/IPs).  Three
+# deterministic regex classes — email, phone (NANP-ish with optional
+# country/area prefix), IPv4 — applied as a SEQUENTIAL scrub chain with the
+# per-class count taken on the text state that class actually sees, exactly
+# as a production redaction pipeline composes.  The patterns use only the
+# RE2 ∩ Java regex subset (character classes, bounded repetition, optional
+# non-backreferenced groups, \\b — no lookaround, no backreferences) so the
+# Spark and DuckDB engines match byte-for-byte; replacements contain no
+# ``$``/``\\`` so neither engine's backreference syntax triggers.  The
+# corpus is synthetic (zero digits, zero '@'), so the query grafts
+# deterministic PII spans derived from doc_id — identical expressions both
+# engines; docs land in different class mixes (none / one / several per
+# class) so zero-count and multi-count paths are all exercised.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "(\\+[0-9]{1,2} )?(\\([0-9]{3}\\)[- ]?|[0-9]{3}[- ])?[0-9]{3}-[0-9]{4}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+# doc_id-derived PII grafts (mod-3 class rotation, mod-5 multi-class rider).
+_PII_GRAFT_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', doc_id,"
+    "   '@example.com now') ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 1 THEN concat(' call +1 (415) 555-',"
+    "   lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' soon') ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 2 THEN concat(' host 10.', doc_id % 256, '.',"
+    "   (doc_id DIV 7) % 256, '.', doc_id % 254 + 1, ' up') ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' cc admin.', doc_id,"
+    "   '@test.org and 192.168.', doc_id % 256, '.1 also 555-',"
+    "   lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END)"
+)
+_PII_GRAFT_DUCK = (
+    "text ||"
+    " CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id ||"
+    "   '@example.com now' ELSE '' END ||"
+    " CASE WHEN doc_id % 3 = 1 THEN ' call +1 (415) 555-' ||"
+    "   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' soon' ELSE '' END ||"
+    " CASE WHEN doc_id % 3 = 2 THEN ' host 10.' || doc_id % 256 || '.' ||"
+    "   (doc_id // 7) % 256 || '.' || (doc_id % 254 + 1) || ' up' ELSE '' END ||"
+    " CASE WHEN doc_id % 5 = 0 THEN ' cc admin.' || doc_id ||"
+    "   '@test.org and 192.168.' || doc_id % 256 || '.1 also 555-' ||"
+    "   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
 
 
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mask emails/phones, count the hits, hash the scrubbed text.  Pure
-    Column expressions: a narrow codegen'd map, no Python in the path."""
+    """Redact emails → phones → IPv4s in sequence; emit the redacted text
+    plus per-class counts (each count taken on the intermediate text its
+    class scrubs, mirroring the production chain).  Pure Column
+    expressions: a narrow codegen'd map, no Python and no shuffle in the
+    path — the shape survives any corpus size unchanged."""
     d = load_table(spark, sf_dir, "documents")
-    pii = d.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id"),
-            F.lit("@example.com or 555-"),
-            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-        ).alias("pii_text"),
-    )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(F.col("pii_text"), EMAIL_RE, "<EMAIL>"),
-        PHONE_RE,
-        "<PHONE>",
-    )
+    pii = d.select("doc_id", F.expr(_PII_GRAFT_SPARK).alias("pii_text"))
+    t1 = F.regexp_replace(F.col("pii_text"), EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PHONE_RE, "<PHONE>")
+    t3 = F.regexp_replace(t2, IPV4_RE, "<IP>")
     return pii.select(
         "doc_id",
         F.regexp_count(F.col("pii_text"), F.lit(EMAIL_RE)).alias("n_emails"),
-        F.regexp_count(F.col("pii_text"), F.lit(PHONE_RE)).alias("n_phones"),
-        F.md5(scrubbed).alias("scrubbed_hash"),
+        F.regexp_count(t1, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(t2, F.lit(IPV4_RE)).alias("n_ips"),
+        t3.alias("scrubbed"),
     ).orderBy("doc_id")
 
 
 TEXT_PII_SCRUB_SQL = f"""
 WITH pii AS (
+  SELECT doc_id, {_PII_GRAFT_DUCK} AS pii_text FROM documents
+),
+s1 AS (
   SELECT doc_id,
-         text || ' contact user' || doc_id || '@example.com or 555-' ||
-         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
-  FROM documents
+         CAST(len(regexp_extract_all(pii_text, '{EMAIL_RE}')) AS INT)
+           AS n_emails,
+         regexp_replace(pii_text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM pii
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '{PHONE_RE}')) AS INT) AS n_phones,
+         regexp_replace(t1, '{PHONE_RE}', '<PHONE>', 'g') AS t2
+  FROM s1
 )
-SELECT doc_id,
-       CAST(len(regexp_extract_all(pii_text, '{EMAIL_RE}')) AS INT) AS n_emails,
-       CAST(len(regexp_extract_all(pii_text, '{PHONE_RE}')) AS INT) AS n_phones,
-       md5(regexp_replace(regexp_replace(pii_text, '{EMAIL_RE}', '<EMAIL>', 'g'),
-                          '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_hash
-FROM pii
+SELECT doc_id, n_emails, n_phones,
+       CAST(len(regexp_extract_all(t2, '{IPV4_RE}')) AS INT) AS n_ips,
+       regexp_replace(t2, '{IPV4_RE}', '<IP>', 'g') AS scrubbed
+FROM s2
 ORDER BY doc_id
 """
 

@@ -358,3 +358,52 @@ def test_ccnet_bucket_terciles_are_balanced_and_ordered(spark):
         heads = [r.lm_avg_df_ppm for r in rs if r.bucket == "head"]
         tails = [r.lm_avg_df_ppm for r in rs if r.bucket == "tail"]
         assert min(heads) >= max(tails), lang
+
+
+# --- text_pii_scrub ----------------------------------------------------------
+def test_pii_scrub_three_class_sequential_chain(spark, tmp_path):
+    """The redaction chain masks email -> phone -> IPv4 in order, counting
+    each class on the text state it actually scrubs; crafted docs cover
+    multi-match, zero-match, all phone spellings, and the dotted-quad /
+    phone disjointness that the chain ordering relies on."""
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            # doc 299: %3==2 -> IP graft; %5!=0 -> no rider.  Body adds one
+            # of every class, with every phone spelling the pattern claims.
+            (
+                299,
+                "mail First.Last+tag@sub.example.co.uk then +1 (212) 555-0000"
+                " and (212) 555-0001 and 212-555-0002 and 555-0003"
+                " from 255.255.255.255 end",
+            ),
+            # doc 300: %3==0 AND %5==0 -> email graft + rider (2nd email,
+            # bare phone, one more IP).  Body itself is PII-free.
+            (300, "clean body no digits here"),
+            # doc 301: %3==1 -> phone graft only.
+            (301, "also clean"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in text.text_pii_scrub(spark, sf).collect()}
+
+    r = out[299]
+    assert r["n_emails"] == 1
+    assert r["n_phones"] == 4
+    assert r["n_ips"] == 2  # body quad + grafted 'host 10.43.42.182'
+    assert "<EMAIL>" in r["scrubbed"] and "@" not in r["scrubbed"]
+    assert "555-" not in r["scrubbed"] and "(212)" not in r["scrubbed"]
+    assert "255.255.255.255" not in r["scrubbed"]
+    assert r["scrubbed"].count("<PHONE>") == 4
+
+    r = out[300]
+    assert r["n_emails"] == 2  # graft + rider
+    assert r["n_phones"] == 1  # rider's bare 555-0000
+    assert r["n_ips"] == 1  # rider's 192.168.44.1
+    assert r["scrubbed"].endswith("and <IP> also <PHONE>")
+
+    r = out[301]
+    assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (0, 1, 0)
+    assert "<EMAIL>" not in r["scrubbed"] and "<IP>" not in r["scrubbed"]
+    # the +1 (415) prefix is consumed by the same match, not left behind
+    assert "+1" not in r["scrubbed"] and "(415)" not in r["scrubbed"]
