@@ -120,8 +120,15 @@ class FreqTable:
         )
         metas = []
         for idx, name in enumerate(names):
-            with open(os.path.join(self.path, name, "_segmeta.json")) as fh:
-                meta = json.load(fh)
+            try:
+                with open(os.path.join(self.path, name, "_segmeta.json")) as fh:
+                    meta = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                # an unparseable marker is pre-link-protocol garbage (both
+                # backends publish markers content-atomically), i.e. the
+                # segment never committed: invisible here, reclaimed by the
+                # next clean_stale_segments — NOT a read error forever
+                continue
             # segments written before the seq field existed sort by name
             # (ts-uuid); enumeration order over the seg-* entries ONLY is
             # their effective sequence (enumerating the whole directory
@@ -145,19 +152,43 @@ class FreqTable:
             meta.setdefault("min_ts", meta["ts_ms"])
             meta["dir"] = os.path.join(self.path, name)
             metas.append(meta)
+        # Two sealed segments claiming the SAME (min_seq, seq) span is
+        # always a writer-discipline violation — exactly what two unfenced
+        # concurrent writers produce (each computes max(seq)+1 from the
+        # same listing).  Counting both would silently double every row;
+        # fail loudly instead (round-11 advice).
+        spans: dict[tuple, str] = {}
+        for m in metas:
+            span = (m["min_seq"], m["seq"])
+            if span in spans:
+                raise ValueError(
+                    f"segments {spans[span]!r} and {m['dir']!r} both claim "
+                    f"seq span {span[0]}..{span[1]} — two writers committed "
+                    f"the same sequence number (unfenced concurrent writers "
+                    f"are unsupported; acquire_writer_fence() and rebuild "
+                    f"the table from a consistent source)"
+                )
+            spans[span] = m["dir"]
         # Drop segments SUBSUMED by a compaction product whose seq span
         # strictly covers theirs: compact() publishes the merged segment
         # BEFORE deleting the inputs (crash-safe ordering — the reverse
         # would lose the table in the crash window), so for one listing
         # both may coexist; counting both would double every absorbed row.
-        live = [
-            m for m in metas
-            if not any(
-                o["min_seq"] <= m["min_seq"] and m["seq"] <= o["seq"]
-                and (o["min_seq"], o["seq"]) != (m["min_seq"], m["seq"])
-                for o in metas
-            )
-        ]
+        # Only compaction products (min_seq < seq) can cover a different
+        # span, so the common all-plain-segments listing skips the pass
+        # entirely and the filter is O(n·compacted), not O(n²).
+        covers = [m for m in metas if m["min_seq"] < m["seq"]]
+        if covers:
+            live = [
+                m for m in metas
+                if not any(
+                    o["min_seq"] <= m["min_seq"] and m["seq"] <= o["seq"]
+                    and (o["min_seq"], o["seq"]) != (m["min_seq"], m["seq"])
+                    for o in covers
+                )
+            ]
+        else:
+            live = metas
         for meta in live:
             if as_of_ms is not None and meta["ts_ms"] > as_of_ms:
                 # a compacted segment spans [min_ts, ts_ms]; an as_of_ms
@@ -243,16 +274,19 @@ class FreqTable:
         # stage → seal is the backend's atomic publication: rename backend
         # stages in a dot-prefixed dir and renames marker+data into place
         # together; CAS backend writes parquet at the final key and the
-        # marker PUT is the commit point (readers skip unmarked dirs)
-        self.backend.clean_stale_segments(self.path)
+        # marker PUT is the commit point (readers skip unmarked dirs).
+        # GC runs inside the fence guard: a fenced-out writer can therefore
+        # never reclaim the new owner's in-flight stage/segment dirs (the
+        # guard's flock also serializes GC against takeover itself).
+        with commit.fence_guard(self._fence):
+            self.backend.clean_stale_segments(self.path)
         sink = self.backend.segment_sink(self.path, seg)
         merged.write.mode("overwrite").parquet(sink)
         meta = {"ts_ms": ts_ms, "seq": seq, "has_negative": bool(has_negative)}
         if extra_meta:
             meta.update(extra_meta)
-        if self._fence is not None:
-            self._fence.check()
-        self.backend.seal_segment(self.path, seg, meta)
+        with commit.fence_guard(self._fence):
+            self.backend.seal_segment(self.path, seg, meta)
 
     def insert(
         self,
@@ -357,21 +391,22 @@ class FreqTable:
         re-delivering already-consumed rows to an MV; it likewise records
         its ts span (``min_ts..ts_ms``) so an ``as_of_ms`` snapshot inside
         the span refuses instead of silently dropping absorbed rows."""
-        if self._fence is not None:
-            self._fence.check()
         # reclaim scratch of crashed writers (stage dirs / legacy compact-*
-        # tmps / unmarked CAS segments) — none of it holds acknowledged data
-        self.backend.clean_stale_segments(self.path)
-        segs = self._segments()
-        # reclaim SEALED leftovers of a compact that crashed after
-        # publishing its merged segment but before deleting the inputs:
-        # they are subsumed (readers already ignore them) but hold disk
-        live_dirs = {s["dir"] for s in segs}
-        for name in os.listdir(self.path):
-            p = os.path.join(self.path, name)
-            if (name.startswith("seg-") and os.path.isdir(p)
-                    and p not in live_dirs):
-                shutil.rmtree(p, ignore_errors=True)
+        # tmps / unmarked CAS segments) — none of it holds acknowledged
+        # data.  Inside the fence guard so a fenced-out compactor can never
+        # reclaim the new owner's in-flight artifacts.
+        with commit.fence_guard(self._fence):
+            self.backend.clean_stale_segments(self.path)
+            segs = self._segments()
+            # reclaim SEALED leftovers of a compact that crashed after
+            # publishing its merged segment but before deleting the inputs:
+            # they are subsumed (readers already ignore them) but hold disk
+            live_dirs = {s["dir"] for s in segs}
+            for name in os.listdir(self.path):
+                p = os.path.join(self.path, name)
+                if (name.startswith("seg-") and os.path.isdir(p)
+                        and p not in live_dirs):
+                    shutil.rmtree(p, ignore_errors=True)
         if len(segs) <= 1:
             return
         merged = self.scan(expand=False)
@@ -392,14 +427,13 @@ class FreqTable:
         # (max per key — the cursor is monotonic)
         for key in {k for s in segs for k in s if k.startswith("mv_cursor")}:
             meta[key] = max(s.get(key, -1) for s in segs)
-        if self._fence is not None:
-            self._fence.check()
         # PUBLISH FIRST, delete after: the merged segment's seq span
         # strictly covers every input, so if we crash between seal and
         # delete the inputs are subsumed (readers drop them — no double
         # count) and the next compact reclaims the dirs.  The reverse
         # order (delete then publish) loses the table in the crash window.
-        self.backend.seal_segment(self.path, seg, meta)
+        with commit.fence_guard(self._fence):
+            self.backend.seal_segment(self.path, seg, meta)
         for s in segs:
             shutil.rmtree(s["dir"], ignore_errors=True)
 

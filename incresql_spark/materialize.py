@@ -272,8 +272,6 @@ class AggState:
         in the manifest — committed ATOMICALLY with the state (MV refresh
         cursors ride here so a crash between state merge and cursor save
         cannot cause the same delta to be re-applied)."""
-        if self._fence is not None:
-            self._fence.check()
         m = self._load_manifest()
         nxt = (m["version"] + 1) if m else 0
         buckets = dict(m["buckets"]) if m else {}
@@ -283,17 +281,23 @@ class AggState:
         # v-N names this refresh will rename onto (os.replace onto a
         # non-empty directory raises ENOTEMPTY, permanently blocking those
         # buckets).  Same discipline as FreqTable.compact()'s stale
-        # compact-* cleanup.
+        # compact-* cleanup.  Inside the fence guard: a fenced-out refresher
+        # can never reclaim the new owner's in-flight stage/bucket dirs.
+        # (Unfenced CONCURRENT refreshers are unsupported — see
+        # commit.fence_guard; crashed-single-writer restart is the case
+        # this reclaim serves.)
         os.makedirs(self.path, exist_ok=True)
         committed = m["version"] if m else -1
-        for name in os.listdir(self.path):
-            p = os.path.join(self.path, name)
-            if name.startswith("stage-"):
-                shutil.rmtree(p, ignore_errors=True)
-            elif name.startswith("b-") and os.path.isdir(p):
-                for d in os.listdir(p):
-                    if d.startswith("v-") and int(d[2:]) > committed:
-                        shutil.rmtree(os.path.join(p, d), ignore_errors=True)
+        with commit.fence_guard(self._fence):
+            for name in os.listdir(self.path):
+                p = os.path.join(self.path, name)
+                if name.startswith("stage-"):
+                    shutil.rmtree(p, ignore_errors=True)
+                elif name.startswith("b-") and os.path.isdir(p):
+                    for d in os.listdir(p):
+                        if d.startswith("v-") and int(d[2:]) > committed:
+                            shutil.rmtree(os.path.join(p, d),
+                                          ignore_errors=True)
         stage = os.path.join(self.path, f"stage-{nxt}")
         (
             merged.withColumn("__bkt", self.bucket_expr(keys, merged))
@@ -336,13 +340,13 @@ class AggState:
             )
         if extra:  # … and overwrite with this commit's
             manifest.update(extra)
-        if self._fence is not None:
-            self._fence.check()
         # THE transaction point: rename backend os.replace-publishes the
         # version-named file; CAS backend writes a content-unique object
-        # and compare-and-swaps the pointer — a racing writer loses with
-        # CommitConflict and the winner's state is untouched
-        self.backend.publish_manifest(self.path, nxt, manifest)
+        # and compare-and-swaps the pointer — a racing FENCED writer loses
+        # with CommitConflict and the winner's state is untouched.  The
+        # guard's flock makes check+publish atomic against takeover.
+        with commit.fence_guard(self._fence):
+            self.backend.publish_manifest(self.path, nxt, manifest)
         # retain exactly one superseded generation for debug/time-travel
         shutil.rmtree(stage, ignore_errors=True)
         self.backend.retire_manifests(self.path, keep=2)

@@ -742,8 +742,30 @@ ORACLE = {
 # was visible only in the one-off BENCH_MV_MERGE runs.  Each entry is the
 # self-contained gate shape (multi-wave ingest + refresh + teardown), so
 # the number tracks the WHOLE maintainer cycle, not just one refresh.
+def mv_q3_incremental_cas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY: the full mv_q3_incremental maintainer cycle on the CAS
+    manifest-pointer commit backend (``incresql.commit.backend = cas``) —
+    round-over-round regression tracking for the adapter-parity claim
+    (round-11 measured a single point: 11.1s rename vs 10.3s cas at
+    sf0.01; this makes the comparison a standing bench row).  Not a gate
+    query: the RESULT is byte-identical to mv_q3_incremental by
+    construction (same plan, different commit protocol), so a second
+    oracle row would add no evidence."""
+    from .. import commit
+
+    prev = spark.conf.get(commit.BACKEND_CONF, "rename")
+    spark.conf.set(commit.BACKEND_CONF, "cas")
+    try:
+        return mv_q3_incremental(spark, sf_dir)
+    finally:
+        spark.conf.set(commit.BACKEND_CONF, prev)
+
+
 BENCH_QUERIES = {
     "mv_q3_incremental": mv_q3_incremental,
     "mv_q13_incremental": mv_q13_incremental,
     "dedup_minhash_incremental": dedup_minhash_incremental,
+    # CAS-backend adapter parity (round-11 verdict task 7) — disclosed in
+    # BASELINE.md; compare against mv_q3_incremental's row.
+    "mv_q3_incremental_cas": mv_q3_incremental_cas,
 }

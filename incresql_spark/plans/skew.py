@@ -30,8 +30,15 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     keys = [on] if isinstance(on, str) else list(on)
+    # Deterministic salt over the row's FULL column content (not
+    # monotonically_increasing_id, whose value depends on partition layout:
+    # a task retry / speculative attempt would re-scatter rows across
+    # DIFFERENT salt buckets mid-stage).  Hashing every column keeps the
+    # scatter stable under retries while still spreading duplicate-free hot
+    # keys; rows that are full duplicates land in one bucket — acceptable,
+    # since exact duplicates carry no distinguishing column to split on.
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salts)).cast("int")
+        "__salt", F.pmod(F.hash(*big.columns), F.lit(salts)).cast("int")
     )
     salted_small = small.withColumn(
         "__salt", F.explode(F.expr(f"sequence(0, {salts - 1})"))

@@ -529,3 +529,205 @@ def test_writer_fence_acquire_races_across_processes(tmp_path):
     for p in procs:
         p.join(timeout=30)
     assert sorted(epochs) == list(range(8)), epochs
+
+
+# --- round 12: flock-atomic guard, marker/retire hardening, dup spans -------
+def test_fence_guard_blocks_takeover_until_inflight_commit_finishes(tmp_path):
+    """The check-then-publish window is now ATOMIC: a takeover's acquire()
+    blocks on the guard's flock until the in-flight commit finishes, and
+    the old writer's NEXT commit raises WriterFenced — so no straggler
+    commit can ever land after acquire() returns (round-11 verdict task 3;
+    previously a descheduled writer could land exactly one)."""
+    import threading
+    import time as _time
+
+    path = str(tmp_path / "fenced")
+    os.makedirs(path)
+    old = WriterFence.acquire(path)
+
+    in_window = threading.Event()
+    release = threading.Event()
+    published = []
+
+    def old_writer_commit():
+        with old.guard():
+            in_window.set()
+            release.wait(timeout=30)
+            published.append("old-commit")  # the in-flight publication
+
+    t = threading.Thread(target=old_writer_commit)
+    t.start()
+    assert in_window.wait(timeout=30)
+
+    acquired = []
+
+    def takeover():
+        acquired.append(WriterFence.acquire(path))
+
+    t2 = threading.Thread(target=takeover)
+    t2.start()
+    t2.join(timeout=0.5)
+    # acquire must BLOCK while the old writer's guard holds the flock
+    assert t2.is_alive() and not acquired
+    assert not published  # and the commit has not completed yet either
+
+    release.set()
+    t.join(timeout=30)
+    t2.join(timeout=30)
+    # in-flight commit finished strictly BEFORE the takeover completed
+    assert published == ["old-commit"]
+    assert acquired and acquired[0].epoch == old.epoch + 1
+    # ... and the fenced writer can never land another commit
+    with pytest.raises(WriterFenced):
+        with old.guard():
+            raise AssertionError("fenced writer re-entered the commit window")
+
+
+def test_torn_segment_marker_is_invisible_and_reclaimed(spark, tmp_path):
+    """A marker that exists but is EMPTY/unparseable (a pre-link-protocol
+    writer died between O_EXCL create and the body write) must read as
+    uncommitted — skipped by _segments, reclaimed by the next write —
+    instead of failing every subsequent scan with JSONDecodeError
+    (round-11 advice).  The CAS seal itself now publishes markers via
+    scratch + hard-link, so it can no longer produce one."""
+    for backend in (RenameCommitBackend(), CasPointerCommitBackend()):
+        t = FreqTable(spark, str(tmp_path / f"torn-{backend.name}"),
+                      backend=backend)
+        t.create(_schema())
+        t.insert(spark.createDataFrame([(1, "a")], _schema()))
+        torn = os.path.join(t.path, "seg-9999999999999-t0rnt0rn")
+        os.makedirs(torn)
+        open(os.path.join(torn, "_segmeta.json"), "w").close()  # torn: empty
+        assert [r.k for r in t.scan().collect()] == [1], backend.name
+        t.insert(spark.createDataFrame([(2, "b")], _schema()))
+        assert not os.path.isdir(torn), (
+            f"{backend.name}: torn-marker segment not reclaimed")
+        assert sorted(r.k for r in t.scan().collect()) == [1, 2]
+
+
+def test_cas_seal_never_leaves_torn_marker_on_crash(tmp_path, monkeypatch):
+    """Crash INSIDE seal_segment (between scratch write and hard-link) must
+    leave no _segmeta.json at all — the marker appears with its full body
+    or not at all."""
+    b = CasPointerCommitBackend()
+    seg_dir = tmp_path / "t" / "seg-1-aa"
+    seg_dir.mkdir(parents=True)
+
+    def crashing_link(src, dst):
+        raise RuntimeError("simulated crash before marker link")
+
+    monkeypatch.setattr(commit.os, "link", crashing_link)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        b.seal_segment(str(tmp_path / "t"), "seg-1-aa", {"seq": 0})
+    assert not os.path.exists(seg_dir / "_segmeta.json")
+    monkeypatch.undo()
+    # and the real protocol seals fine afterwards
+    b.seal_segment(str(tmp_path / "t"), "seg-1-aa", {"seq": 0})
+    assert commit._marker_is_committed(str(seg_dir / "_segmeta.json"))
+
+
+def test_retire_manifests_is_version_scoped(tmp_path):
+    """retire_manifests only GCs artifacts from versions STRICTLY below the
+    oldest kept pointer — a racing publisher's in-flight scratch and
+    manifest object (always at >= the newest committed version) survive
+    the pass (round-11 advice: the unscoped pass could unlink them
+    mid-publish, turning CommitConflict into an arbitrary exception)."""
+    b = CasPointerCommitBackend()
+    path = str(tmp_path / "state")
+    os.makedirs(path)
+    for v in range(5):
+        b.publish_manifest(path, v, {"version": v})
+    ptr_dir = os.path.join(path, "_ptr")
+    # a racing publisher mid-flight at the next version: scratch + object
+    with open(os.path.join(ptr_dir, ".ptr-5-beefbeef"), "w") as fh:
+        fh.write("mobj-5-beefbeef.json")
+    with open(os.path.join(path, "mobj-5-beefbeef.json"), "w") as fh:
+        fh.write("{}")
+    # and a crashed OLD writer's scratch at a retired version
+    with open(os.path.join(ptr_dir, ".ptr-0-deadbeef"), "w") as fh:
+        fh.write("gone")
+
+    b.retire_manifests(path, keep=2)
+
+    assert b.manifest_versions(path) == [3, 4]
+    names = set(os.listdir(ptr_dir)) | set(os.listdir(path))
+    assert ".ptr-5-beefbeef" in names, "in-flight scratch was GC'd"
+    assert "mobj-5-beefbeef.json" in names, "in-flight manifest was GC'd"
+    assert ".ptr-0-deadbeef" not in names, "retired-version scratch kept"
+    live = {f for f in os.listdir(path) if f.startswith("mobj-")}
+    assert not any(b._name_version(f) is not None and b._name_version(f) < 3
+                   for f in live - {"mobj-5-beefbeef.json"})
+    # the racing publisher completes cleanly after the retire pass
+    b.publish_manifest(path, 5, {"version": 5})
+    assert b.load_manifest(path) == {"version": 5}
+
+
+def test_duplicate_seq_span_fails_loudly(spark, tmp_path):
+    """Two sealed segments claiming the same (min_seq, seq) span — what two
+    unfenced concurrent writers produce — must be a loud read error, never
+    a silent double-count (round-11 advice)."""
+    import json as _json
+
+    t = FreqTable(spark, str(tmp_path / "dup"))
+    t.create(_schema())
+    t.insert(spark.createDataFrame([(1, "a")], _schema()))
+    seg = [n for n in os.listdir(t.path) if n.startswith("seg-")][0]
+    clone = os.path.join(t.path, "seg-9999999999999-c10nec10")
+    shutil.copytree(os.path.join(t.path, seg), clone)
+    with pytest.raises(ValueError, match="both claim seq span"):
+        t.scan().collect()
+
+
+def test_reader_sees_constant_multiset_at_every_compaction_step(
+        spark, tmp_path, monkeypatch):
+    """Live interleaving of a READER with compact(): snapshot a second
+    table handle's full (tuple -> freq) Counter immediately before and
+    after EVERY mutation compact() performs (each rmtree and the seal);
+    the multiset must be identical at every interleaving point — the
+    span-subsumption drop is the guard (round-11 verdict task 6: the
+    crash differential covered torn executions, not a concurrent read)."""
+    from collections import Counter
+
+    import incresql_spark.frequency as freq_mod
+
+    t = FreqTable(spark, str(tmp_path / "interleave"))
+    t.create(_schema())
+    t.insert(spark.createDataFrame([(1, "a"), (2, "b")], _schema()), ts_ms=1000)
+    t.insert(spark.createDataFrame([(2, "b"), (3, "c")], _schema()), ts_ms=2000)
+    t.insert(spark.createDataFrame([(1, "a")], _schema()), ts_ms=3000)
+
+    reader = FreqTable(spark, t.path)  # independent handle, same directory
+
+    def snapshot():
+        return Counter(
+            {(r["k"], r["v"]): r["__freq"]
+             for r in reader.scan(expand=False).collect()}
+        )
+
+    expected = snapshot()
+    assert expected == {(1, "a"): 2, (2, "b"): 2, (3, "c"): 1}
+    seen = [expected]
+
+    real_rmtree = shutil.rmtree
+    real_seal = t.backend.seal_segment
+
+    def observing_rmtree(*a, **k):
+        seen.append(snapshot())
+        real_rmtree(*a, **k)
+        seen.append(snapshot())
+
+    def observing_seal(*a, **k):
+        seen.append(snapshot())
+        real_seal(*a, **k)
+        seen.append(snapshot())
+
+    monkeypatch.setattr(freq_mod.shutil, "rmtree", observing_rmtree)
+    monkeypatch.setattr(t.backend, "seal_segment", observing_seal)
+    t.compact()
+    monkeypatch.undo()
+
+    assert len(seen) >= 5  # seal + >= 2 input deletions, observed both sides
+    for i, snap in enumerate(seen):
+        assert snap == expected, f"reader diverged at interleaving point {i}"
+    # post-compaction steady state too
+    assert snapshot() == expected
