@@ -22,7 +22,7 @@ driver-green for 11 straight rounds with its plan class covered by a
 gated sibling — moved to the tail.  Everything past the cap is equally
 oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
 registered queries locally value-hash-matched — the exact count is
-asserted against this docstring by tests/test_entry_gate.py: 104
+asserted against this docstring by tests/test_entry_gate.py: 105
 queries total; oracle output types are additionally linted — HUGEINT
 and DECIMAL rejected — after driver-only hash mismatches in rounds 2-4
 and 6-7).

@@ -316,6 +316,164 @@ ORDER BY doc_id
 """
 
 
+# Boilerplate removal — C4's line-level cleaning rules (Raffel et al.,
+# arXiv:1910.10683 §2.2): keep only lines that (a) end in terminal
+# punctuation, (b) have at least BOILER_MIN_WORDS words, and (c) contain
+# none of the boilerplate blocklist phrases (cookie notices, javascript
+# warnings, lorem ipsum, rights-reserved footers); documents whose every
+# line is dropped are emptied rather than removed (the caller composes the
+# doc-level drop).  The synthetic corpus is single-line prose with no
+# punctuation, so the query builds lines deterministically — token slices
+# of BOILER_LINE_TOKENS words, terminal '.' grafted onto (doc_id + pos) %
+# 3 = 0 lines, and doc_id-rotated boilerplate lines appended — identical
+# expressions both engines; every rule then has both keep and drop
+# exemplars in every run.
+BOILER_LINE_TOKENS = 8
+BOILER_MIN_WORDS = 4
+BOILER_BLOCKLIST = ("cookie", "javascript", "lorem ipsum", "rights reserved")
+#: grafted boilerplate exemplars: each is dropped by a DIFFERENT rule —
+#: blocklist-only (punct + enough words), blocklist + min-words, and
+#: punctuation-only (a nav bar: enough words, no blocklist hit).
+_BOILER_GRAFTS = (
+    "please accept cookies to continue browsing here.",
+    "all rights reserved.",
+    "home | about | contact | privacy",
+)
+
+
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level boilerplate filter: explode lines with position,
+    classify each against the three rules, and reassemble the kept lines
+    in order.  One explode and one groupBy(doc_id) — the reassembly
+    aggregation is the only shuffle, partitioned by doc_id, and per-group
+    state is bounded by document size (the same envelope every per-doc
+    operator here lives in), so the shape holds at any corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    n_lines_expr = (
+        f"CAST(ceil(size(tokens) / {BOILER_LINE_TOKENS}.0) AS INT)"
+    )
+    lines_expr = (
+        f"transform(sequence(0, {n_lines_expr} - 1),"
+        f" i -> array_join(slice(tokens, i * {BOILER_LINE_TOKENS} + 1,"
+        f" {BOILER_LINE_TOKENS}), ' '))"
+    )
+    grafts = ", ".join(f"'{g}'" for g in _BOILER_GRAFTS)
+    lines = (
+        d.withColumn("tokens", F.expr(TOKENS_SPARK))
+        .filter(F.size("tokens") >= 1)
+        .select(
+            "doc_id",
+            F.concat(
+                F.expr(lines_expr),
+                # rotate which boilerplate exemplars each doc receives
+                F.expr(
+                    f"slice(array({grafts}), CAST(doc_id % 3 AS INT) + 1, 2)"
+                ),
+            ).alias("lines"),
+        )
+        .select("doc_id", F.posexplode("lines").alias("pos", "line"))
+        # graft terminal punctuation onto a deterministic subset so the
+        # punctuation rule differentiates (the synthetic prose has none)
+        .withColumn(
+            "line",
+            F.when(
+                (F.col("pos") + F.col("doc_id")) % 3 == 0,
+                F.concat(F.col("line"), F.lit(".")),
+            ).otherwise(F.col("line")),
+        )
+    )
+    blocked = None
+    for phrase in BOILER_BLOCKLIST:
+        hit = F.col("line").contains(phrase)
+        blocked = hit if blocked is None else (blocked | hit)
+    keep = (
+        F.substring(F.col("line"), -1, 1).isin(".", "!", "?")
+        & (F.size(F.split(F.col("line"), " ")) >= BOILER_MIN_WORDS)
+        & ~blocked
+    )
+    return (
+        lines.withColumn("keep", keep)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.filter(
+                        F.sort_array(
+                            F.collect_list(F.struct("pos", "keep", "line"))
+                        ),
+                        lambda s: s["keep"],
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("cleaned"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _boiler_keep_duck() -> str:
+    blocked = " OR ".join(
+        f"contains(line, '{p}')" for p in BOILER_BLOCKLIST
+    )
+    return (
+        f"right(line, 1) IN ('.', '!', '?')"
+        f" AND len(string_split(line, ' ')) >= {BOILER_MIN_WORDS}"
+        f" AND NOT ({blocked})"
+    )
+
+
+TEXT_BOILERPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents
+),
+linesets AS (
+  SELECT doc_id,
+         list_concat(
+           list_transform(
+             range(0, CAST(ceil(len(tokens) / {BOILER_LINE_TOKENS}.0) AS INT)),
+             i -> array_to_string(
+               list_slice(tokens, i * {BOILER_LINE_TOKENS} + 1,
+                          i * {BOILER_LINE_TOKENS} + {BOILER_LINE_TOKENS}),
+               ' ')),
+           list_slice(
+             [{", ".join(f"'{g}'" for g in _BOILER_GRAFTS)}],
+             CAST(doc_id % 3 AS INT) + 1, CAST(doc_id % 3 AS INT) + 2)
+         ) AS lines
+  FROM toks WHERE len(tokens) >= 1
+),
+pos_lines AS (
+  -- parallel unnests zip positionally (the TEXT_REPETITION_SQL pattern;
+  -- DuckDB lacks WITH ORDINALITY)
+  SELECT doc_id,
+         unnest(range(0, len(lines))) AS rawpos,
+         unnest(lines) AS rawline
+  FROM linesets
+),
+punctuated AS (
+  SELECT doc_id, rawpos AS pos,
+         CASE WHEN (rawpos + doc_id) % 3 = 0 THEN rawline || '.'
+              ELSE rawline END AS line
+  FROM pos_lines
+),
+classified AS (
+  SELECT doc_id, pos, line, ({_boiler_keep_duck()}) AS keep
+  FROM punctuated
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                           ORDER BY pos), '') AS cleaned
+FROM classified
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # Stratified sampling: per-language keep rates (per-10000 thresholds) — the
 # training-mix design step.  Hash-thresholding (not rand()) so the sample is
 # deterministic, reproducible, and identical on any cluster size.
@@ -1090,7 +1248,15 @@ def bpe_merges_from_words(words: DataFrame, n_merges: int = BPE_N_MERGES) -> Dat
     come from one token groupBy); the n_merges-iteration loop runs on that
     small frame with ONE driver-side scalar (the winning pair) per
     iteration — the sim_kmeans pattern, O(iterations) tiny actions, never
-    O(data).  Every ``BPE_CHECKPOINT_EVERY`` merges the loop state is
+    O(data).  That per-rank round-trip is inherent to BPE's sequential
+    definition (merge k+1's pair counts depend on merge k's result), so
+    ``n_merges`` is the JOB-COUNT knob at scale: a 32k-merge production
+    vocabulary means 32k tiny Spark jobs (~hours of fixed scheduling
+    overhead on a cluster) — train large vocabs on the dimension-sized
+    (token, wfreq) frame pulled into a single-node trainer, then apply the
+    learned table distributively (text_bpe_tokenize's replace-chain path,
+    which IS O(data) and shuffle-free).  Every ``BPE_CHECKPOINT_EVERY``
+    merges the loop state is
     materialized and its predecessor's blocks released, so plan depth and
     executor storage stay bounded however high ``n_merges`` is raised
     (without this, step k replays k replace stages — O(n²) lineage).
@@ -1437,6 +1603,7 @@ QUERIES = {
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
     "text_pii_scrub": text_pii_scrub,
+    "text_boilerplate": text_boilerplate,
     "text_pack_sequences": text_pack_sequences,
     "text_chunk_overlap": text_chunk_overlap,
     "text_mix_sources": text_mix_sources,
@@ -1458,6 +1625,7 @@ ORACLE = {
     "text_tokens": TEXT_TOKENS_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_pii_scrub": TEXT_PII_SCRUB_SQL,
+    "text_boilerplate": TEXT_BOILERPLATE_SQL,
     "text_pack_sequences": TEXT_PACK_SEQUENCES_SQL,
     "text_chunk_overlap": TEXT_CHUNK_OVERLAP_SQL,
     "text_mix_sources": TEXT_MIX_SOURCES_SQL,

@@ -407,3 +407,38 @@ def test_pii_scrub_three_class_sequential_chain(spark, tmp_path):
     assert "<EMAIL>" not in r["scrubbed"] and "<IP>" not in r["scrubbed"]
     # the +1 (415) prefix is consumed by the same match, not left behind
     assert "+1" not in r["scrubbed"] and "(415)" not in r["scrubbed"]
+
+
+# --- text_boilerplate --------------------------------------------------------
+def test_boilerplate_c4_line_rules(spark, tmp_path):
+    """Each C4 rule drops its own exemplar: blocklist hit (punctuated,
+    enough words), min-words (short footer), missing terminal punctuation
+    (nav bar / plain prose); kept lines reassemble in position order."""
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            # doc 0 (mod 3 = 0): grafts = cookies + rights-reserved; 16
+            # tokens -> exactly 2 content lines; punct lands on pos 0, 3.
+            (0, " ".join(f"w{i:02d}" for i in range(16))),
+            # doc 3 (mod 3 = 0, same grafts): 4 tokens -> ONE short content
+            # line (4 words, punct at pos 0 -> kept at exactly min-words).
+            (3, "alpha beta gamma delta"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in text.text_boilerplate(spark, sf).collect()}
+
+    r = out[0]
+    # 2 content lines + 2 grafted boilerplate lines
+    assert r["n_lines"] == 4
+    # line 0 gains '.': 8 words, clean -> KEPT.  line 1: no punct -> drop.
+    # 'please accept cookies...' -> blocklist drop despite punct+words.
+    # 'all rights reserved.' (pos 3 gains another '.') -> min-words AND
+    # blocklist drop.
+    assert r["n_kept"] == 1
+    assert r["cleaned"] == " ".join(f"w{i:02d}" for i in range(8)) + "."
+
+    r = out[3]
+    assert r["n_lines"] == 3
+    assert r["n_kept"] == 1  # exactly BOILER_MIN_WORDS words + grafted '.'
+    assert r["cleaned"] == "alpha beta gamma delta."

@@ -111,12 +111,75 @@ def lint_main(sf_dir: str) -> int:
     return 1 if failures else 0
 
 
+#: collect-free comparison for results too large to pull into the driver
+#: (gate-shaped cycles at sf10 produce multi-million-row outputs; the
+#: collect path OOM'd at 90 GB).  Both engines reduce the result to
+#: (row_count, bit_xor of a 60-bit integer derived from md5 of the
+#: canonical row string) — order-insensitive, computed distributively on
+#: the Spark side and streamed on the DuckDB side.  FLOAT/DOUBLE columns
+#: are QUANTIZED to round(x*1e9) BIGINT on both sides before hashing
+#: (their text renderings differ across engines; gate-convention doubles
+#: are bounded ratios, so e9 fixed-point can only mask a sub-ppb float
+#: divergence — exact float equality stays pinned by the full-hash
+#: compare this mode complements at sf0.01).
+_FP_NULL = "<NULL>"
+
+
+def _fp_cast(c: str, is_float: bool, str_type: str) -> str:
+    if is_float:
+        return f"CAST(CAST(ROUND({c} * 1e9) AS BIGINT) AS {str_type})"
+    return f"CAST({c} AS {str_type})"
+
+
+def _fingerprint_spark(sdf):
+    from pyspark.sql import functions as F
+
+    floats = {f.name for f in sdf.schema.fields
+              if f.dataType.typeName() in ("double", "float")}
+    cols = sorted(sdf.columns)
+    sig = F.concat_ws(
+        "|",
+        *[F.coalesce(F.expr(_fp_cast(c, c in floats, "STRING")),
+                     F.lit(_FP_NULL)) for c in cols],
+    )
+    h = F.expr(
+        "CAST(conv(substring(md5(sig), 17, 15), 16, 10) AS BIGINT)"
+    )
+    row = (
+        sdf.select(sig.alias("sig"))
+        .select(F.col("sig"), h.alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x"))
+        .collect()[0]
+    )
+    return cols, int(row["n"]), int(row["x"] or 0)
+
+
+def _fingerprint_duck(con, sql: str):
+    rel = con.sql(sql)
+    floats = {c for c, t in zip(rel.columns, rel.types)
+              if _base_type(str(t)) in ("DOUBLE", "FLOAT")}
+    cols = sorted(rel.columns)
+    sig = ", ".join(
+        f"coalesce({_fp_cast(c, c in floats, 'VARCHAR')}, '{_FP_NULL}')"
+        for c in cols
+    )
+    q = (
+        f"SELECT count(*) AS n, "
+        f"bit_xor(CAST(concat('0x', substring(md5(sig), 17, 15)) AS BIGINT))"
+        f" AS x FROM (SELECT concat_ws('|', {sig}) AS sig "
+        f"FROM ({sql}) fp_inner) fp_sig"
+    )
+    n, x = con.sql(q).fetchone()
+    return cols, int(n), int(x or 0)
+
+
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--lint"]
+    argv = [a for a in sys.argv[1:] if a not in ("--lint", "--fingerprint")]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     if "--lint" in sys.argv:
         return lint_main(sf_dir)
+    fingerprint = "--fingerprint" in sys.argv
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry_mod
@@ -130,6 +193,30 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    if fingerprint:
+        for name, fn in qs.items():
+            if only and name not in only:
+                continue
+            t0 = time.time()
+            sdf = fn(spark, sf_dir)
+            scols, sn, sx = _fingerprint_spark(sdf)
+            spark_s = time.time() - t0
+            t0 = time.time()
+            ocols, on, ox = _fingerprint_duck(con, oracles[name])
+            duck_s = time.time() - t0
+            ok = scols == ocols and sn == on and sx == ox
+            status = "OK " if ok else "FAIL"
+            print(
+                f"  {name:28s} {status} rows={sn}/{on} "
+                f"xor={sx:x}/{ox:x} spark={spark_s:.1f}s duck={duck_s:.2f}s",
+                flush=True,
+            )
+            if not ok:
+                failures.append(name)
+                if scols != ocols:
+                    print(f"    cols spark={scols} duck={ocols}")
+        print("FAILURES:", failures if failures else "none")
+        return 1 if failures else 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
