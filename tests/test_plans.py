@@ -677,3 +677,21 @@ def test_gated_round10_ops_plan_shapes(spark):
     tw = executed(op_time_window(spark, SF_SMALL))
     assert tw.count("Exchange hashpartitioning") == 2, tw[:2000]
     assert "Join" not in tw, tw[:2000]
+
+
+def test_boilerplate_single_explode_single_shuffle(spark):
+    """C4 boilerplate removal is explode -> classify -> one doc_id-keyed
+    reassembly aggregation: exactly ONE Generate and ONE hash exchange
+    (the orderBy's range exchange is the only other), at any corpus size."""
+    import re
+
+    from incresql_spark.operators.text import text_boilerplate
+
+    from .conftest import SF_SMALL
+
+    plan = (
+        text_boilerplate(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"Generate", plan)) == 1
