@@ -731,3 +731,43 @@ def test_reader_sees_constant_multiset_at_every_compaction_step(
         assert snap == expected, f"reader diverged at interleaving point {i}"
     # post-compaction steady state too
     assert snapshot() == expected
+
+
+def test_randomized_two_writer_fence_differential(spark, tmp_path):
+    """Randomized schedule of two fenced writers interleaving acquire/insert
+    on ONE table directory: an insert succeeds iff its writer holds the
+    NEWEST epoch, every stale-writer insert raises WriterFenced (never
+    silently lands), and the final multiset equals exactly the successful
+    inserts — the guard's whole contract under adversarial interleaving,
+    on both backends."""
+    import random
+    from collections import Counter
+
+    for backend_cls in (RenameCommitBackend, CasPointerCommitBackend):
+        rng = random.Random(0xF37)
+        path = str(tmp_path / f"duel-{backend_cls.name}")
+        writers = [FreqTable(spark, path, backend=backend_cls()),
+                   FreqTable(spark, path, backend=backend_cls())]
+        writers[0].create(_schema())
+        writers[0].acquire_writer_fence()
+        writers[1].acquire_writer_fence()  # immediately fences writer 0
+        newest = 1
+        model: Counter = Counter()
+        next_k = 0
+        for _ in range(14):
+            w = rng.randrange(2)
+            if rng.random() < 0.4:
+                writers[w].acquire_writer_fence()
+                newest = w
+                continue
+            row = (next_k, f"w{w}")
+            next_k += 1
+            if w == newest:
+                writers[w].insert(spark.createDataFrame([row], _schema()))
+                model[row] += 1
+            else:
+                with pytest.raises(WriterFenced):
+                    writers[w].insert(spark.createDataFrame([row], _schema()))
+        got = Counter({(r["k"], r["v"]): r["__freq"]
+                       for r in writers[newest].scan(expand=False).collect()})
+        assert got == model, backend_cls.name
