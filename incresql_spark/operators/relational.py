@@ -807,23 +807,34 @@ def op_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weeks are integer arithmetic (days since the epoch DIV 7) so both
     engines agree exactly; the epoch is at or before the data's start so
     the truncation-vs-floor division difference for negatives never
-    triggers.  Shape: distinct (user, week) shrinks events ~per-week-
-    activity-fold, the per-user MIN is one key shuffle, and the final
-    rollup is |cohorts| x |offsets| rows — all partial-aggregated.
+    triggers.  Shape (round 12, 4 exchanges → 2): one explicit user_id
+    repartition feeds the (user_id, week) distinct, the per-user
+    cohort-MIN window, and the offset projection — hash partitioning on
+    user_id satisfies every one of those clusterings, so Spark plans a
+    single exchange for the whole per-user phase (no self-join at all);
+    the final rollup is the second.  COUNT(*) replaces COUNT(DISTINCT
+    user_id) because act is distinct on (user_id, week) and week_offset
+    is injective in week for a fixed user — a user contributes at most
+    one row per (cohort_week, week_offset), so the distinct-aggregate
+    Expand would be pure overhead.
     """
     e = load_table(spark, sf_dir, "events")
     wk = F.expr(
         f"datediff(CAST(ts AS DATE), DATE '{RETENTION_EPOCH}') DIV 7"
     )
-    act = e.select("user_id", wk.alias("week")).distinct()
-    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = (
+        e.select("user_id", wk.alias("week"))
+        .repartition("user_id")
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
     return (
-        act.join(cohort, ["user_id"])
+        act.withColumn("cohort_week", F.min("week").over(w))
         .groupBy(
             "cohort_week",
             (F.col("week") - F.col("cohort_week")).alias("week_offset"),
         )
-        .agg(F.count_distinct("user_id").alias("n_users"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
 
@@ -835,14 +846,19 @@ WITH act AS (
            AS week
   FROM events
 ),
-cohort AS (
-  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+cohorted AS (
+  -- same single-pass shape as the Spark plan: per-user MIN as a window,
+  -- no self-join; COUNT(*) is exact because act is DISTINCT on
+  -- (user_id, week) and week_offset is injective in week per user
+  SELECT user_id, week,
+         MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM act
 )
-SELECT c.cohort_week,
-       a.week - c.cohort_week AS week_offset,
-       COUNT(DISTINCT a.user_id) AS n_users
-FROM act a JOIN cohort c USING (user_id)
-GROUP BY c.cohort_week, a.week - c.cohort_week
+SELECT cohort_week,
+       week - cohort_week AS week_offset,
+       COUNT(*) AS n_users
+FROM cohorted
+GROUP BY cohort_week, week - cohort_week
 ORDER BY cohort_week, week_offset
 """
 

@@ -695,3 +695,22 @@ def test_boilerplate_single_explode_single_shuffle(spark):
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert len(re.findall(r"Generate", plan)) == 1
+
+
+def test_retention_cohorts_single_user_phase_exchange(spark):
+    """Cohort retention plans ONE user_id exchange shared by the distinct,
+    the cohort-min window, and the offset projection, plus the rollup —
+    two hash exchanges total, no self-join, no distinct-agg Expand
+    (round 12: was 4 exchanges + Expand via join + count_distinct)."""
+    import re
+
+    from incresql_spark.operators.relational import op_retention_cohorts
+
+    from .conftest import SF_SMALL
+
+    plan = (
+        op_retention_cohorts(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "Expand" not in plan and "Join" not in plan
