@@ -175,6 +175,14 @@ class CasPointerCommitBackend:
     creation of a version-numbered pointer file stands in for conditional
     PUT — the compare-and-swap that makes exactly one writer win a
     version.  Nothing in this class calls ``os.rename``/``os.replace``.
+
+    Concurrency contract: the CAS primitives guarantee a LOSER never
+    corrupts a WINNER's published state — they do not make unfenced
+    concurrent writers safe end-to-end (stale-artifact GC cannot tell a
+    crashed writer's leftovers from a live peer's in-flight work, and
+    sequence allocation races produce duplicate spans that readers reject
+    loudly).  Concurrent or HA writers MUST hold the ``WriterFence``,
+    whose guard also scopes GC; unfenced use is single-writer-at-a-time.
     """
 
     name = "cas"
