@@ -74,14 +74,22 @@ def _marker_is_committed(marker_path: str) -> bool:
     test readers and GC share.  Both backends publish markers
     content-atomically (rename: marker rides inside the renamed dir; CAS:
     scratch + hard-link), so an unparseable marker is always pre-protocol
-    garbage, never an in-flight commit."""
+    garbage, never an in-flight commit.
+
+    ONLY a missing marker (FileNotFoundError) or a torn/empty one
+    (JSONDecodeError) mean "uncommitted".  Every other OSError (EMFILE,
+    EACCES, EIO ...) is an environment fault that says nothing about the
+    segment's state — it MUST propagate, because both backends'
+    clean_stale_segments rmtree the segment dir on a False verdict: a
+    transient fd-exhaustion while opening a validly committed marker
+    would otherwise let GC delete acknowledged data (round-12 advice)."""
     try:
         with open(marker_path) as fh:
             json.load(fh)
         return True
     except FileNotFoundError:
         return False
-    except (json.JSONDecodeError, OSError):
+    except json.JSONDecodeError:
         return False
 
 

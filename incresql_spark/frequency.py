@@ -123,11 +123,16 @@ class FreqTable:
             try:
                 with open(os.path.join(self.path, name, "_segmeta.json")) as fh:
                     meta = json.load(fh)
-            except (json.JSONDecodeError, OSError):
+            except (json.JSONDecodeError, FileNotFoundError):
                 # an unparseable marker is pre-link-protocol garbage (both
                 # backends publish markers content-atomically), i.e. the
                 # segment never committed: invisible here, reclaimed by the
-                # next clean_stale_segments — NOT a read error forever
+                # next clean_stale_segments — NOT a read error forever.  A
+                # missing one means GC reclaimed the segment between
+                # listdir and open: equally invisible.  Any OTHER OSError
+                # (EMFILE, EIO ...) says nothing about commit state and
+                # MUST propagate — swallowing it would silently serve an
+                # incomplete multiset to this reader (round-12 advice).
                 continue
             # segments written before the seq field existed sort by name
             # (ts-uuid); enumeration order over the seg-* entries ONLY is

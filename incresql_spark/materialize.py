@@ -318,15 +318,23 @@ class AggState:
                 f"merge produced rows outside touched buckets: "
                 f"{sorted(staged - set(touched))}"
             )
+        # Placing the v-N dirs is fenced too: a fenced-out refresher
+        # descheduled here could otherwise wake AFTER the new owner's
+        # guarded reclaim above and drop its stale v-N dirs back, making
+        # the new owner's own place_dir fail ENOTEMPTY (round-12 advice —
+        # transient loud failure, never corruption, but avoidable).  The
+        # guard raises WriterFenced before any stale dir lands.
         prev = {}
-        for k in touched:
-            prev[k] = buckets.pop(str(k), None)
-            src = os.path.join(stage, f"__bkt={k}")
-            if os.path.isdir(src):  # emptied buckets just leave the manifest
-                dst_dir = os.path.join(self.path, f"b-{k}")
-                os.makedirs(dst_dir, exist_ok=True)
-                self.backend.place_dir(src, os.path.join(dst_dir, f"v-{nxt}"))
-                buckets[str(k)] = nxt
+        with commit.fence_guard(self._fence):
+            for k in touched:
+                prev[k] = buckets.pop(str(k), None)
+                src = os.path.join(stage, f"__bkt={k}")
+                if os.path.isdir(src):  # emptied buckets leave the manifest
+                    dst_dir = os.path.join(self.path, f"b-{k}")
+                    os.makedirs(dst_dir, exist_ok=True)
+                    self.backend.place_dir(
+                        src, os.path.join(dst_dir, f"v-{nxt}"))
+                    buckets[str(k)] = nxt
         manifest = {
             "version": nxt,
             "num_buckets": self.num_buckets,

@@ -320,14 +320,19 @@ ORDER BY doc_id
 # arXiv:1910.10683 §2.2): keep only lines that (a) end in terminal
 # punctuation, (b) have at least BOILER_MIN_WORDS words, and (c) contain
 # none of the boilerplate blocklist phrases (cookie notices, javascript
-# warnings, lorem ipsum, rights-reserved footers); documents whose every
-# line is dropped are emptied rather than removed (the caller composes the
-# doc-level drop).  The synthetic corpus is single-line prose with no
-# punctuation, so the query builds lines deterministically — token slices
-# of BOILER_LINE_TOKENS words, terminal '.' grafted onto (doc_id + pos) %
-# 3 = 0 lines, and doc_id-rotated boilerplate lines appended — identical
-# expressions both engines; every rule then has both keep and drop
-# exemplars in every run.
+# warnings, lorem ipsum, rights-reserved footers).  Documents with at
+# least one token whose every line is dropped are emptied (cleaned = '')
+# rather than removed — the caller composes the doc-level drop; ZERO-token
+# documents are excluded by the harness up front (they have no lines to
+# classify), identically on both engines.  The synthetic corpus is
+# single-line prose with no punctuation, so the query builds lines
+# deterministically — token slices of BOILER_LINE_TOKENS words, terminal
+# '.' grafted onto (doc_id + pos) % 3 = 0 lines, and doc_id-rotated
+# boilerplate lines appended — identical expressions both engines; every
+# rule then has both keep and drop exemplars in every run.  The nav-bar
+# graft is EXEMPT from the punctuation graft (round-12 advice): it exists
+# to exercise the punctuation-only drop rule, which a grafted '.' would
+# defeat for (pos + doc_id) % 3 = 0 docs.
 BOILER_LINE_TOKENS = 8
 BOILER_MIN_WORDS = 4
 BOILER_BLOCKLIST = ("cookie", "javascript", "lorem ipsum", "rights reserved")
@@ -341,59 +346,46 @@ _BOILER_GRAFTS = (
 )
 
 
-def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 line-level boilerplate filter: explode lines with position,
-    classify each against the three rules, and reassemble the kept lines
-    in order.  One explode and one groupBy(doc_id) — the reassembly
-    aggregation is the only shuffle, partitioned by doc_id, and per-group
-    state is bounded by document size (the same envelope every per-doc
-    operator here lives in), so the shape holds at any corpus scale."""
-    d = load_table(spark, sf_dir, "documents")
-    n_lines_expr = (
-        f"CAST(ceil(size(tokens) / {BOILER_LINE_TOKENS}.0) AS INT)"
-    )
-    lines_expr = (
-        f"transform(sequence(0, {n_lines_expr} - 1),"
-        f" i -> array_join(slice(tokens, i * {BOILER_LINE_TOKENS} + 1,"
-        f" {BOILER_LINE_TOKENS}), ' '))"
-    )
-    grafts = ", ".join(f"'{g}'" for g in _BOILER_GRAFTS)
-    lines = (
-        d.withColumn("tokens", F.expr(TOKENS_SPARK))
-        .filter(F.size("tokens") >= 1)
-        .select(
-            "doc_id",
-            F.concat(
-                F.expr(lines_expr),
-                # rotate which boilerplate exemplars each doc receives
-                F.expr(
-                    f"slice(array({grafts}), CAST(doc_id % 3 AS INT) + 1, 2)"
-                ),
-            ).alias("lines"),
-        )
-        .select("doc_id", F.posexplode("lines").alias("pos", "line"))
-        # graft terminal punctuation onto a deterministic subset so the
-        # punctuation rule differentiates (the synthetic prose has none)
-        .withColumn(
-            "line",
-            F.when(
-                (F.col("pos") + F.col("doc_id")) % 3 == 0,
-                F.concat(F.col("line"), F.lit(".")),
-            ).otherwise(F.col("line")),
-        )
-    )
+def _boiler_keep(line):
+    """The C4 §2.2 line-keep predicate as a Column over ``line``:
+    terminal punctuation AND ≥ BOILER_MIN_WORDS words AND no blocklist
+    phrase.  Shared by the production ``clean_lines`` core and the
+    synthetic gate harness so the classifier cannot drift between them."""
     blocked = None
     for phrase in BOILER_BLOCKLIST:
-        hit = F.col("line").contains(phrase)
+        hit = line.contains(phrase)
         blocked = hit if blocked is None else (blocked | hit)
-    keep = (
-        F.substring(F.col("line"), -1, 1).isin(".", "!", "?")
-        & (F.size(F.split(F.col("line"), " ")) >= BOILER_MIN_WORDS)
+    return (
+        F.substring(line, -1, 1).isin(".", "!", "?")
+        & (F.size(F.split(line, " ")) >= BOILER_MIN_WORDS)
         & ~blocked
     )
+
+
+def clean_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Reusable C4 line-level cleaner over REAL newline-delimited text
+    (Raffel et al., arXiv:1910.10683 §2.2): split ``text_col`` on '\\n',
+    classify every line with :func:`_boiler_keep`, and reassemble the
+    kept lines in document order.  Emits one row per input row —
+    ``(id_col, n_lines, n_kept, cleaned)`` — with all-dropped and empty
+    documents EMPTIED (``cleaned = ''``, ``n_kept = 0``) rather than
+    removed, so the caller composes any doc-level drop policy.
+
+    Shape: one Generate (the posexplode) and one hash exchange (the
+    ``id_col``-keyed reassembly aggregation); per-group state is bounded
+    by document size, so the plan holds at any corpus scale.  The gate
+    query ``text_boilerplate`` routes its synthetic corpus through this
+    exact function (round-12 advice: the rule core must be reachable
+    without the graft scaffolding)."""
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
     return (
-        lines.withColumn("keep", keep)
-        .groupBy("doc_id")
+        lines.withColumn("keep", _boiler_keep(F.col("line")))
+        .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.col("keep").cast("int")).alias("n_kept"),
@@ -410,8 +402,56 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("cleaned"),
         )
-        .orderBy("doc_id")
     )
+
+
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level boilerplate filter over the synthetic corpus: build
+    the deterministic multi-line document (token-slice lines, rotated
+    boilerplate grafts, punctuation grafting) as ONE narrow projection,
+    then run the production :func:`clean_lines` core on it.  One explode
+    and one groupBy(doc_id) — the reassembly aggregation is the only
+    shuffle, partitioned by doc_id, and per-group state is bounded by
+    document size (the same envelope every per-doc operator here lives
+    in), so the shape holds at any corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    n_lines_expr = (
+        f"CAST(ceil(size(tokens) / {BOILER_LINE_TOKENS}.0) AS INT)"
+    )
+    lines_expr = (
+        f"transform(sequence(0, {n_lines_expr} - 1),"
+        f" i -> array_join(slice(tokens, i * {BOILER_LINE_TOKENS} + 1,"
+        f" {BOILER_LINE_TOKENS}), ' '))"
+    )
+    grafts = ", ".join(f"'{g}'" for g in _BOILER_GRAFTS)
+    # graft terminal punctuation onto a deterministic subset so the
+    # punctuation rule differentiates (the synthetic prose has none);
+    # the nav-bar exemplar is exempt — it must stay punctuation-free
+    # to exercise the punctuation-only drop rule
+    punctuated = (
+        f"transform(lines, (line, pos) -> "
+        f"IF((pos + doc_id) % 3 = 0 AND line <> '{_BOILER_GRAFTS[2]}',"
+        f" concat(line, '.'), line))"
+    )
+    synthetic = (
+        d.withColumn("tokens", F.expr(TOKENS_SPARK))
+        .filter(F.size("tokens") >= 1)
+        .select(
+            "doc_id",
+            F.concat(
+                F.expr(lines_expr),
+                # rotate which boilerplate exemplars each doc receives
+                F.expr(
+                    f"slice(array({grafts}), CAST(doc_id % 3 AS INT) + 1, 2)"
+                ),
+            ).alias("lines"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.expr(punctuated), "\n").alias("text"),
+        )
+    )
+    return clean_lines(synthetic).orderBy("doc_id")
 
 
 def _boiler_keep_duck() -> str:
@@ -454,7 +494,9 @@ pos_lines AS (
 ),
 punctuated AS (
   SELECT doc_id, rawpos AS pos,
-         CASE WHEN (rawpos + doc_id) % 3 = 0 THEN rawline || '.'
+         CASE WHEN (rawpos + doc_id) % 3 = 0
+                   AND rawline <> '{_BOILER_GRAFTS[2]}'
+              THEN rawline || '.'
               ELSE rawline END AS line
   FROM pos_lines
 ),

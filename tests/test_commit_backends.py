@@ -771,3 +771,42 @@ def test_randomized_two_writer_fence_differential(spark, tmp_path):
         got = Counter({(r["k"], r["v"]): r["__freq"]
                        for r in writers[newest].scan(expand=False).collect()})
         assert got == model, backend_cls.name
+
+
+def test_environment_oserror_on_marker_read_propagates(spark, tmp_path):
+    """An OSError that is NOT FileNotFoundError while reading a marker
+    (EMFILE, EACCES, EIO ...) says nothing about commit state — it must
+    PROPAGATE, never read as 'uncommitted': GC rmtree's segments on that
+    verdict (deleting acknowledged data) and _segments would silently
+    serve an incomplete multiset to readers (round-12 advice)."""
+    t = FreqTable(spark, str(tmp_path / "envfault"))
+    t.create(_schema())
+    t.insert(spark.createDataFrame([(1, "a")], _schema()))
+    seg = next(n for n in os.listdir(t.path) if n.startswith("seg-"))
+    marker = os.path.join(t.path, seg, "_segmeta.json")
+
+    real_open = open
+
+    def flaky_open(path, *a, **kw):
+        if str(path) == marker:
+            raise PermissionError(13, "transient EACCES", str(path))
+        return real_open(path, *a, **kw)
+
+    import builtins
+
+    orig = builtins.open
+    builtins.open = flaky_open
+    try:
+        # the GC verdict must fail loudly, not classify as uncommitted
+        with pytest.raises(PermissionError):
+            commit._marker_is_committed(marker)
+        # ... so clean_stale_segments cannot reclaim the committed segment
+        with pytest.raises(PermissionError):
+            RenameCommitBackend().clean_stale_segments(t.path)
+        # and a reader errors instead of serving the table minus this seg
+        with pytest.raises(PermissionError):
+            t._segments()
+    finally:
+        builtins.open = orig
+    assert os.path.isdir(os.path.join(t.path, seg))
+    assert [r.k for r in t.scan().collect()] == [1]

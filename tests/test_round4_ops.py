@@ -442,3 +442,40 @@ def test_boilerplate_c4_line_rules(spark, tmp_path):
     assert r["n_lines"] == 3
     assert r["n_kept"] == 1  # exactly BOILER_MIN_WORDS words + grafted '.'
     assert r["cleaned"] == "alpha beta gamma delta."
+
+
+def test_clean_lines_core_on_real_multiline_text(spark):
+    """The reusable clean_lines() core (round-12 advice: reachable without
+    the synthetic graft harness) over REAL newline-delimited text: every
+    C4 rule has a keep and a drop exemplar, all-dropped and empty docs are
+    EMPTIED (cleaned='') not removed, and kept lines reassemble in order."""
+    df = spark.createDataFrame(
+        [
+            # each rule exercised: kept prose, punctuation-only drop
+            # (nav bar), min-words drop (short footer), blocklist drop
+            # (cookie notice — punctuated AND long enough)
+            (1, "the quick brown fox jumps over the dog.\n"
+                "home | about | contact\n"
+                "short one.\n"
+                "please accept cookies to continue browsing here.\n"
+                "a second fine sentence stays in the document!"),
+            (2, "every line here is boilerplate\nall rights reserved."),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    from incresql_spark.operators.text import clean_lines
+
+    out = {r["doc_id"]: r.asDict() for r in clean_lines(df).collect()}
+    assert set(out) == {1, 2, 3}
+
+    r = out[1]
+    assert r["n_lines"] == 5 and r["n_kept"] == 2
+    assert r["cleaned"] == (
+        "the quick brown fox jumps over the dog.\n"
+        "a second fine sentence stays in the document!"
+    )
+    # all-dropped doc is emptied, not removed
+    assert out[2] == {"doc_id": 2, "n_lines": 2, "n_kept": 0, "cleaned": ""}
+    # empty text -> one empty line -> dropped -> emptied
+    assert out[3] == {"doc_id": 3, "n_lines": 1, "n_kept": 0, "cleaned": ""}

@@ -115,14 +115,21 @@ def lint_main(sf_dir: str) -> int:
 #: (gate-shaped cycles at sf10 produce multi-million-row outputs; the
 #: collect path OOM'd at 90 GB).  Both engines reduce the result to
 #: (row_count, bit_xor of a 60-bit integer derived from md5 of the
-#: canonical row string) — order-insensitive, computed distributively on
-#: the Spark side and streamed on the DuckDB side.  FLOAT/DOUBLE columns
-#: are QUANTIZED to round(x*1e9) BIGINT on both sides before hashing
+#: canonical row string, modular SUM of the same hashes) —
+#: order-insensitive, computed distributively on the Spark side and
+#: streamed on the DuckDB side.  The xor alone cancels pairwise: a
+#: divergence where each engine emits a different row at an even
+#: multiplicity (Spark A,A vs oracle B,B) has equal counts and equal
+#: xor; the additive channel (sum of h mod 1e9+7, accumulated as BIGINT
+#: — overflow-free below ~8.6e9 rows since each term < 2^30) breaks
+#: that cancellation (round-12 advice).  FLOAT/DOUBLE columns are
+#: QUANTIZED to round(x*1e9) BIGINT on both sides before hashing
 #: (their text renderings differ across engines; gate-convention doubles
 #: are bounded ratios, so e9 fixed-point can only mask a sub-ppb float
 #: divergence — exact float equality stays pinned by the full-hash
 #: compare this mode complements at sf0.01).
 _FP_NULL = "<NULL>"
+_FP_SUM_MOD = 1_000_000_007
 
 
 def _fp_cast(c: str, is_float: bool, str_type: str) -> str:
@@ -148,10 +155,15 @@ def _fingerprint_spark(sdf):
     row = (
         sdf.select(sig.alias("sig"))
         .select(F.col("sig"), h.alias("h"))
-        .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(h)").alias("x"),
+            F.expr(f"sum(h % {_FP_SUM_MOD})").alias("s"),
+        )
         .collect()[0]
     )
-    return cols, int(row["n"]), int(row["x"] or 0)
+    return (cols, int(row["n"]), int(row["x"] or 0),
+            int(row["s"] or 0) % _FP_SUM_MOD)
 
 
 def _fingerprint_duck(con, sql: str):
@@ -164,13 +176,15 @@ def _fingerprint_duck(con, sql: str):
         for c in cols
     )
     q = (
-        f"SELECT count(*) AS n, "
-        f"bit_xor(CAST(concat('0x', substring(md5(sig), 17, 15)) AS BIGINT))"
-        f" AS x FROM (SELECT concat_ws('|', {sig}) AS sig "
-        f"FROM ({sql}) fp_inner) fp_sig"
+        f"SELECT count(*) AS n, bit_xor(h) AS x, "
+        f"CAST(sum(h % {_FP_SUM_MOD}) AS HUGEINT) AS s "
+        f"FROM (SELECT CAST(concat('0x', substring(md5(sig), 17, 15)) "
+        f"AS BIGINT) AS h "
+        f"FROM (SELECT concat_ws('|', {sig}) AS sig "
+        f"FROM ({sql}) fp_inner) fp_sig) fp_h"
     )
-    n, x = con.sql(q).fetchone()
-    return cols, int(n), int(x or 0)
+    n, x, s = con.sql(q).fetchone()
+    return cols, int(n), int(x or 0), int(s or 0) % _FP_SUM_MOD
 
 
 def main() -> int:
@@ -199,16 +213,17 @@ def main() -> int:
                 continue
             t0 = time.time()
             sdf = fn(spark, sf_dir)
-            scols, sn, sx = _fingerprint_spark(sdf)
+            scols, sn, sx, ss = _fingerprint_spark(sdf)
             spark_s = time.time() - t0
             t0 = time.time()
-            ocols, on, ox = _fingerprint_duck(con, oracles[name])
+            ocols, on, ox, os_ = _fingerprint_duck(con, oracles[name])
             duck_s = time.time() - t0
-            ok = scols == ocols and sn == on and sx == ox
+            ok = scols == ocols and sn == on and sx == ox and ss == os_
             status = "OK " if ok else "FAIL"
             print(
                 f"  {name:28s} {status} rows={sn}/{on} "
-                f"xor={sx:x}/{ox:x} spark={spark_s:.1f}s duck={duck_s:.2f}s",
+                f"xor={sx:x}/{ox:x} sum={ss}/{os_} "
+                f"spark={spark_s:.1f}s duck={duck_s:.2f}s",
                 flush=True,
             )
             if not ok:
