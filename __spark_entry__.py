@@ -14,12 +14,15 @@ queries (mv_q3_incremental inner, mv_q13_incremental left-outer — round
 9), and a rotating head of the text suite.  Slots ROTATE each round so
 long-unverified queries gain driver evidence (the round-6/7 DECIMAL
 lesson: a fetch-path mismatch can be invisible to every local check).
-Round 12 rotated six per the recorded burn-down: op_cube /
-op_grouping_sets / op_pivot / op_full_outer_join / op_retention_cohorts /
-op_histogram moved into the gate (none had ever been driver-fetched);
-tpch_q3/q8/q12, dedup_url, sim_knn_graph and mm_audio_chunks — each
-driver-green for 11 straight rounds with its plan class covered by a
-gated sibling — moved to the tail.  Everything past the cap is equally
+Round 13 rotated six per the recorded burn-down — the FINAL coverage
+rotation: op_corr, text_pack_sequences, text_chunk_overlap,
+text_mix_sources, text_bpe_tokenize and text_boilerplate moved into the
+gate (the last six rows with zero driver-fetch evidence — never-driver
+tail is now EMPTY); tpch_q5/q13/q19, text_bpe_merges, text_dsir_select
+and dedup_substring_winnow — each long driver-green with its plan class
+covered by a gated sibling — moved to the tail.  From round 14 rotation
+targets staleness, not coverage (policy in _GATE_DEMOTED).  Everything
+past the cap is equally
 oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
 registered queries locally value-hash-matched — the exact count is
 asserted against this docstring by tests/test_entry_gate.py: 105
@@ -69,6 +72,9 @@ _RELATIONAL_CORE = (
     # time buckets) and equi-width histogramming.
     "op_cube", "op_grouping_sets", "op_pivot", "op_full_outer_join",
     "op_retention_cohorts", "op_histogram",
+    # Round 13 (final burn-down slot, VERDICT r12 task 1): Pearson
+    # correlation over integer sums — the last never-driver relational row.
+    "op_corr",
 )
 
 
@@ -130,22 +136,55 @@ _GATE_DEMOTED = (
     # mapInPandas decode; mm_image_phash).
     "tpch_q3", "tpch_q8", "tpch_q12", "dedup_url", "sim_knn_graph",
     "mm_audio_chunks",
-    # Remaining never-driver-verified tail after round 12 (5 rows): round
-    # 13 promotes op_corr, text_pack_sequences, text_chunk_overlap,
-    # text_mix_sources, text_bpe_tokenize — finishing the blind spot
-    # entirely (plus text_pii_scrub, new this round, never fetched).
+    # Round-13 rotation (VERDICT r12 task 1 — the FINAL burn-down round):
+    # six slots free up for the last never-driver-fetched rows (op_corr,
+    # text_pack_sequences, text_chunk_overlap, text_mix_sources,
+    # text_bpe_tokenize, text_boilerplate), reducing the never-driver tail
+    # to ZERO.  Demoted — each long driver-green with its mechanism still
+    # gated by a sibling: tpch_q5 (multi-way join agg, 12 rounds; q7/q21
+    # gate the class), tpch_q13 (left-outer groupBy count, 12 rounds;
+    # mv_q13_incremental stays gated and its oracle IS q13's batch
+    # recompute — the r12 q3/mv_q3 precedent), tpch_q19 (OR-of-ANDs
+    # non-equi residual join, 12 rounds; q7's residual + q14's CASE agg
+    # stay gated), text_bpe_merges (4 rounds; incoming text_bpe_tokenize
+    # TRAINS the same merge table when none is passed, so its oracle
+    # recomputes the full replace-chain learning loop), text_dsir_select
+    # (4 rounds; single-Generate + broadcast-table class gated by incoming
+    # text_boilerplate + text_mix_sources), dedup_substring_winnow (4
+    # rounds; gram-explode + df-capped inverted-index pairing gated by
+    # dedup_ngram_jaccard, chunk-hash keys by dedup_passages_incremental).
+    "tpch_q5", "tpch_q13", "tpch_q19", "text_bpe_merges",
+    "text_dsir_select", "dedup_substring_winnow",
+    # POST-BURN-DOWN ROTATION POLICY (round 13+, VERDICT r12 task 7):
+    # every registered query now has at least one round of driver-fetch
+    # evidence, so rotation's purpose shifts from coverage to STALENESS.
+    # Each round, any row whose last driver fetch is ≥ 4 rounds old is a
+    # promotion candidate; promote the six staleest, breaking ties by
+    # plan-class uniqueness (a row whose plan class has no currently-gated
+    # sibling outranks one that has) and demote the longest-green rows
+    # whose class keeps a gated sibling, documented per row as above.
+    # Round-14 candidates by this rule (last fetch in parentheses):
+    # sim_label_centroids (r5), mm_resize (r5), dedup_simhash (r8),
+    # mm_frame_sample (r8), sim_kmeans (r8), sim_topk_cosine (r8).
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated
 # since round 1) plus the three whose only evidence was local.  Round 10
 # adds text_repetition and text_oov (never driver-verified).
 _GATE_TEXT = (
-    "text_stats", "text_lm_score", "text_bpe_merges", "text_dsir_select",
+    "text_stats", "text_lm_score",
     "text_repetition", "text_oov",
     # Round 11: the mT5 temperature-sampling recipe (integer-quantized
     # weights, zero float accumulation) and the CCNet per-language
     # perplexity terciles — both round-10 additions, never driver-fetched.
     "text_sample_temperature", "text_ccnet_bucket",
+    # Round 13 (final burn-down): the five remaining never-driver text
+    # rows — sequence packing (two-level prefix sum), overlapping chunker,
+    # source mixing (broadcast budgets), BPE train-then-apply, and the C4
+    # boilerplate line filter (new in round 12).  text_bpe_merges and
+    # text_dsir_select rotate to the tail (see _GATE_DEMOTED).
+    "text_pack_sequences", "text_chunk_overlap", "text_mix_sources",
+    "text_bpe_tokenize", "text_boilerplate",
 )
 
 

@@ -2,31 +2,33 @@
 ``__spark_entry__.queries()`` — registration order IS the gate.  Pin the
 composition so a refactor cannot silently rotate queries in or out of
 driver evidence; a deliberate rotation updates this list in the same
-commit (round-12 composition)."""
+commit (round-13 composition — the final coverage rotation; the
+never-driver tail is now empty and round 14+ rotates on staleness)."""
 
 from __future__ import annotations
 
 GATE_50 = [
-    "tpch_q1", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q18", "tpch_q19", "tpch_q21",
+    "tpch_q1", "tpch_q6", "tpch_q7", "tpch_q10",
+    "tpch_q14", "tpch_q15", "tpch_q18", "tpch_q21",
     "op_asof_join", "op_range_join", "op_window_functions",
     "op_percentiles", "op_time_window", "op_rolling_window",
     "op_salted_join",
     "op_cube", "op_grouping_sets", "op_pivot", "op_full_outer_join",
-    "op_retention_cohorts", "op_histogram",
+    "op_retention_cohorts", "op_histogram", "op_corr",
     "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_embedding",
-    "dedup_contamination", "dedup_clusters", "dedup_substring_winnow",
+    "dedup_contamination", "dedup_clusters",
     "sim_ann_ivf",
     "mm_image_phash",
     "events_sessionize", "pipeline_curate", "pipeline_pretrain",
     "mv_q3_incremental", "mv_q13_incremental", "dedup_minhash_incremental",
     "dedup_passages_incremental", "dedup_embedding_incremental",
     "dedup_canonical",
-    "text_stats", "text_lm_score", "text_bpe_merges", "text_dsir_select",
+    "text_stats", "text_lm_score",
     "text_repetition", "text_oov",
     "text_sample_temperature", "text_ccnet_bucket",
+    "text_pack_sequences", "text_chunk_overlap", "text_mix_sources",
+    "text_bpe_tokenize", "text_boilerplate",
 ]
 
 
