@@ -250,7 +250,16 @@ class MySqlServer:
 
             return EngineResult()
         with self._lock:
-            return self.engine.execute_statement(sql, session_id=session_id)
+            # stream=True: SELECT results are NOT collected here — the
+            # row loop in _query pulls them partition-by-partition AFTER
+            # this lock is released (a slow client must not block other
+            # connections' statements; the reference likewise streams
+            # per-connection, server/src/mysql/mod.rs:103-111).  The plan
+            # is resolved under the lock, so concurrent DDL after release
+            # can at worst fail the scan loudly mid-stream (ERR packet),
+            # never corrupt it.
+            return self.engine.execute_statement(
+                sql, session_id=session_id, stream=True)
 
     def _handle(self, sock: socket.socket) -> None:
         with self._id_lock:
@@ -300,6 +309,21 @@ class MySqlServer:
         if not res.columns:
             write_packet(sock, 1, ok_packet(caps, affected=len(res.rows)))
             return
+        # iter_rows streams partition-by-partition for SELECTs (driver
+        # memory O(partition), not O(result)).  The FIRST row is pulled
+        # BEFORE the resultset header goes out: execution errors that
+        # surface up front (unknown column at bind time, a KILL landing
+        # during the first job — the common cases) become a clean
+        # top-level ERR packet every client understands.  An error after
+        # rows have flowed becomes an in-resultset ERR packet, which the
+        # protocol permits, so the connection stays framed either way.
+        _END = object()
+        rows_it = res.iter_rows()
+        try:
+            first = next(rows_it, _END)
+        except Exception as exc:  # noqa: BLE001 — protocol boundary
+            write_packet(sock, 1, err_packet(str(exc).splitlines()[0][:500]))
+            return
         types = [
             _mysql_type(f.dataType.simpleString()) for f in res.df.schema.fields
         ] if res.df is not None else [0xFD] * len(res.columns)
@@ -308,8 +332,14 @@ class MySqlServer:
             seq = write_packet(sock, seq, column_packet(name, tc))
         if not deprecate_eof:
             seq = write_packet(sock, seq, eof_packet())
-        for row in res.rows:
-            seq = write_packet(sock, seq, row_packet(row))
+        try:
+            if first is not _END:
+                seq = write_packet(sock, seq, row_packet(first))
+                for row in rows_it:
+                    seq = write_packet(sock, seq, row_packet(row))
+        except Exception as exc:  # noqa: BLE001 — protocol boundary
+            write_packet(sock, seq, err_packet(str(exc).splitlines()[0][:500]))
+            return
         if deprecate_eof:
             write_packet(sock, seq, ok_packet(caps, eof_header=True))
         else:

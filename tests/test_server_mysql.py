@@ -88,6 +88,11 @@ class MiniClient:
             _, pkt = read_packet(self.sock)
             if pkt[0] == 0xFE and len(pkt) < 9:
                 break  # EOF or OK-with-EOF-header terminator
+            if pkt[0] == 0xFF:
+                # in-resultset ERR: an execution error surfaced after the
+                # server started streaming rows (0xFF is not a valid
+                # lenenc prefix, so this can never be a data row)
+                raise RuntimeError(pkt[9:].decode("utf-8", "replace"))
             pos, row = 0, []
             while pos < len(pkt):
                 if pkt[pos] == 0xFB:
@@ -242,3 +247,47 @@ def test_kill_after_statement_completion_is_noop(server):
     assert rows == [("4999950000",)]
     a.close()
     b.close()
+
+
+def test_select_streams_rows_with_bounded_driver_memory(server):
+    """A multi-hundred-MB SELECT through the wire server must stream —
+    driver (this process) memory stays O(partition), never O(result).
+    Before round 13 the engine collect()ed the full result (90 GB RSS at
+    sf10, SCALING.md); the reference streams row-at-a-time
+    (server/src/mysql/mod.rs:103-111).  The client reads and DISCARDS
+    rows; ru_maxrss is a high-water mark, so its delta bounds every
+    buffer the server or engine held."""
+    import resource
+
+    c = MiniClient(server.port, CLIENT_PROTOCOL_41 | CLIENT_DEPRECATE_EOF)
+    # ~420 MB logical: 2M rows x ~210 B. range() is generated in 32
+    # partitions, so a streaming server holds ~13 MB at a time.
+    sql = (
+        "SELECT id, repeat('x', 200) AS payload FROM range(2000000)"
+    )
+    before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
+    write_packet(c.sock, 0, b"\x03" + sql.encode())
+    _, first = read_packet(c.sock)
+    assert first[0] not in (0x00, 0xFF), first
+    ncols, _ = c._lenenc(first, 0)
+    for _ in range(ncols):
+        read_packet(c.sock)
+    n, total_bytes = 0, 0
+    while True:
+        _, pkt = read_packet(c.sock)
+        if pkt[0] == 0xFE and len(pkt) < 9:
+            break
+        assert pkt[0] != 0xFF, pkt[9:120]
+        n += 1
+        total_bytes += len(pkt)
+    after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert n == 2_000_000
+    assert total_bytes > 380 * 1024 * 1024  # the result really was big
+    delta_mb = (after - before) / 1024
+    # collected, the result would add >400 MB of python tuples; streamed,
+    # the high-water delta stays under a couple of partitions + slack
+    assert delta_mb < 200, f"driver RSS grew {delta_mb:.0f} MB — not streaming"
+    # the connection stays usable after the big resultset
+    _, rows = c.query("SELECT 41 + 1")
+    assert rows == [("42",)]
+    c.close()
