@@ -40,13 +40,20 @@ writer acquires a monotonically increasing epoch (``O_EXCL`` create of
 ``_fence/epoch-N``); every commit runs inside ``guard()`` — an flock on
 ``_fence/lock`` held across re-check + publication, with ``acquire``
 taking the same flock — so a takeover serializes after any in-flight
-commit and no straggler commit can land afterwards.  A crashed writer
-never leaves a stale lock that bricks the directory (flock dies with the
-process; there is no epoch to expire — the next writer just acquires the
-next one).  Writers that skip the fence entirely are supported ONLY one
-at a time: two concurrent UNFENCED writers may reclaim each other's
-in-flight artifacts during stale-scratch GC and interleave sequence
-numbers — deploy concurrent/HA writers with the fence, full stop.
+commit and no straggler commit can land afterwards.  On stores WITHOUT
+flock the fence holds by CAS arbitration alone (round-12 verdict task
+3): every segment commit must CAS its sequence slot (``allocate_seq``)
+and every manifest commit CASes the pointer, both bodies carrying the
+writer's epoch; a takeover burns the next slot / bumps the manifest
+chain under its new epoch, so a mid-commit straggler loses its own CAS
+terminally (``WriterFenced``) or serialized strictly before the
+takeover.  A crashed writer never leaves a stale lock that bricks the
+directory (flock dies with the process; there is no epoch to expire —
+the next writer just acquires the next one).  Writers that skip the
+fence entirely are supported ONLY one at a time: two concurrent UNFENCED
+writers may reclaim each other's in-flight artifacts during
+stale-scratch GC — deploy concurrent/HA writers with the fence, full
+stop (the slot CAS does keep even their sequence spans from colliding).
 
 Reference parity note: the reference engine is single-node RocksDB
 (storage/src/storage.rs) — it has no object-store or multi-writer story;
@@ -101,6 +108,76 @@ class CommitConflict(RuntimeError):
 class WriterFenced(RuntimeError):
     """A newer writer epoch exists for this state directory; this writer
     must stop — continuing would interleave commits with the new owner."""
+
+
+_SEQ_PREFIX = "seq-"
+
+
+def _seq_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_seq")
+
+
+def max_allocated_seq(table_path: str) -> int:
+    """Highest sequence slot ever claimed (committed, burned by a crash
+    between allocation and seal, or burned by a takeover bump); -1 when
+    the table predates slots.  Writers take max(this, segment seqs) + 1
+    so a burned slot is skipped, never reused."""
+    d = _seq_dir(table_path)
+    if not os.path.isdir(d):
+        return -1
+    return max(
+        (int(f[len(_SEQ_PREFIX):]) for f in os.listdir(d)
+         if f.startswith(_SEQ_PREFIX)),
+        default=-1,
+    )
+
+
+def allocate_seq(table_path: str, seq: int, owner: str,
+                  fence_epoch: int | None) -> None:
+    """CAS the sequence slot ``_seq/seq-{seq}`` — the arbitration point
+    that makes segment commits safe WITHOUT flock, hence on object
+    stores (round-12 verdict task 3): exactly one writer can ever claim a
+    given max-sequence, so two writers can never seal segments with the
+    same span (previously only the flock'd guard prevented that; on
+    stores without flock one straggler commit could land after a
+    takeover).  ``O_EXCL``-style exclusive creation models a conditional
+    PUT; the body is content-atomic via scratch + hard-link, same as the
+    manifest pointer.
+
+    Losing the CAS raises ``WriterFenced`` when the slot holder's epoch
+    is newer than ours (we were fenced — a takeover burned this slot or
+    the new owner committed first), else ``CommitConflict`` (an unfenced
+    or same-epoch race; the caller recomputes the next free sequence and
+    retries)."""
+    d = _seq_dir(table_path)
+    os.makedirs(d, exist_ok=True)
+    slot = os.path.join(d, f"{_SEQ_PREFIX}{seq}")
+    scratch = os.path.join(d, f".{_SEQ_PREFIX}{seq}-{uuid.uuid4().hex[:8]}")
+    body = {"owner": owner,
+            "fence_epoch": -1 if fence_epoch is None else fence_epoch}
+    with open(scratch, "w") as fh:
+        json.dump(body, fh)
+    try:
+        os.link(scratch, slot)
+    except FileExistsError as exc:
+        try:
+            with open(slot) as fh:
+                winner_epoch = json.load(fh).get("fence_epoch", -1)
+        except (json.JSONDecodeError, FileNotFoundError):
+            winner_epoch = -1
+        if fence_epoch is not None and winner_epoch > fence_epoch:
+            raise WriterFenced(
+                f"sequence slot {seq} on {table_path} is held by fence "
+                f"epoch {winner_epoch} > this writer's {fence_epoch} — a "
+                f"newer writer owns this table"
+            ) from exc
+        raise CommitConflict(
+            f"sequence {seq} on {table_path} was claimed by another "
+            f"writer; recompute the next sequence and retry"
+        ) from exc
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(scratch)
 
 
 class RenameCommitBackend:
@@ -163,7 +240,11 @@ class RenameCommitBackend:
             return json.load(fh)
 
     def publish_manifest(self, state_path: str, version: int,
-                         payload: dict) -> None:
+                         payload: dict, fence_epoch: int | None = None
+                         ) -> None:
+        # fence_epoch is carried for signature parity with the CAS
+        # backend; on POSIX the flock'd fence guard already makes
+        # check+publish atomic, so the epoch needs no second home here.
         tmp = os.path.join(state_path, f".manifest-{version}.tmp")
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
@@ -265,21 +346,56 @@ class CasPointerCommitBackend:
             if f.startswith("ptr-")
         )
 
+    def _read_ptr(self, state_path: str, version: int) -> tuple[str, int]:
+        """(manifest object name, publisher's fence epoch) stored in the
+        pointer.  Pointers are JSON since round 13 — the epoch riding IN
+        the pointer is what makes fencing atomic with the commit CAS on
+        object stores (round-12 verdict task 3); a bare-name body is a
+        legacy pointer (epoch -1, i.e. predates fencing)."""
+        with open(os.path.join(self._ptr_dir(state_path),
+                               f"ptr-{version}")) as fh:
+            body = fh.read().strip()
+        try:
+            parsed = json.loads(body)
+        except json.JSONDecodeError:
+            return body, -1
+        if isinstance(parsed, dict):
+            return parsed["obj"], parsed.get("fence_epoch", -1)
+        return body, -1
+
     def load_manifest(self, state_path: str) -> dict | None:
         vs = self.manifest_versions(state_path)
         if not vs:
             return None
-        with open(os.path.join(self._ptr_dir(state_path),
-                               f"ptr-{vs[-1]}")) as fh:
-            obj = fh.read().strip()
+        obj, _ = self._read_ptr(state_path, vs[-1])
         with open(os.path.join(state_path, obj)) as fh:
             return json.load(fh)
 
     def publish_manifest(self, state_path: str, version: int,
-                         payload: dict) -> None:
+                         payload: dict, fence_epoch: int | None = None
+                         ) -> None:
         """Write the manifest under a content-unique key (plain PUT), then
         CAS the pointer.  The loser's manifest object is removed; the
-        winner's state is untouched."""
+        winner's state is untouched.
+
+        ``fence_epoch`` rides inside the pointer body, making the fence
+        check atomic with the commit CAS itself — no flock needed, valid
+        on object stores: a fenced straggler either loses the version CAS
+        outright (the new owner's takeover bump or first commit claimed
+        it) and learns from the winner's stored epoch that it was fenced
+        (``WriterFenced``, terminal, instead of a retriable conflict), or
+        its pre-CAS check of the newest committed pointer sees the newer
+        epoch first."""
+        if fence_epoch is not None:
+            vs = self.manifest_versions(state_path)
+            if vs:
+                _, newest_epoch = self._read_ptr(state_path, vs[-1])
+                if newest_epoch > fence_epoch:
+                    raise WriterFenced(
+                        f"manifest chain on {state_path} is owned by fence "
+                        f"epoch {newest_epoch} > this writer's "
+                        f"{fence_epoch}"
+                    )
         obj = f"mobj-{version}-{uuid.uuid4().hex[:8]}.json"
         with open(os.path.join(state_path, obj), "w") as fh:
             json.dump(payload, fh)
@@ -287,22 +403,36 @@ class CasPointerCommitBackend:
         os.makedirs(ptr_dir, exist_ok=True)
         ptr = os.path.join(ptr_dir, f"ptr-{version}")
         # CAS with content-atomicity: the pointer appears with its target
-        # name already inside (a real conditional PUT is atomic with its
-        # body; an O_EXCL create + separate write would leave a torn empty
-        # pointer if the writer died in between).  hard-link is
-        # create-if-absent, not a rename.
+        # name (and the publisher's fence epoch) already inside (a real
+        # conditional PUT is atomic with its body; an O_EXCL create +
+        # separate write would leave a torn empty pointer if the writer
+        # died in between).  hard-link is create-if-absent, not a rename.
         src = os.path.join(ptr_dir, f".ptr-{version}-{uuid.uuid4().hex[:8]}")
         with open(src, "w") as fh:
-            fh.write(obj)
+            json.dump({"obj": obj,
+                       "fence_epoch": (-1 if fence_epoch is None
+                                       else fence_epoch)}, fh)
         try:
             os.link(src, ptr)
         except FileExistsError as exc:
-            # lost the CAS — report the documented retry signal; the cleanup
-            # must tolerate a concurrent retire pass having already removed
-            # our loser objects (suppressing here keeps CommitConflict the
-            # one exception callers ever see on this path)
+            # lost the CAS — the cleanup must tolerate a concurrent retire
+            # pass having already removed our loser objects.  When the
+            # winner's stored epoch outranks ours the loss is TERMINAL
+            # (we were fenced; retrying would interleave with the new
+            # owner) — raise WriterFenced; otherwise the documented retry
+            # signal.
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(os.path.join(state_path, obj))
+            winner_epoch = -1
+            with contextlib.suppress(FileNotFoundError,
+                                     json.JSONDecodeError, KeyError):
+                _, winner_epoch = self._read_ptr(state_path, version)
+            if fence_epoch is not None and winner_epoch > fence_epoch:
+                raise WriterFenced(
+                    f"manifest version {version} was committed by fence "
+                    f"epoch {winner_epoch} > this writer's {fence_epoch} — "
+                    f"a newer writer owns this state"
+                ) from exc
             raise CommitConflict(
                 f"manifest version {version} was committed by another "
                 f"writer; re-read the state and retry"
@@ -353,9 +483,7 @@ class CasPointerCommitBackend:
         min_kept = kept[0]
         live: set[str] = set()
         for v in kept:
-            with open(os.path.join(self._ptr_dir(state_path),
-                                   f"ptr-{v}")) as fh:
-                live.add(fh.read().strip())
+            live.add(self._read_ptr(state_path, v)[0])
         for v in vs[:-keep]:
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(os.path.join(self._ptr_dir(state_path), f"ptr-{v}"))
@@ -404,10 +532,20 @@ class WriterFence:
     the new epoch inside its own guard and raises ``WriterFenced``.  No
     straggler commit can land after a takeover (round-11 verdict task 3 —
     previously the pair was check-then-publish with a documented
-    descheduling window).  On object stores without flock the epoch
-    discipline alone still turns silent interleaving into a loud error at
-    the next commit; at most one in-flight commit can straddle the
-    takeover there, which the new owner observes by listing after acquire.
+    descheduling window).
+
+    On object stores without flock, fencing is atomic with the commit CAS
+    itself (round-12 verdict task 3): the fence epoch rides inside every
+    arbitration object — the sequence slot each segment commit must CAS
+    (``allocate_seq``) and the manifest pointer body — and a takeover
+    BURNS the next slot / bumps the manifest chain under its new epoch
+    (``FreqTable.acquire_writer_fence`` /
+    ``AggState.acquire_writer_fence``).  A straggler descheduled
+    mid-commit therefore loses its own CAS to the takeover and reads the
+    winner's newer epoch — ``WriterFenced``, terminal — or its CAS landed
+    first, in which case its commit serialized strictly BEFORE the
+    takeover.  Linearizable either way; the flock remains
+    belt-and-suspenders on POSIX.
     """
 
     def __init__(self, path: str, epoch: int):

@@ -70,8 +70,30 @@ class FreqTable:
         silently interleave segment sequence numbers.  Optional: the
         embedded engine is single-process single-writer by construction;
         long-lived external maintainers sharing a state directory should
-        acquire."""
+        acquire.
+
+        The takeover BURNS the next sequence slot under the new epoch
+        (round-12 verdict task 3): sequence slots are the CAS arbitration
+        point of every segment commit, so a straggler descheduled inside
+        its own commit loses that CAS — terminally, with ``WriterFenced``
+        — even on object stores where the guard's flock does not exist.
+        If the straggler's slot CAS landed first, its commit serialized
+        strictly BEFORE this takeover (the bump just claims the following
+        slot) and this writer reads it like any other committed segment:
+        linearizable either way, no duplicate span possible."""
         self._fence = commit.WriterFence.acquire(self.path)
+        if os.path.isdir(self.path):
+            while True:
+                nxt = max(
+                    max((s["seq"] for s in self._segments()), default=-1),
+                    commit.max_allocated_seq(self.path),
+                ) + 1
+                try:
+                    commit.allocate_seq(self.path, nxt, "fence-bump",
+                                        self._fence.epoch)
+                    return
+                except commit.CommitConflict:
+                    continue  # raced another allocation; burn the next
 
     # -- metadata ------------------------------------------------------------
     @property
@@ -263,7 +285,13 @@ class FreqTable:
         cannot be torn by a crash; ``compact()`` preserves the max of any
         ``mv_cursor*`` keys)."""
         ts_ms = ts_ms if ts_ms is not None else int(time.time() * 1000)
-        seq = max((s["seq"] for s in self._segments()), default=-1) + 1
+        # the next sequence skips BURNED slots too (a crash between slot
+        # allocation and seal, or a takeover's fence bump) — a sequence
+        # number is claimed exactly once, ever
+        seq = max(
+            max((s["seq"] for s in self._segments()), default=-1),
+            commit.max_allocated_seq(self.path),
+        ) + 1
         # collapse duplicate tuples within the batch (reference merges per-key
         # inside the write batch too, table.rs:320-346)
         cols = [c for c in df.columns if c != FREQ]
@@ -291,6 +319,31 @@ class FreqTable:
         if extra_meta:
             meta.update(extra_meta)
         with commit.fence_guard(self._fence):
+            # The sequence-slot CAS is the commit's arbitration point
+            # (round-12 verdict task 3): it alone — no flock — guarantees
+            # a fenced straggler loses (WriterFenced, terminal) and two
+            # same-generation racers never seal the same span
+            # (CommitConflict → next free sequence).  Works on object
+            # stores; the guard's flock remains belt-and-suspenders on
+            # POSIX.
+            for _ in range(64):
+                try:
+                    commit.allocate_seq(
+                        self.path, seq, seg,
+                        self._fence.epoch if self._fence else None)
+                    break
+                except commit.CommitConflict:
+                    seq = max(
+                        max((s["seq"] for s in self._segments()),
+                            default=-1),
+                        commit.max_allocated_seq(self.path),
+                    ) + 1
+                    meta["seq"] = seq
+            else:
+                raise commit.CommitConflict(
+                    f"could not allocate a sequence slot on {self.path} "
+                    f"after 64 attempts"
+                )
             self.backend.seal_segment(self.path, seg, meta)
 
     def insert(

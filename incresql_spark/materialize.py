@@ -149,8 +149,30 @@ class AggState:
     def acquire_writer_fence(self) -> None:
         """Claim single-writer ownership of this state directory; every
         later commit re-checks and raises ``WriterFenced`` if a newer
-        writer has acquired (see commit.WriterFence)."""
+        writer has acquired (see commit.WriterFence).
+
+        The takeover then BUMPS the manifest chain — republishing the
+        current manifest at the next version with the new epoch in the
+        pointer (round-12 verdict task 3): a straggler descheduled inside
+        its own refresh loses the version CAS to the bump and sees the
+        newer stored epoch (``WriterFenced``, terminal), making fencing
+        atomic with the commit CAS itself on object stores where the
+        guard's flock does not exist.  If the straggler's CAS landed
+        first, its commit serialized strictly before this takeover and
+        the bump lands one version later — linearizable either way."""
         self._fence = commit.WriterFence.acquire(self.path)
+        while True:
+            m = self.backend.load_manifest(self.path)
+            if m is None:
+                return  # nothing published yet — nothing to bump
+            try:
+                self.backend.publish_manifest(
+                    self.path, m["version"] + 1,
+                    {**m, "version": m["version"] + 1},
+                    fence_epoch=self._fence.epoch)
+                return
+            except commit.CommitConflict:
+                continue  # raced a straggler's final commit; bump past it
 
     # -- manifest -------------------------------------------------------------
     def _manifest_versions(self) -> list[int]:
@@ -354,7 +376,9 @@ class AggState:
         # with CommitConflict and the winner's state is untouched.  The
         # guard's flock makes check+publish atomic against takeover.
         with commit.fence_guard(self._fence):
-            self.backend.publish_manifest(self.path, nxt, manifest)
+            self.backend.publish_manifest(
+                self.path, nxt, manifest,
+                fence_epoch=self._fence.epoch if self._fence else None)
         # retain exactly one superseded generation for debug/time-travel
         shutil.rmtree(stage, ignore_errors=True)
         self.backend.retire_manifests(self.path, keep=2)
