@@ -2,10 +2,14 @@
 ``binary`` columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` (the pattern a 100 TB media pipeline runs on Spark).
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(`decode_image` raises NotImplementedError unless ``fake=True``, which
-substitutes a deterministic md5-seeded pixel tensor).  Everything around the
-stub is real and tested: the schema contract, the Arrow batch shape, the
+The container has no image/audio codecs (probed round 13: PIL, soundfile,
+cv2, librosa, imageio, av all absent; pip installs out of scope), so the
+DECODE step runs the ``fake=True`` path here — a deterministic md5-seeded
+tensor that doubles as the oracle surface.  ``fake=False`` is wired to
+Pillow / soundfile behind gated imports: a deployment that ships those on
+its executors gets real decodes with no code change, and this container
+raises the documented NotImplementedError.  Everything around the decode
+is real and tested: the schema contract, the Arrow batch shape, the
 partition-parallel UDF execution, and the feature-extraction output schema.
 
 Scale notes:
@@ -62,15 +66,26 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_image(payload: bytes, fmt: str, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    Real codecs (PIL/cv2) are not in this container — the real path is a
-    clearly-marked stub; ``fake=True`` produces a deterministic tensor from
-    the payload hash so the downstream plumbing is fully testable.
+    ``fake=True`` produces a deterministic tensor from the payload hash so
+    the downstream plumbing is fully testable and oracle-checkable — the
+    fake path stays the verification surface.  ``fake=False`` decodes with
+    Pillow when it is importable; this container has neither Pillow nor
+    cv2/soundfile (probed round 13: PIL, soundfile, cv2, librosa, imageio,
+    av all absent, and pip installs are out of scope), so here the real
+    path raises the documented NotImplementedError, while a deployment
+    with Pillow on the executors gets real decodes with no code change.
     """
     if not fake:
-        raise NotImplementedError(
-            "image decoding requires PIL/cv2 which are not installed; "
-            "run with fake=True for the deterministic test tensor"
-        )
+        try:
+            import io
+
+            from PIL import Image  # gated: not in this container
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decoding requires PIL/cv2 which are not installed; "
+                "run with fake=True for the deterministic test tensor"
+            ) from exc
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     # Pixel i = (b[i mod 16] + i^2) mod 256 over the first 16 payload bytes
     # (tiled if shorter) — pure integer arithmetic, so a SQL oracle can
     # reproduce the tensor exactly from the payload hex (an RNG-seeded
@@ -282,10 +297,21 @@ def decode_audio(payload: bytes, n_samples: int, fake: bool = False):
     reproduce the waveform exactly from the payload hex.
     """
     if not fake:
-        raise NotImplementedError(
-            "audio decoding requires soundfile/ffmpeg which are not "
-            "installed; run with fake=True for the deterministic waveform"
-        )
+        try:
+            import io
+
+            import soundfile  # gated: not in this container (round-13 probe)
+        except ImportError as exc:
+            raise NotImplementedError(
+                "audio decoding requires soundfile/ffmpeg which are not "
+                "installed; run with fake=True for the deterministic waveform"
+            ) from exc
+        data, _sr = soundfile.read(io.BytesIO(payload), dtype="int16")
+        mono = data if data.ndim == 1 else data.mean(axis=1)
+        # same uint8 amplitude contract as the fake path (energy stats
+        # downstream are integer sums over 0..255)
+        return ((mono.astype(np.int64) + 32768) >> 8).astype(np.uint8)[
+            :n_samples]
     b = np.frombuffer((payload * ((n_samples // 16) + 16))[:16], dtype=np.uint8).astype(
         np.int64
     )
