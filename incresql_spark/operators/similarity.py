@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.hashing import hash60, hash60_sql
 from ..plans.layout import materialize
 from ..plans.lsh import (
     bits_for_corpus,
@@ -671,6 +672,112 @@ ORDER BY cluster, dim
 SIM_KMEANS_SQL = _kmeans_sql()
 
 
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding corpus —
+    the SQ8 compression step production ANN indexes (FAISS
+    ``ScalarQuantizer``) apply before IVF/LSH so 100 TB of float vectors
+    become 25 TB of codes.
+
+    Two-phase plan, both phases scale-safe: (1) per-dimension min/max via
+    posexplode → groupBy(dim) — one shuffle whose map-side partial min/max
+    reduce N×DIM rows to DIM per task, perfectly balanced because every
+    row spreads over all DIM keys; the DIM-row result is folded into two
+    array literals and broadcast back.  (2) a narrow per-row pass encodes
+    codes ``round((x-lo)*255/(hi-lo))``, reconstructs, and folds the L1
+    reconstruction error — no shuffle except the deterministic ORDER BY.
+
+    Cross-engine exactness: float→double casts are exact, the affine
+    encode/decode uses one fixed parenthesization, round() is half-up for
+    the non-negative arguments in both engines, and the error fold is a
+    strict left fold in index order — so even the DOUBLE ``l1_err`` is
+    bit-identical and the driver can value-hash it.  ``code_hash`` (60-bit
+    md5 of the joined code string) pins the full code sequence, not just
+    its summary stats."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        e.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("lo"),
+            F.max(F.col("x").cast("double")).alias("hi"),
+        )
+    )
+    params = dims.agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, lo))), s -> s.lo)").alias("los"),
+        F.expr("transform(array_sort(collect_list(struct(pos, hi))), s -> s.hi)").alias("his"),
+    )
+    code_i = (
+        "CASE WHEN element_at(his, i+1) = element_at(los, i+1) THEN 0 "
+        "ELSE CAST(round((CAST(element_at(embedding, i+1) AS DOUBLE) "
+        "- element_at(los, i+1)) * 255.0 "
+        "/ (element_at(his, i+1) - element_at(los, i+1))) AS INT) END"
+    )
+    codes = f"transform(sequence(0, size(embedding) - 1), i -> {code_i})"
+    recon_err_i = (
+        "abs(CAST(element_at(embedding, i+1) AS DOUBLE) "
+        f"- (element_at(los, i+1) + ({code_i}) "
+        "* (element_at(his, i+1) - element_at(los, i+1)) / 255.0))"
+    )
+    l1 = (
+        f"aggregate(transform(sequence(0, size(embedding) - 1), "
+        f"i -> {recon_err_i}), 0D, (acc, x) -> acc + x)"
+    )
+    return (
+        e.crossJoin(F.broadcast(params))
+        .select("vec_id", "embedding", "los", "his",
+                F.expr(codes).alias("codes"))
+        .select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            F.expr("array_min(codes)").cast("int").alias("code_min"),
+            F.expr("array_max(codes)").cast("int").alias("code_max"),
+            F.expr("aggregate(codes, 0L, (acc, c) -> acc + c)").alias("code_sum"),
+            hash60(
+                F.expr("array_join(transform(codes, c -> CAST(c AS STRING)), '-')")
+            ).alias("code_hash"),
+            F.expr(l1).alias("l1_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_SQ8_CODE_I = (
+    "CASE WHEN his[i+1] = los[i+1] THEN 0 "
+    "ELSE CAST(round((CAST(embedding[i+1] AS DOUBLE) - los[i+1]) * 255.0 "
+    "/ (his[i+1] - los[i+1])) AS INT) END"
+)
+
+SIM_QUANTIZE_INT8_SQL = f"""
+WITH ex AS (SELECT vec_id, embedding, len(embedding) AS nd FROM embeddings),
+dims AS (
+  SELECT pos, MIN(CAST(x AS DOUBLE)) AS lo, MAX(CAST(x AS DOUBLE)) AS hi
+  FROM (SELECT unnest(embedding) AS x,
+               unnest(range(0, len(embedding))) AS pos
+        FROM embeddings)
+  GROUP BY pos
+),
+params AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his
+           FROM dims),
+coded AS (
+  SELECT vec_id, nd, embedding, los, his,
+         list_transform(range(0, nd), i -> {_SQ8_CODE_I}) AS codes
+  FROM ex, params
+)
+SELECT vec_id,
+       CAST(nd AS INT) AS n_dims,
+       CAST(list_aggregate(codes, 'min') AS INT) AS code_min,
+       CAST(list_aggregate(codes, 'max') AS INT) AS code_max,
+       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+       {hash60_sql("array_to_string(codes, '-')")} AS code_hash,
+       list_reduce(list_transform(range(0, nd), i ->
+           abs(CAST(embedding[i+1] AS DOUBLE)
+               - (los[i+1] + ({_SQ8_CODE_I})
+                  * (his[i+1] - los[i+1]) / 255.0))),
+         (a, b) -> a + b) AS l1_err
+FROM coded ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "sim_topk_cosine": sim_topk_cosine,
     "sim_ann_lsh": sim_ann_lsh,
@@ -679,6 +786,7 @@ QUERIES = {
     "sim_ann_ivf": sim_ann_ivf,
     "sim_label_centroids": sim_label_centroids,
     "sim_kmeans": sim_kmeans,
+    "sim_quantize_int8": sim_quantize_int8,
 }
 
 ORACLE = {
@@ -689,6 +797,7 @@ ORACLE = {
     "sim_ann_ivf": SIM_ANN_IVF_SQL,
     "sim_label_centroids": SIM_LABEL_CENTROIDS_SQL,
     "sim_kmeans": SIM_KMEANS_SQL,
+    "sim_quantize_int8": SIM_QUANTIZE_INT8_SQL,
 }
 
 BENCH_QUERIES = {"sim_topk_cosine": sim_topk_cosine}

@@ -1633,6 +1633,255 @@ ORDER BY p.doc_id
 """
 
 
+# --- Gopher document-quality rules (Rae et al., arXiv:2112.11446 A1.1) -----
+# The published word-level rules, evaluated per document from the shared
+# tokens array: word-count bounds, mean-word-length bounds, symbol-to-word
+# ratio ('#' and '...'), alphabetic-word fraction, and the required-word
+# rule.  Gopher's required set is {the,be,to,of,and,that,have,with}; the
+# corpus here is synthetic, so — exactly like LANG_MARKERS above — the set
+# is drawn from its own vocabulary; the mechanism (distinct-presence count
+# with a >= 2 threshold) is the deliverable.  Gopher's two LINE-level rules
+# (bullet/ellipsis line fractions) belong to the line machinery and are
+# covered by ``clean_lines`` / ``text_boilerplate``.
+GOPHER_REQUIRED_WORDS = (
+    "the", "a", "data", "key", "row", "table", "line", "value",
+)
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_REQUIRED_HITS = 2
+
+
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule filter: the five word-level rules from Rae et
+    al. (arXiv:2112.11446, A1.1) as one narrow projection — every feature
+    derives from the shared tokens array plus two constant-pattern
+    ``replace`` length diffs, so the whole operator is codegen'd Column
+    arithmetic with NO shuffle except the deterministic ORDER BY.  At
+    100 TB this is scan → project → write, the ideal shape (same class
+    as text_stats, whose measured expression choices it reuses: the
+    sum-of-token-lengths via ``length(concat_ws(...))``, bit-identical to
+    the fold the oracle spells)."""
+    d = load_table(spark, sf_dir, "documents")
+    req = _sql_list(GOPHER_REQUIRED_WORDS)
+    sum_tok_len = F.length(F.concat_ws("", F.col("tokens")))
+    n_words = F.size("tokens")
+    mean_len = sum_tok_len.cast("double") / n_words.cast("double")
+    alpha_ratio = (
+        F.expr("size(filter(tokens, t -> t rlike '[a-z]'))").cast("double")
+        / n_words.cast("double")
+    )
+    symbol_cnt = F.expr(
+        "(length(text) - length(replace(text, '#', ''))) + "
+        "((length(text) - length(replace(text, '...', ''))) DIV 3)"
+    )
+    required_hits = F.expr(
+        f"size(filter(array({req}), w -> array_contains(tokens, w)))"
+    ).cast("int")
+    df = d.withColumn("tokens", F.expr(TOKENS_SPARK)).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        (symbol_cnt.cast("double") / n_words.cast("double")).alias(
+            "symbol_word_ratio"
+        ),
+        required_hits.alias("required_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MEAN_LEN_LO)
+        & (F.col("mean_word_len") <= GOPHER_MEAN_LEN_HI)
+        & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_RATIO)
+        & (F.col("required_hits") >= GOPHER_MIN_REQUIRED_HITS)
+    )
+    return df.withColumn("keep", keep).orderBy("doc_id")
+
+
+TEXT_GOPHER_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKENS_DUCK} AS tokens FROM documents
+), f AS (
+  SELECT doc_id,
+         len(tokens) AS n_words,
+         CAST(list_reduce(list_transform(tokens, t -> length(t)), (a,b) -> a+b) AS DOUBLE)
+           / CAST(len(tokens) AS DOUBLE) AS mean_word_len,
+         CAST(len(list_filter(tokens, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+           / CAST(len(tokens) AS DOUBLE) AS alpha_word_ratio,
+         CAST(((length(text) - length(replace(text, '#', '')))
+               + ((length(text) - length(replace(text, '...', ''))) // 3)) AS DOUBLE)
+           / CAST(len(tokens) AS DOUBLE) AS symbol_word_ratio,
+         CAST(len(list_filter([{_sql_list(GOPHER_REQUIRED_WORDS)}],
+                              w -> list_contains(tokens, w))) AS INT) AS required_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, symbol_word_ratio, required_hits,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MEAN_LEN_LO} AND mean_word_len <= {GOPHER_MEAN_LEN_HI}
+        AND symbol_word_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+        AND required_hits >= {GOPHER_MIN_REQUIRED_HITS}) AS keep
+FROM f ORDER BY doc_id
+"""
+
+
+# --- BM25 lexical top-k search (Robertson & Zaragoza, FnTIR 2009) -----------
+# A fixed query workload over the corpus: Okapi BM25 with k1=1.2, b=0.75.
+# Scores are kept integer-exact for cross-engine bit-equality: every factor
+# (tf, dl, df, N, T=total tokens) is an exact integer, the k1/b rationals
+# are multiplied through (x10T), and the log-idf is replaced by its exact
+# rational argument (N-df+0.5)/(df+0.5) = (2(N-df)+1)/(2df+1) — monotone in
+# the log, so rankings match true BM25 while num/den stay single exact
+# integers whose DOUBLE quotient is bit-identical in both engines (the
+# sim_topk_cosine / text_lm_score recipe).  Intermediates use DECIMAL(38,0)
+# in Spark and HUGEINT in the oracle so the products cannot overflow i64 at
+# sf10+ (num ~ 2e19 at 5M docs).
+BM25_TOP_K = 10
+#: (query_id, terms) — terms drawn from the synthetic corpus vocabulary
+#: (the workload is a parameter of a search operator, exactly like
+#: sim_topk_cosine's vec_id < N_QUERIES convention); term lists are summed
+#: in sorted order so the float accumulation order is pinned in both
+#: engines.
+BM25_QUERIES = (
+    (1, ("fast", "scan")),
+    (2, ("join", "merge", "sort")),
+    (3, ("hash", "vector")),
+    (4, ("batch", "query", "slow")),
+)
+_BM25_TERMS = tuple(sorted({t for _, ts in BM25_QUERIES for t in ts}))
+
+
+def _bm25_num_den(term: str, cast: str) -> tuple[str, str]:
+    """(numerator, denominator) SQL for one term's BM25 contribution.
+    ``cast`` is the engine's exact-wide-integer type (DECIMAL(38,0) /
+    HUGEINT).  score_term = num/den as DOUBLE; tf=0 makes num exactly 0,
+    so missing terms add 0.0 to the score without a CASE."""
+    tf = f"tf_{term}"
+    df = f"df_{term}"
+    num = f"(CAST((2*(n - {df}) + 1) AS {cast}) * 22 * {tf} * t)"
+    den = f"(CAST((2*{df} + 1) AS {cast}) * (10*{tf}*t + 3*t + 9*dl*n))"
+    return num, den
+
+
+def _bm25_branch_exprs(qid: int, terms: tuple, cast: str) -> tuple[str, str]:
+    """(score, n_terms) SQL fragments for one query's branch."""
+    parts = []
+    for t in sorted(terms):
+        num, den = _bm25_num_den(t, cast)
+        parts.append(f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)")
+    score = " + ".join(parts)
+    nterms = " + ".join(
+        f"(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)" for t in sorted(terms)
+    )
+    return score, nterms
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k per query over the documents corpus.
+
+    Plan shape (the scale story): per-doc term frequencies come from the
+    tokens array via literal-term ``filter`` counts — NO token explode and
+    NO (doc, term) shuffle at all, because the query workload is known at
+    plan time.  Corpus statistics (N, total tokens, per-term document
+    frequencies) are ONE tiny global aggregate broadcast back onto a second
+    narrow pass; each document then emits its per-query scores through a
+    single generated literal-struct array (one scan, rows x |queries|).
+    The only real shuffle is the final per-query top-k window, which
+    Spark's WindowGroupLimit rewrites into partial per-partition top-k
+    before the exchange — so the few-partition window never sees more than
+    k x partitions rows per query even at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    perdoc = d.withColumn("tokens", F.expr(TOKENS_SPARK)).select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("dl"),
+        *[
+            F.expr(f"size(filter(tokens, t -> t = '{t}'))")
+            .cast("bigint")
+            .alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = perdoc.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("t"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = perdoc.crossJoin(F.broadcast(stats))
+    branches = []
+    for qid, terms in BM25_QUERIES:
+        score, nterms = _bm25_branch_exprs(qid, terms, "DECIMAL(38,0)")
+        branches.append(
+            f"named_struct('query_id', {qid}, 'score', {score}, "
+            f"'n_terms', CAST({nterms} AS INT))"
+        )
+    q = scored.select(
+        "doc_id", F.expr(f"explode(array({', '.join(branches)}))").alias("q")
+    ).select("doc_id", "q.query_id", "q.score", "q.n_terms")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        q.filter(F.col("n_terms") >= 1)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_id", "rank", "doc_id", "score", "n_terms")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(tokens, t -> t = '{t}')) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    branches = []
+    for qid, terms in BM25_QUERIES:
+        score, nterms = _bm25_branch_exprs(qid, terms, "HUGEINT")
+        branches.append(
+            f"SELECT doc_id, {qid} AS query_id, {score} AS score, "
+            f"CAST({nterms} AS INT) AS n_terms FROM scored"
+        )
+    union = "\n  UNION ALL\n  ".join(branches)
+    return f"""
+WITH perdoc AS (
+  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents)
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t,
+         {df_cols}
+  FROM perdoc
+),
+scored AS (SELECT * FROM perdoc, stats),
+q AS (
+  {union}
+),
+ranked AS (
+  SELECT query_id, doc_id, score, n_terms,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM q WHERE n_terms >= 1
+)
+SELECT query_id, rank, doc_id, score, n_terms
+FROM ranked WHERE rank <= {BM25_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+TEXT_BM25_SEARCH_SQL = _bm25_sql()
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_repetition": text_repetition,
@@ -1653,6 +1902,8 @@ QUERIES = {
     "text_bpe_merges": text_bpe_merges,
     "text_bpe_tokenize": text_bpe_tokenize,
     "text_dsir_select": text_dsir_select,
+    "text_gopher_quality": text_gopher_quality,
+    "text_bm25_search": text_bm25_search,
 }
 
 ORACLE = {
@@ -1675,6 +1926,8 @@ ORACLE = {
     "text_bpe_merges": TEXT_BPE_MERGES_SQL,
     "text_bpe_tokenize": TEXT_BPE_TOKENIZE_SQL,
     "text_dsir_select": TEXT_DSIR_SELECT_SQL,
+    "text_gopher_quality": TEXT_GOPHER_QUALITY_SQL,
+    "text_bm25_search": TEXT_BM25_SEARCH_SQL,
 }
 
 BENCH_QUERIES = {

@@ -714,3 +714,64 @@ def test_retention_cohorts_single_user_phase_exchange(spark):
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
     assert "Expand" not in plan and "Join" not in plan
+
+
+def test_gopher_quality_pure_narrow_map(spark):
+    """The Gopher word-level rules are a single narrow projection: zero
+    hash exchanges, zero joins, one parquet scan — the only exchange is
+    the deterministic ORDER BY's range partitioning.  This is the shape
+    that scans 100 TB at I/O speed."""
+    import re
+
+    from incresql_spark.operators.text import text_gopher_quality
+
+    from .conftest import SF_SMALL
+
+    plan = (
+        text_gopher_quality(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+    assert "Join" not in plan and "Generate" not in plan
+
+
+def test_bm25_single_window_shuffle_with_group_limit(spark):
+    """BM25 never shuffles the corpus by term: per-doc tfs are literal
+    array filters (no token explode), corpus stats arrive by broadcast,
+    and the ONLY hash exchange is the per-query top-k window — which
+    Spark rewrites with WindowGroupLimit so each task ships at most k
+    rows per query into the few-partition window."""
+    import re
+
+    from incresql_spark.operators.text import text_bm25_search
+
+    from .conftest import SF_SMALL
+
+    plan = (
+        text_bm25_search(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"BroadcastExchange", plan)) == 1
+    assert "WindowGroupLimit" in plan
+    # one Generate: the literal per-query struct explode, NOT a token explode
+    assert len(re.findall(r"Generate", plan)) == 1
+
+
+def test_quantize_int8_one_dim_shuffle_then_narrow(spark):
+    """SQ8 quantization is two phases: one (pos)-keyed hash aggregate for
+    the per-dimension min/max (map-side partials reduce N x DIM rows to
+    DIM per task) broadcast back, then a narrow encode pass — one hash
+    exchange, one broadcast, no row-by-row join of the corpus."""
+    import re
+
+    from incresql_spark.operators.similarity import sim_quantize_int8
+
+    from .conftest import SF_SMALL
+
+    plan = (
+        sim_quantize_int8(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"BroadcastExchange", plan)) == 1

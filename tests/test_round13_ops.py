@@ -1,0 +1,77 @@
+"""Round-13 operators: Gopher quality rules, BM25 search, SQ8 quantization.
+
+Cross-engine value equality is covered by the DuckDB oracle gate
+(tools/check_oracle.py — all three verified hash-green at sf0.001/0.01/0.1);
+these tests pin the SEMANTIC invariants the hash can't articulate: the keep
+verdict really is the conjunction of its published thresholds, BM25 ranks
+really order by score, and SQ8 codes/reconstruction really stay inside the
+quantization bounds.
+"""
+
+from __future__ import annotations
+
+from incresql_spark.operators.similarity import sim_quantize_int8
+from incresql_spark.operators.text import (
+    BM25_QUERIES,
+    BM25_TOP_K,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_WORDS,
+    GOPHER_MEAN_LEN_HI,
+    GOPHER_MEAN_LEN_LO,
+    GOPHER_MIN_ALPHA_RATIO,
+    GOPHER_MIN_REQUIRED_HITS,
+    GOPHER_MIN_WORDS,
+    text_bm25_search,
+    text_gopher_quality,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_gopher_keep_is_exactly_the_rule_conjunction(spark):
+    rows = text_gopher_quality(spark, SF_SMALL).collect()
+    assert rows, "empty corpus"
+    kept = 0
+    for r in rows:
+        expect = (
+            GOPHER_MIN_WORDS <= r.n_words <= GOPHER_MAX_WORDS
+            and GOPHER_MEAN_LEN_LO <= r.mean_word_len <= GOPHER_MEAN_LEN_HI
+            and r.symbol_word_ratio <= GOPHER_MAX_SYMBOL_RATIO
+            and r.alpha_word_ratio >= GOPHER_MIN_ALPHA_RATIO
+            and r.required_hits >= GOPHER_MIN_REQUIRED_HITS
+        )
+        assert r.keep == expect, r
+        kept += r.keep
+    # the thresholds must actually discriminate on this corpus — a filter
+    # that keeps everything (or nothing) is a silently broken rule
+    assert 0 < kept < len(rows)
+
+
+def test_bm25_ranks_order_by_score_and_respect_k(spark):
+    rows = text_bm25_search(spark, SF_SMALL).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {qid for qid, _ in BM25_QUERIES}
+    for qid, rs in by_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= BM25_TOP_K
+        for a, b in zip(rs, rs[1:]):
+            assert a.score > b.score or (
+                a.score == b.score and a.doc_id < b.doc_id
+            ), (qid, a, b)
+        assert all(r.n_terms >= 1 for r in rs)
+
+
+def test_quantize_int8_codes_and_error_bounded(spark):
+    rows = sim_quantize_int8(spark, SF_SMALL).collect()
+    assert rows, "empty corpus"
+    nd = rows[0].n_dims
+    for r in rows:
+        assert r.n_dims == nd
+        assert 0 <= r.code_min <= r.code_max <= 255
+        assert 0 <= r.code_sum <= 255 * nd
+        # nearest-code reconstruction error is at most half a step per
+        # dimension; embeddings are unit-scale floats so the per-dim range
+        # is < 4.0 → step < 4/255, half-step < 0.00785
+        assert 0.0 <= r.l1_err <= nd * (4.0 / 255.0) / 2.0, r
