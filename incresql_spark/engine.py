@@ -28,6 +28,8 @@ import json
 import os
 import re
 import shutil
+import threading
+from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -74,6 +76,13 @@ def _split_name(name: str, current_db: str) -> tuple[str, str]:
     return current_db, name
 
 
+class QueryKilled(RuntimeError):
+    """Raised at the next row boundary of a streamed resultset whose
+    session was targeted by KILL — the per-statement analog of the
+    reference's kill_flag check between output tuples
+    (runtime/src/lib.rs:90-131)."""
+
+
 @dataclass
 class EngineResult:
     """(fields, rows) in the reference's result shape, plus the DataFrame.
@@ -92,13 +101,25 @@ class EngineResult:
     #: (group_id, description) — a streamed SELECT's Spark jobs run
     #: LAZILY during iteration, after execute_statement already cleared
     #: the session's job group; iter_rows re-arms it so KILL <session>
-    #: still reaches a long-running streamed scan.
+    #: cancelJobGroup aborts an in-flight partition job.
     job_group: tuple[str, str] | None = None
+    #: Per-statement kill flag, set by ``Engine.cancel``.  cancelJobGroup
+    #: alone is NOT enough for a streamed SELECT (round-13 review): the
+    #: stream spends most of its wall time between partition jobs —
+    #: blocked on the client socket — where a one-shot group cancel has
+    #: nothing to abort and is silently lost.  iter_rows checks this flag
+    #: every row, so a KILL lands at the next row boundary regardless of
+    #: whether a Spark job happens to be in flight.
+    kill_event: "threading.Event | None" = None
+    #: callback run when iteration finishes (deregisters the kill flag)
+    on_finish: "Callable[[], None] | None" = None
 
     def iter_rows(self):
         """Rows one at a time: from ``toLocalIterator()`` when streaming
         (each Spark partition is fetched only when iteration reaches it),
-        else from the materialized list."""
+        else from the materialized list.  Raises :class:`QueryKilled` at
+        the next row boundary after ``Engine.cancel`` targets the owning
+        session."""
         if not (self.streaming and self.df is not None):
             yield from self.rows
             return
@@ -108,8 +129,14 @@ class EngineResult:
                            interruptOnCancel=True)
         try:
             for r in self.df.toLocalIterator():
+                if self.kill_event is not None and self.kill_event.is_set():
+                    raise QueryKilled(
+                        "query killed while streaming its resultset"
+                    )
                 yield tuple(r)
         finally:
+            if self.on_finish is not None:
+                self.on_finish()
             if self.job_group is not None:
                 for key in ("spark.jobGroup.id", "spark.job.description",
                             "spark.job.interruptOnCancel"):
@@ -148,6 +175,12 @@ class Engine:
         #: SELECT sequences skip the O(catalog) re-registration entirely
         self._catalog_dirty = True
         self._in_mutation = False
+        #: group id -> kill flags of that session's live streamed results;
+        #: Engine.cancel sets them so a stream blocked on the client
+        #: socket (no Spark job in flight for cancelJobGroup to abort)
+        #: still dies at its next row boundary
+        self._stream_kills: dict[str, set[threading.Event]] = {}
+        self._stream_kills_lock = threading.Lock()
         #: column → 'int' | 'bigint' | None across declared table schemas,
         #: for reference truncating-division parity (divide.rs:63-85)
         self._int_types: dict[str, str | None] | None = None
@@ -501,8 +534,18 @@ class Engine:
         ``collect`` raises, surfaced as an error result) while the session
         itself stays usable — cancellation is one-shot, future jobs under
         the same group run normally.  A kill with no running query is a
-        no-op, like the reference's flag nobody checks."""
-        self.spark.sparkContext.cancelJobGroup(self._group(session_id))
+        no-op, like the reference's flag nobody checks.
+
+        Streamed SELECTs additionally carry a per-statement kill flag
+        (round-13 review): a stream blocked on a slow client between
+        partition jobs has nothing active for cancelJobGroup to abort, so
+        the one-shot cancel would be silently lost — the flag makes the
+        kill land at the stream's next row boundary instead."""
+        group = self._group(session_id)
+        self.spark.sparkContext.cancelJobGroup(group)
+        with self._stream_kills_lock:
+            for ev in self._stream_kills.get(group, ()):
+                ev.set()
 
     # ---- statements --------------------------------------------------------
     def execute_statement(
@@ -531,7 +574,22 @@ class Engine:
         try:
             res = self._dispatch(s, stream=stream)
             if res.streaming:
-                res.job_group = (self._group(session_id), s[:200])
+                group = self._group(session_id)
+                res.job_group = (group, s[:200])
+                ev = threading.Event()
+                with self._stream_kills_lock:
+                    self._stream_kills.setdefault(group, set()).add(ev)
+
+                def _deregister(group=group, ev=ev):
+                    with self._stream_kills_lock:
+                        flags = self._stream_kills.get(group)
+                        if flags is not None:
+                            flags.discard(ev)
+                            if not flags:
+                                self._stream_kills.pop(group, None)
+
+                res.kill_event = ev
+                res.on_finish = _deregister
             return res
         finally:
             # drop the tag once the statement finishes — a KILL that lands

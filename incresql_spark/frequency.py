@@ -82,18 +82,23 @@ class FreqTable:
         slot) and this writer reads it like any other committed segment:
         linearizable either way, no duplicate span possible."""
         self._fence = commit.WriterFence.acquire(self.path)
-        if os.path.isdir(self.path):
-            while True:
-                nxt = max(
-                    max((s["seq"] for s in self._segments()), default=-1),
-                    commit.max_allocated_seq(self.path),
-                ) + 1
-                try:
-                    commit.allocate_seq(self.path, nxt, "fence-bump",
-                                        self._fence.epoch)
-                    return
-                except commit.CommitConflict:
-                    continue  # raced another allocation; burn the next
+        # burn the next slot unconditionally — acquire() itself just
+        # created self.path/_fence, so the table directory always exists
+        # here; on a brand-new table this claims seq 0 and the first real
+        # segment starts at 1, which is exactly the "a sequence number is
+        # claimed once, ever" discipline (round-13 review: an isdir guard
+        # here was dead code)
+        while True:
+            nxt = max(
+                max((s["seq"] for s in self._segments()), default=-1),
+                commit.max_allocated_seq(self.path),
+            ) + 1
+            try:
+                commit.allocate_seq(self.path, nxt, "fence-bump",
+                                    self._fence.epoch)
+                return
+            except commit.CommitConflict:
+                continue  # raced another allocation; burn the next
 
     # -- metadata ------------------------------------------------------------
     @property

@@ -38,6 +38,7 @@ import json
 import os
 import re
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -92,8 +93,10 @@ class AggState:
 
     Group rows are hash-partitioned into ``num_buckets`` buckets on the
     group key; each bucket is an independently versioned parquet directory
-    (``b-K/v-N``), and an atomically renamed ``manifest-N.json`` maps every
-    live bucket to its current version.  A refresh therefore reads ONLY the
+    (``b-K/v-N-tag`` — the tag is writer-unique, so concurrent or crashed
+    writers can never collide on a directory name), and an atomically
+    renamed ``manifest-N.json`` maps every live bucket to the exact
+    directory name of its current version.  A refresh therefore reads ONLY the
     buckets the delta's groups hash into, re-aggregates those, and writes
     NEW versions of only those buckets — untouched buckets are neither read
     nor rewritten (this is the bucketed merge the reference's changelog
@@ -252,12 +255,26 @@ class AggState:
             )
         return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.num_buckets))
 
+    @staticmethod
+    def _vdir(v) -> str:
+        """Manifest bucket value → version directory name.  Since round 13
+        the manifest stores the exact writer-unique name (``v-N-tag``); an
+        integer is a legacy manifest (``v-N``)."""
+        return f"v-{v}" if isinstance(v, int) else v
+
+    @staticmethod
+    def _vdir_version(name: str) -> int:
+        """Version number embedded in a ``v-N[-tag]`` directory name."""
+        return int(name.split("-")[1])
+
     def _bucket_paths(self, m: dict, buckets: list[int] | None = None) -> list[str]:
         items = m["buckets"].items()
         if buckets is not None:
             want = {str(b) for b in buckets}
             items = [(k, v) for k, v in items if k in want]
-        return [os.path.join(self.path, f"b-{k}", f"v-{v}") for k, v in items]
+        return [
+            os.path.join(self.path, f"b-{k}", self._vdir(v)) for k, v in items
+        ]
 
     # -- read -----------------------------------------------------------------
     def read(self) -> DataFrame | None:
@@ -297,30 +314,33 @@ class AggState:
         m = self._load_manifest()
         nxt = (m["version"] + 1) if m else 0
         buckets = dict(m["buckets"]) if m else {}
-        # Reclaim leftovers of a CRASHED refresh first: the manifest commit
-        # is the transaction point, so any bucket version NEWER than the
-        # committed manifest was never referenced — but it occupies the very
-        # v-N names this refresh will rename onto (os.replace onto a
-        # non-empty directory raises ENOTEMPTY, permanently blocking those
-        # buckets).  Same discipline as FreqTable.compact()'s stale
-        # compact-* cleanup.  Inside the fence guard: a fenced-out refresher
-        # can never reclaim the new owner's in-flight stage/bucket dirs.
-        # (Unfenced CONCURRENT refreshers are unsupported — see
-        # commit.fence_guard; crashed-single-writer restart is the case
-        # this reclaim serves.)
+        # Crashed-refresh garbage collection.  Every artifact this method
+        # writes is WRITER-UNIQUE (stage-{v}-{tag}, v-{v}-{tag}), so a
+        # crashed or fenced predecessor's leftovers can never occupy a name
+        # this refresh needs — no check-then-act reclaim of "future"
+        # versions is required, and (round-13 review) none is SAFE on a
+        # no-flock object store: a descheduled straggler running the old
+        # "rmtree every v-N > my cached committed version" loop could
+        # delete a new owner's freshly COMMITTED bucket dirs.  GC is now
+        # version-scoped instead: only artifacts whose embedded version is
+        # <= the committed manifest version are reclaimed.  That bound is
+        # monotone — every writer (including an arbitrarily stale
+        # straggler reading an OLD manifest) computes a threshold at or
+        # below the true one, and any live writer's in-flight artifacts
+        # always carry a version STRICTLY ABOVE the committed manifest —
+        # so the rule is safe under any interleaving, fence or no fence.
+        # Crashed garbage at version committed+1 simply waits one commit
+        # cycle to become collectable.
         os.makedirs(self.path, exist_ok=True)
         committed = m["version"] if m else -1
         with commit.fence_guard(self._fence):
             for name in os.listdir(self.path):
                 p = os.path.join(self.path, name)
-                if name.startswith("stage-"):
+                if (name.startswith("stage-")
+                        and int(name.split("-")[1]) <= committed):
                     shutil.rmtree(p, ignore_errors=True)
-                elif name.startswith("b-") and os.path.isdir(p):
-                    for d in os.listdir(p):
-                        if d.startswith("v-") and int(d[2:]) > committed:
-                            shutil.rmtree(os.path.join(p, d),
-                                          ignore_errors=True)
-        stage = os.path.join(self.path, f"stage-{nxt}")
+        tag = uuid.uuid4().hex[:8]
+        stage = os.path.join(self.path, f"stage-{nxt}-{tag}")
         (
             merged.withColumn("__bkt", self.bucket_expr(keys, merged))
             # one shuffle over O(touched-bucket) rows → one file per bucket
@@ -340,12 +360,12 @@ class AggState:
                 f"merge produced rows outside touched buckets: "
                 f"{sorted(staged - set(touched))}"
             )
-        # Placing the v-N dirs is fenced too: a fenced-out refresher
-        # descheduled here could otherwise wake AFTER the new owner's
-        # guarded reclaim above and drop its stale v-N dirs back, making
-        # the new owner's own place_dir fail ENOTEMPTY (round-12 advice —
-        # transient loud failure, never corruption, but avoidable).  The
-        # guard raises WriterFenced before any stale dir lands.
+        # Placing the v-N-tag dirs is fenced as a fail-fast courtesy: the
+        # writer-unique names mean a fenced-out straggler placing here can
+        # no longer collide with (or be reclaimed into) the new owner's
+        # names — its dirs are unreferenced garbage the version-scoped GC
+        # collects later — but raising WriterFenced before the copy saves
+        # the wasted I/O.
         prev = {}
         with commit.fence_guard(self._fence):
             for k in touched:
@@ -354,9 +374,9 @@ class AggState:
                 if os.path.isdir(src):  # emptied buckets leave the manifest
                     dst_dir = os.path.join(self.path, f"b-{k}")
                     os.makedirs(dst_dir, exist_ok=True)
-                    self.backend.place_dir(
-                        src, os.path.join(dst_dir, f"v-{nxt}"))
-                    buckets[str(k)] = nxt
+                    vname = f"v-{nxt}-{tag}"
+                    self.backend.place_dir(src, os.path.join(dst_dir, vname))
+                    buckets[str(k)] = vname
         manifest = {
             "version": nxt,
             "num_buckets": self.num_buckets,
@@ -379,17 +399,36 @@ class AggState:
             self.backend.publish_manifest(
                 self.path, nxt, manifest,
                 fence_epoch=self._fence.epoch if self._fence else None)
-        # retain exactly one superseded generation for debug/time-travel
+        # Post-commit sweep: retain the live generation of every bucket
+        # plus the one superseded generation of the buckets this refresh
+        # touched (debug/time-travel — the retained previous manifest
+        # references exactly those), and reclaim everything else AT OR
+        # BELOW the version just committed: crashed predecessors' bucket
+        # dirs and stage dirs (including legacy un-tagged v-{nxt} names,
+        # which can no longer collide with anything).  The <= nxt bound is
+        # what makes the delete safe without flock: this writer just won
+        # the commit CAS at nxt, so any NEWER writer's first artifact
+        # version is > nxt (its takeover bump burns nxt+1) — in-flight
+        # work of a new owner is never inside the sweep's range.
         shutil.rmtree(stage, ignore_errors=True)
         self.backend.retire_manifests(self.path, keep=2)
+        keep_by_bucket: dict[str, set[str]] = {
+            k: {self._vdir(v)} for k, v in buckets.items()
+        }
         for k, old_v in prev.items():
-            bdir = os.path.join(self.path, f"b-{k}")
-            if not os.path.isdir(bdir):
-                continue
-            keep = {f"v-{nxt}"} | ({f"v-{old_v}"} if old_v is not None else set())
-            for d in os.listdir(bdir):
-                if d not in keep:
-                    shutil.rmtree(os.path.join(bdir, d), ignore_errors=True)
+            if old_v is not None:
+                keep_by_bucket.setdefault(str(k), set()).add(self._vdir(old_v))
+        for name in os.listdir(self.path):
+            p = os.path.join(self.path, name)
+            if (name.startswith("stage-")
+                    and int(name.split("-")[1]) <= nxt):
+                shutil.rmtree(p, ignore_errors=True)
+            elif name.startswith("b-") and os.path.isdir(p):
+                keep = keep_by_bucket.get(name[2:], set())
+                for d in os.listdir(p):
+                    if (d.startswith("v-") and d not in keep
+                            and self._vdir_version(d) <= nxt):
+                        shutil.rmtree(os.path.join(p, d), ignore_errors=True)
 
     def drop(self) -> None:
         shutil.rmtree(self.path, ignore_errors=True)

@@ -713,9 +713,12 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/ (element_at(his, i+1) - element_at(los, i+1))) AS INT) END"
     )
     codes = f"transform(sequence(0, size(embedding) - 1), i -> {code_i})"
+    # reconstruction reuses the already-computed codes array (round-13
+    # review: re-expanding the encode CASE here doubled the per-element
+    # arithmetic — Spark does not CSE across lambda bodies)
     recon_err_i = (
         "abs(CAST(element_at(embedding, i+1) AS DOUBLE) "
-        f"- (element_at(los, i+1) + ({code_i}) "
+        "- (element_at(los, i+1) + element_at(codes, i+1) "
         "* (element_at(his, i+1) - element_at(los, i+1)) / 255.0))"
     )
     l1 = (
@@ -771,7 +774,7 @@ SELECT vec_id,
        {hash60_sql("array_to_string(codes, '-')")} AS code_hash,
        list_reduce(list_transform(range(0, nd), i ->
            abs(CAST(embedding[i+1] AS DOUBLE)
-               - (los[i+1] + ({_SQ8_CODE_I})
+               - (los[i+1] + codes[i+1]
                   * (his[i+1] - los[i+1]) / 255.0))),
          (a, b) -> a + b) AS l1_err
 FROM coded ORDER BY vec_id

@@ -1662,7 +1662,13 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is scan → project → write, the ideal shape (same class
     as text_stats, whose measured expression choices it reuses: the
     sum-of-token-lengths via ``length(concat_ws(...))``, bit-identical to
-    the fold the oracle spells)."""
+    the fold the oracle spells).
+
+    Zero-token documents (no [a-z0-9] character at all) are excluded up
+    front on BOTH engines — they have no words for any rule to judge, and
+    without the guard Spark would emit NULL ratios while DuckDB's
+    list_reduce over the empty list errors (round-13 review; same
+    convention as text_boilerplate)."""
     d = load_table(spark, sf_dir, "documents")
     req = _sql_list(GOPHER_REQUIRED_WORDS)
     sum_tok_len = F.length(F.concat_ws("", F.col("tokens")))
@@ -1679,7 +1685,9 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     required_hits = F.expr(
         f"size(filter(array({req}), w -> array_contains(tokens, w)))"
     ).cast("int")
-    df = d.withColumn("tokens", F.expr(TOKENS_SPARK)).select(
+    df = d.withColumn("tokens", F.expr(TOKENS_SPARK)).filter(
+        F.size("tokens") >= 1
+    ).select(
         "doc_id",
         n_words.alias("n_words"),
         mean_len.alias("mean_word_len"),
@@ -1717,6 +1725,7 @@ WITH t AS (
          CAST(len(list_filter([{_sql_list(GOPHER_REQUIRED_WORDS)}],
                               w -> list_contains(tokens, w))) AS INT) AS required_hits
   FROM t
+  WHERE len(tokens) >= 1
 )
 SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, symbol_word_ratio, required_hits,
        (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}

@@ -297,6 +297,15 @@ class MySqlServer:
                 continue
             write_packet(sock, 1, err_packet("unknown command", code=1047))
 
+    @staticmethod
+    def _err_text(exc: BaseException) -> str:
+        """First line of the exception message for an ERR packet; an
+        exception with an EMPTY message must still produce a packet
+        (round-13 review: splitlines()[0] raised IndexError there, tearing
+        the connection down instead of keeping it framed)."""
+        lines = str(exc).splitlines()
+        return (lines[0] if lines else exc.__class__.__name__)[:500]
+
     def _query(
         self, sock, sql: str, caps: int, deprecate_eof: bool,
         session_id: int | None = None,
@@ -304,7 +313,7 @@ class MySqlServer:
         try:
             res = self._execute(sql, session_id=session_id)
         except Exception as exc:  # noqa: BLE001 — every engine error → ERR packet
-            write_packet(sock, 1, err_packet(str(exc).splitlines()[0][:500]))
+            write_packet(sock, 1, err_packet(self._err_text(exc)))
             return
         if not res.columns:
             write_packet(sock, 1, ok_packet(caps, affected=len(res.rows)))
@@ -322,7 +331,7 @@ class MySqlServer:
         try:
             first = next(rows_it, _END)
         except Exception as exc:  # noqa: BLE001 — protocol boundary
-            write_packet(sock, 1, err_packet(str(exc).splitlines()[0][:500]))
+            write_packet(sock, 1, err_packet(self._err_text(exc)))
             return
         types = [
             _mysql_type(f.dataType.simpleString()) for f in res.df.schema.fields
@@ -338,7 +347,7 @@ class MySqlServer:
                 for row in rows_it:
                     seq = write_packet(sock, seq, row_packet(row))
         except Exception as exc:  # noqa: BLE001 — protocol boundary
-            write_packet(sock, seq, err_packet(str(exc).splitlines()[0][:500]))
+            write_packet(sock, seq, err_packet(self._err_text(exc)))
             return
         if deprecate_eof:
             write_packet(sock, seq, ok_packet(caps, eof_header=True))

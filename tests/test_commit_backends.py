@@ -86,7 +86,8 @@ def test_cas_unsealed_segment_is_invisible_then_reclaimed(spark, tmp_path):
     t.create(_schema())
     t.insert(spark.createDataFrame([(1, "a")], _schema()))
     # simulate the crash: data files under a final seg name, no marker
-    orphan = os.path.join(t.path, "seg-9999999999999-deadbeef")
+    # old timestamp: past the orphan grace window, so GC may reclaim it
+    orphan = os.path.join(t.path, "seg-1000-deadbeef")
     os.makedirs(orphan)
     with open(os.path.join(orphan, "part-0.parquet"), "wb") as fh:
         fh.write(b"not really parquet")
@@ -380,11 +381,11 @@ def test_write_json_atomic_crash_leaves_old_file(tmp_path, monkeypatch):
 
 
 def test_cas_aggstate_recovers_from_crashed_refresh_leftovers(spark, tmp_path):
-    """The crashed-refresh reclaim (uncommitted v-{next} bucket versions +
-    stage dirs) is backend-independent — it keys off the COMMITTED
-    manifest version.  Repeat the rename-backend recovery scenario under
-    CAS: orphans newer than the pointer must be reclaimed and the next
-    commit must land cleanly."""
+    """Crashed-refresh recovery is backend-independent.  Since round 13
+    the next commit does not need to reclaim the orphans FIRST (new dirs
+    are writer-unique, so no name can collide); it must simply land
+    cleanly, and the version-scoped post-commit sweep then reclaims the
+    orphans.  Repeat the rename-backend recovery scenario under CAS."""
     path = str(tmp_path / "agg_crash")
     sch = "k INT, cnt BIGINT"
     st = AggState(spark, path, num_buckets=4, backend=CasPointerCommitBackend())
@@ -597,7 +598,8 @@ def test_torn_segment_marker_is_invisible_and_reclaimed(spark, tmp_path):
                       backend=backend)
         t.create(_schema())
         t.insert(spark.createDataFrame([(1, "a")], _schema()))
-        torn = os.path.join(t.path, "seg-9999999999999-t0rnt0rn")
+        # old timestamp: outside the CAS backend's orphan grace window
+        torn = os.path.join(t.path, "seg-1000-t0rnt0rn")
         os.makedirs(torn)
         open(os.path.join(torn, "_segmeta.json"), "w").close()  # torn: empty
         assert [r.k for r in t.scan().collect()] == [1], backend.name
@@ -939,3 +941,110 @@ def test_straggler_manifest_commit_loses_by_cas_alone(spark, tmp_path,
     assert [(r.k, r.cnt) for r in new.read().collect()] == [(1, 1)]
     new.write_buckets(spark.createDataFrame([(1, 5)], sch), ["k"], [0, 1])
     assert [(r.k, r.cnt) for r in new.read().collect()] == [(1, 5)]
+
+
+def test_version_scoped_sweep_never_touches_newer_writer_artifacts(
+        spark, tmp_path):
+    """The round-13 GC redesign: write_buckets never deletes an artifact
+    whose embedded version is ABOVE the version it just committed.  Plant
+    dirs simulating a NEWER writer's in-flight and committed work (stage
+    and bucket versions far above the chain) plus genuine stale garbage at
+    or below it; after a commit at nxt, the garbage is gone and the
+    "newer" artifacts are untouched — the monotone rule that makes the
+    sweep safe without flock on object stores."""
+    path = str(tmp_path / "agg_sweep")
+    sch = "k INT, cnt BIGINT"
+    st = AggState(spark, path, num_buckets=2,
+                  backend=CasPointerCommitBackend())
+    st.write_buckets(spark.createDataFrame([(1, 1), (2, 2)], sch), ["k"],
+                     [0, 1])
+    # "newer writer" artifacts: version 99 > anything this chain commits
+    newer = [os.path.join(path, "stage-99-zz"),
+             os.path.join(path, "b-0", "v-99-zz")]
+    # stale garbage: a crashed refresh at the NEXT version (legacy name
+    # and tagged name) and an old stage
+    nxt = st._load_manifest()["version"] + 1
+    stale = [os.path.join(path, f"stage-{nxt}-old"),
+             os.path.join(path, "b-0", f"v-{nxt}"),
+             os.path.join(path, "b-1", f"v-{nxt}-old")]
+    for d in newer + stale:
+        os.makedirs(d)
+        with open(os.path.join(d, "junk"), "w") as fh:
+            fh.write("x")
+
+    st.write_buckets(spark.createDataFrame([(1, 5), (2, 2)], sch), ["k"],
+                     [0, 1])
+    assert st._load_manifest()["version"] == nxt
+    for d in newer:
+        assert os.path.isdir(d), f"newer-writer artifact {d} was deleted"
+    for d in stale:
+        assert not os.path.exists(d), f"stale garbage {d} survived"
+    assert sorted((r.k, r.cnt) for r in st.read().collect()) == [
+        (1, 5), (2, 2)]
+
+
+def test_straggler_gc_cannot_delete_new_owners_committed_buckets(
+        spark, tmp_path, monkeypatch):
+    """Round-13 review scenario, closed by the writer-unique naming: a
+    straggler that re-enters write_buckets AFTER a takeover (flock gone,
+    its own epoch check suppressed to model a mid-GC deschedule) must not
+    destroy the new owner's COMMITTED bucket data.  Under the old design
+    its reclaim loop rmtree'd every v-N above its stale committed version
+    — deleting the new owner's live dirs; now nothing above the straggler's
+    own target version is ever deleted, so the owner's state survives and
+    the straggler dies on its own commit CAS."""
+    _noop_flock(monkeypatch)
+    path = str(tmp_path / "agg-gc-straggler")
+    sch = "k INT, cnt BIGINT"
+    old = AggState(spark, path, num_buckets=2,
+                   backend=CasPointerCommitBackend())
+    old.acquire_writer_fence()
+    old.write_buckets(spark.createDataFrame([(1, 1)], sch), ["k"], [0, 1])
+    # model the deschedule: the straggler never observes the takeover
+    monkeypatch.setattr(old._fence, "check", lambda: None)
+
+    new = AggState(spark, path, num_buckets=2,
+                   backend=CasPointerCommitBackend())
+    new.acquire_writer_fence()
+    new.write_buckets(spark.createDataFrame([(1, 7)], sch), ["k"], [0, 1])
+    owner_m = new._load_manifest()
+    owner_dirs = [
+        os.path.join(path, f"b-{k}", AggState._vdir(v))
+        for k, v in owner_m["buckets"].items()
+    ]
+    assert owner_dirs and all(os.path.isdir(d) for d in owner_dirs)
+
+    with pytest.raises(WriterFenced):
+        old.write_buckets(spark.createDataFrame([(1, 9)], sch), ["k"],
+                          [0, 1])
+    for d in owner_dirs:
+        assert os.path.isdir(d), (
+            f"straggler GC deleted the new owner's committed {d}")
+    assert [(r.k, r.cnt) for r in new.read().collect()] == [(1, 7)]
+
+
+def test_cas_orphan_grace_protects_young_inflight_segments(spark, tmp_path):
+    """The CAS backend's unmarked-segment GC honours the orphan grace
+    window (round-13 review): an unmarked dir younger than the window is
+    treated as another writer's possible in-flight commit and left alone;
+    one older than the window is crashed garbage and reclaimed."""
+    import time as _time
+
+    t = FreqTable(spark, str(tmp_path / "grace"),
+                  backend=CasPointerCommitBackend())
+    t.create(_schema())
+    t.insert(spark.createDataFrame([(1, "a")], _schema()))
+    now_ms = int(_time.time() * 1000)
+    young = os.path.join(t.path, f"seg-{now_ms}-young000")
+    old = os.path.join(t.path, "seg-1000-old00000")
+    for d in (young, old):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "wb") as fh:
+            fh.write(b"x")
+    t.backend.clean_stale_segments(t.path)
+    assert os.path.isdir(young), "in-flight-age segment was reclaimed"
+    assert not os.path.isdir(old), "aged orphan survived GC"
+    # with the window zeroed (test override), the young one goes too
+    t.backend.orphan_grace_ms = 0
+    t.backend.clean_stale_segments(t.path)
+    assert not os.path.isdir(young)

@@ -348,8 +348,11 @@ def test_agg_state_merge_rewrites_only_touched_buckets(spark, tmp_path):
     agg_path = os.path.join(str(tmp_path / "state"), "agg")
     m0 = manifest(agg_path)
     assert len(m0["buckets"]) > 4  # groups actually spread across buckets
+    from incresql_spark.materialize import AggState
+
     files0 = {
-        b: sorted(os.listdir(os.path.join(agg_path, f"b-{b}", f"v-{v}")))
+        b: sorted(os.listdir(os.path.join(agg_path, f"b-{b}",
+                                          AggState._vdir(v))))
         for b, v in m0["buckets"].items()
     }
 
@@ -368,7 +371,8 @@ def test_agg_state_merge_rewrites_only_touched_buckets(spark, tmp_path):
             continue
         assert m1["buckets"][b] == v
         assert (
-            sorted(os.listdir(os.path.join(agg_path, f"b-{b}", f"v-{v}")))
+            sorted(os.listdir(os.path.join(agg_path, f"b-{b}",
+                                           AggState._vdir(v))))
             == files0[b]
         )
     # and the result is still right
@@ -399,12 +403,14 @@ def test_agg_state_bucket_emptied_on_group_vanish(spark, tmp_path):
 
 
 def test_agg_state_recovers_from_crashed_refresh_leftovers(spark, tmp_path):
-    """Crash recovery (ADVICE r8 medium): a refresh that died AFTER moving
-    bucket versions into place but BEFORE the manifest commit leaves
-    v-{next} dirs (and possibly its stage dir) behind with the manifest
-    never advanced.  The next refresh reuses that version number, so it
-    must reclaim the orphans first — os.replace onto a non-empty directory
-    raises ENOTEMPTY and would block those buckets forever."""
+    """Crash recovery (ADVICE r8 medium; reworked in round 13): a refresh
+    that died AFTER moving bucket versions into place but BEFORE the
+    manifest commit leaves v-{next} dirs (and possibly its stage dir)
+    behind with the manifest never advanced.  Since round 13 new dirs are
+    writer-unique (v-N-tag), so the orphans cannot collide with the next
+    refresh's names — the refresh must simply succeed, and the
+    version-scoped post-commit sweep must then reclaim the orphans (their
+    version is <= the newly committed one)."""
     import json
     import os
 
@@ -447,11 +453,21 @@ def test_agg_state_recovers_from_crashed_refresh_leftovers(spark, tmp_path):
     assert with_stage == []
     with open(os.path.join(agg_path, f"manifest-{nxt}.json")) as fh:
         m1 = json.load(fh)
+    from incresql_spark.materialize import AggState
+
+    live = {AggState._vdir(v) for v in m1["buckets"].values()}
     for name in os.listdir(agg_path):
         if not name.startswith("b-"):
             continue
         for d in os.listdir(os.path.join(agg_path, name)):
-            assert int(d[2:]) <= m1["version"], f"orphan {name}/{d} survived"
+            v = AggState._vdir_version(d)
+            assert v <= m1["version"], f"orphan {name}/{d} survived"
+            # the crashed legacy-named v-{nxt} orphans must be GONE —
+            # everything still on disk at <= committed is either live or
+            # the retained superseded generation of a touched bucket
+            assert d in live or v < m1["version"], (
+                f"crashed orphan {name}/{d} not reclaimed"
+            )
 
 
 def test_agg_state_explicit_bucket_count_mismatch_raises(spark, tmp_path):

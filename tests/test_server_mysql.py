@@ -291,3 +291,45 @@ def test_select_streams_rows_with_bounded_driver_memory(server):
     _, rows = c.query("SELECT 41 + 1")
     assert rows == [("42",)]
     c.close()
+
+
+def test_kill_reaches_streamed_select_between_jobs(server):
+    """KILL must abort a streamed SELECT even when no Spark job is in
+    flight (round-13 review): the stream spends most of its time blocked
+    on the client socket, where cancelJobGroup has nothing to cancel, so
+    the engine's per-statement kill flag is what lands the kill — the
+    victim's resultset must terminate with an in-resultset ERR packet,
+    not run to completion."""
+    a = MiniClient(server.port, CLIENT_PROTOCOL_41 | CLIENT_DEPRECATE_EOF)
+    b = MiniClient(server.port, CLIENT_PROTOCOL_41 | CLIENT_DEPRECATE_EOF)
+    # big enough that TCP backpressure parks the server mid-stream
+    sql = "SELECT id, repeat('x', 200) AS payload FROM range(2000000)"
+    write_packet(a.sock, 0, b"\x03" + sql.encode())
+    _, first = read_packet(a.sock)
+    assert first[0] not in (0x00, 0xFF), first
+    ncols, _ = a._lenenc(first, 0)
+    for _ in range(ncols):
+        read_packet(a.sock)
+    for _ in range(1000):  # rows are flowing
+        _, pkt = read_packet(a.sock)
+        assert pkt[0] not in (0xFE, 0xFF), pkt[:40]
+
+    assert b.query(f"KILL {a.thread_id}") == 0
+
+    saw_err, n_after = False, 0
+    while True:
+        _, pkt = read_packet(a.sock)
+        if pkt[0] == 0xFF:
+            saw_err = True
+            assert b"killed" in pkt, pkt[:120]
+            break
+        if pkt[0] == 0xFE and len(pkt) < 9:
+            break  # natural end — the kill was lost
+        n_after += 1
+        assert n_after < 1_990_000, "stream ran to completion despite KILL"
+    assert saw_err, "no ERR packet — KILL never reached the stream"
+    # the killed session stays usable (one-shot cancellation)
+    _, rows = a.query("SELECT 41 + 1")
+    assert rows == [("42",)]
+    a.close()
+    b.close()
