@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.hashing import hash60_spark_sql, hash60_sql
 
 
 # --- Single / Values / constant folding ------------------------------------
@@ -1289,6 +1290,198 @@ ORDER BY segment
 """
 
 
+# --- HyperLogLog distinct counting (Flajolet et al., AofA 2007) -------------
+# The 100 TB cardinality primitive: distinct counts in O(m) memory per
+# column with ONE bounded shuffle, vs count(DISTINCT)'s full-key exchange.
+# Everything is deterministic and cross-engine bit-exact — Spark's own
+# approx_count_distinct could never be oracle-matched, so this is a from-
+# scratch HLL on the shared md5 hash60: register index = h mod m, rank =
+# leading-zero count of the remaining 48 bits (via length(bin(w)), same
+# semantics both engines), the harmonic sum is computed in INTEGER space
+# (sum of 2^(49-M_j), exact in BIGINT since m * 2^49 < 2^62), and the
+# small-range linear-counting branch needs ln(m/V) — libm ln is NOT
+# guaranteed bit-identical across engines, so it is evaluated as a pinned
+# 20-term atanh series over range-reduced inputs (t <= 1/3: term 20 is
+# ~1e-19, fully converged) with every literal and the fold order spelled
+# identically in the Spark plan and the DuckDB oracle.
+HLL_P = 12
+HLL_M = 1 << HLL_P                      # 4096 registers
+HLL_COLUMNS = ("l_linenumber", "l_orderkey", "l_partkey")
+_HLL_LN2 = "0.6931471805599453"         # pinned literal, never computed
+_HLL_EMPTY_TERM = 1 << 49               # register value 0 → 2^(49-0)
+
+
+def _d(x) -> str:
+    """A double literal both engines agree on.  Bare decimal literals are
+    DECIMAL-typed in BOTH Spark and DuckDB, and their decimal division /
+    scale rules differ (caught live: the all-literal alpha subtree
+    diverged by ~1e3 ulps) — an explicit string→DOUBLE cast is correctly
+    rounded and identical everywhere."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _hll_ln_series(t: str) -> str:
+    """ln(z) = 2*t*sum(t^2k/(2k+1)) as a Horner chain with pinned literal
+    coefficients and explicit parenthesization — identical text for both
+    engines, so the double arithmetic is bit-identical."""
+    expr = _d(1.0 / 39.0)  # k = 19
+    for k in range(18, -1, -1):
+        expr = f"({expr}) * (({t}) * ({t})) + {_d(1.0 / (2 * k + 1))}"
+    return f"{_d(2.0)} * ({t}) * ({expr})"
+
+
+def _hll_sql(div: str, shift) -> dict[str, str]:
+    """Engine-shared HLL expression fragments.  ``div`` is the integer
+    division keyword; ``shift(e)`` renders 1 << e as BIGINT."""
+    return {
+        "j": f"(h % {HLL_M})",
+        "w": f"(h {div} {HLL_M})",
+        "rho": ("CASE WHEN w = 0 THEN 49 "
+                "ELSE CAST(49 - length(bin(w)) AS INT) END"),
+        "term": shift("49 - mj"),
+        "raw": (f"({_d(0.7213)} / ({_d(1.0)} + {_d(1.079)} / "
+                f"{_d(float(HLL_M))})) * {_d(float(HLL_M))} * "
+                f"{_d(float(HLL_M))} * {_d(float(_HLL_EMPTY_TERM))} "
+                f"/ CAST(s AS DOUBLE)"),
+        "kv": "length(bin(v_zero))",
+        "z": f"CAST(v_zero AS DOUBLE) / CAST({shift('kv - 1')} AS DOUBLE)",
+        "t": f"(z - {_d(1.0)}) / (z + {_d(1.0)})",
+        "ln_v": (f"CAST(kv - 1 AS DOUBLE) * {_d(float(_HLL_LN2))} "
+                 f"+ {_hll_ln_series('t')}"),
+        "lc": (f"{_d(float(HLL_M))} * ({_d(float(HLL_P))} * "
+               f"{_d(float(_HLL_LN2))} - ln_v)"),
+        "used_lc": f"(raw_est <= {_d(2.5 * HLL_M)} AND v_zero > 0)",
+    }
+
+
+def op_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count over three lineitem
+    columns spanning both HLL regimes (l_linenumber ~7 and l_partkey reach
+    the linear-counting branch at small SFs; l_orderkey exercises the raw
+    harmonic branch from sf0.01 up).
+
+    Plan shape: one narrow pass explodes (column, value) pairs, one hash
+    aggregate on (name, register) — at most |columns| x m = 12k groups
+    survive the map-side partial max, so the exchange ships KILOBYTES per
+    task no matter how many petabytes were scanned — then a 3-row final
+    aggregate.  The exact count(DISTINCT) column is verification-only (it
+    is the full-key shuffle HLL exists to avoid; production callers drop
+    it and keep the sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = _hll_sql("DIV", lambda e: f"shiftleft(CAST(1 AS BIGINT), {e})")
+    pairs = ", ".join(
+        f"named_struct('name', '{c}', 'val', CAST({c} AS STRING))"
+        for c in HLL_COLUMNS
+    )
+    vals = (
+        li.select(F.expr(f"explode(array({pairs}))").alias("nv"))
+        .select("nv.name", "nv.val")
+        .filter(F.col("val").isNotNull())
+    )
+    regs = (
+        vals.withColumn("h", F.expr(hash60_spark_sql("val")))
+        .withColumn("j", F.expr(x["j"]))
+        .withColumn("w", F.expr(x["w"]))
+        .withColumn("rho", F.expr(x["rho"]))
+        .groupBy("name", "j")
+        .agg(F.max("rho").alias("mj"))
+    )
+    per_name = (
+        regs.groupBy("name")
+        .agg(
+            F.count("*").cast("int").alias("occupied"),
+            F.sum(F.expr(x["term"])).alias("s_occ"),
+        )
+        .withColumn("v_zero", F.lit(HLL_M) - F.col("occupied"))
+        .withColumn(
+            "s",
+            (F.col("s_occ")
+             + F.col("v_zero").cast("bigint") * F.lit(_HLL_EMPTY_TERM)
+             ).cast("bigint"),
+        )
+        .withColumn("raw_est", F.expr(x["raw"]))
+        .withColumn("kv", F.expr(x["kv"]))
+        .withColumn("z", F.expr(x["z"]))
+        .withColumn("t", F.expr(x["t"]))
+        .withColumn("ln_v", F.expr(x["ln_v"]))
+        .withColumn("used_lc", F.expr(x["used_lc"]))
+        .withColumn(
+            "estimate",
+            F.when(F.col("used_lc"), F.expr(x["lc"])).otherwise(
+                F.col("raw_est")
+            ),
+        )
+    )
+    exact = vals.groupBy("name").agg(
+        F.countDistinct("val").alias("exact_count")
+    )
+    return (
+        per_name.join(F.broadcast(exact), "name")
+        .select("name", F.lit(HLL_M).alias("m"), "occupied", "v_zero", "s",
+                "raw_est", "used_lc", "estimate", "exact_count")
+        .orderBy("name")
+    )
+
+
+def _hll_oracle_sql() -> str:
+    x = _hll_sql("//", lambda e: f"(CAST(1 AS BIGINT) << ({e}))")
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT '{c}' AS name, CAST({c} AS VARCHAR) AS val FROM lineitem"
+        for c in HLL_COLUMNS
+    )
+    return f"""
+WITH vals AS (
+  SELECT name, val FROM (
+  {unions}
+  ) WHERE val IS NOT NULL
+),
+regs AS (
+  SELECT name, j, MAX(rho) AS mj FROM (
+    SELECT name,
+           (h % {HLL_M}) AS j,
+           CASE WHEN (h // {HLL_M}) = 0 THEN 49
+                ELSE CAST(49 - length(bin(h // {HLL_M})) AS INT) END AS rho
+    FROM (SELECT name, val, {hash60_sql("val")} AS h FROM vals)
+  ) GROUP BY name, j
+),
+per0 AS (
+  SELECT name, CAST(COUNT(*) AS INT) AS occupied,
+         SUM({x["term"]}) AS s_occ
+  FROM regs GROUP BY name
+),
+per1 AS (
+  SELECT name, occupied, {HLL_M} - occupied AS v_zero,
+         CAST(s_occ + CAST({HLL_M} - occupied AS BIGINT)
+              * {_HLL_EMPTY_TERM} AS BIGINT) AS s
+  FROM per0
+),
+per2 AS (
+  SELECT name, occupied, v_zero, s, {x["raw"]} AS raw_est,
+         {x["kv"]} AS kv
+  FROM per1
+),
+per3 AS (SELECT *, {x["z"]} AS z FROM per2),
+per4 AS (SELECT *, {x["t"]} AS t FROM per3),
+per5 AS (SELECT *, {x["ln_v"]} AS ln_v FROM per4),
+per6 AS (
+  SELECT *, {x["used_lc"]} AS used_lc FROM per5
+),
+exact AS (
+  SELECT name, CAST(COUNT(DISTINCT val) AS BIGINT) AS exact_count
+  FROM vals GROUP BY name
+)
+SELECT p.name, {HLL_M} AS m, p.occupied, p.v_zero, p.s, p.raw_est,
+       p.used_lc,
+       CASE WHEN p.used_lc THEN {x["lc"]} ELSE p.raw_est END AS estimate,
+       e.exact_count
+FROM per6 p JOIN exact e USING (name)
+ORDER BY p.name
+"""
+
+
+OP_HLL_DISTINCT_SQL = _hll_oracle_sql()
+
+
 QUERIES = {
     "op_asof_join": op_asof_join,
     "op_percentiles": op_percentiles,
@@ -1323,6 +1516,7 @@ QUERIES = {
     "op_retention_cohorts": op_retention_cohorts,
     "op_histogram": op_histogram,
     "op_corr": op_corr,
+    "op_hll_distinct": op_hll_distinct,
 }
 
 ORACLE = {
@@ -1359,6 +1553,7 @@ ORACLE = {
     "op_retention_cohorts": OP_RETENTION_COHORTS_SQL,
     "op_histogram": OP_HISTOGRAM_SQL,
     "op_corr": OP_CORR_SQL,
+    "op_hll_distinct": OP_HLL_DISTINCT_SQL,
 }
 
 BENCH_QUERIES = {

@@ -75,3 +75,61 @@ def test_quantize_int8_codes_and_error_bounded(spark):
         # dimension; embeddings are unit-scale floats so the per-dim range
         # is < 4.0 → step < 4/255, half-step < 0.00785
         assert 0.0 <= r.l1_err <= nd * (4.0 / 255.0) / 2.0, r
+
+
+def test_hll_estimates_within_theory_and_both_branches(spark):
+    """HLL with m=4096 has relative standard error 1.04/sqrt(m) ~ 1.6%;
+    allow 3 sigma.  The three columns must exercise BOTH regimes at
+    sf0.001: linear counting for the tiny cardinalities and (from sf0.01,
+    checked by the oracle gate) the raw harmonic branch for l_orderkey."""
+    from incresql_spark.operators.relational import HLL_M, op_hll_distinct
+
+    rows = op_hll_distinct(spark, SF_SMALL).collect()
+    assert {r.name for r in rows} == {
+        "l_linenumber", "l_orderkey", "l_partkey"}
+    for r in rows:
+        assert r.m == HLL_M
+        assert r.occupied + r.v_zero == HLL_M
+        rel = abs(r.estimate - r.exact_count) / max(r.exact_count, 1)
+        assert rel < 3 * 1.04 / (HLL_M ** 0.5), (r.name, rel)
+    assert any(r.used_lc for r in rows), "LC branch never exercised"
+
+
+def test_hll_ln_series_matches_libm_over_lc_range():
+    """The pinned 20-term atanh series (used because libm ln is not
+    bit-identical across engines) must agree with math.log to ~1 ulp over
+    every input the linear-counting branch can produce (V in [1, 2.5m],
+    range-reduced to z in [1, 2))."""
+    import math
+
+    from incresql_spark.operators.relational import HLL_M
+
+    worst = 0.0
+    for v in range(1, int(2.5 * HLL_M) + 1):
+        kv = v.bit_length()
+        z = v / (1 << (kv - 1))
+        t = (z - 1.0) / (z + 1.0)
+        s = 1.0 / 39.0
+        for k in range(18, -1, -1):
+            s = s * (t * t) + 1.0 / (2 * k + 1)
+        lnv = (kv - 1) * 0.6931471805599453 + 2.0 * t * s
+        worst = max(worst, abs(lnv - math.log(v)))
+    assert worst < 1e-14, worst
+
+
+def test_hll_sketch_shuffle_is_bounded(spark):
+    """The sketch path's only data-sized exchange is the (name, register)
+    aggregate — at most |columns| x m groups survive the map-side partial
+    max.  The plan carries 4 hash exchanges total ONLY because the
+    verification-only exact count(DISTINCT) column adds its two; the
+    3-row estimate/exact join is a broadcast."""
+    import re
+
+    from incresql_spark.operators.relational import op_hll_distinct
+
+    plan = (
+        op_hll_distinct(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 4
+    assert len(re.findall(r"BroadcastExchange", plan)) == 1
