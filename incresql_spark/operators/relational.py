@@ -1560,4 +1560,8 @@ BENCH_QUERIES = {
     "op_asof_join": op_asof_join,
     "op_percentiles": op_percentiles,
     "op_time_window": op_time_window,
+    # round 13: the HLL sketch — tracks the bounded-shuffle cardinality
+    # path per-round (disclosed in BASELINE.md; like-for-like totals
+    # exclude it when comparing to pre-r13 rounds)
+    "op_hll_distinct": op_hll_distinct,
 }
