@@ -315,32 +315,36 @@ class CasPointerCommitBackend:
     #: so "unmarked" is also the live state of every in-flight commit; on
     #: a no-flock store a straggler's GC pass could otherwise reclaim a
     #: new owner's segment mid-write (loud commit failure, never data
-    #: loss — but avoidable).  Segment names embed their write timestamp
-    #: (``seg-{ts_ms}-{uuid}``), so GC skips anything younger than this
-    #: window — the Iceberg/Delta orphan-file discipline.  Must exceed the
-    #: longest plausible segment write; override per-instance for tests.
+    #: loss — but avoidable).  Age comes from the directory MTIME, not the
+    #: name-embedded timestamp: segment names carry the LOGICAL ts_ms,
+    #: which callers may backdate (compaction names its output after the
+    #: max input ts; tests pin logical clocks), so a name-keyed grace
+    #: would give an in-flight compaction of old data zero protection
+    #: (round-13 review).  mtime refreshes while parquet parts land, so a
+    #: dir under active write always reads young — the Iceberg/Delta
+    #: orphan-file discipline with object-creation time.  Must exceed the
+    #: longest plausible write pause; override per-instance for tests.
     orphan_grace_ms = 60 * 60 * 1000
 
     def clean_stale_segments(self, table_path: str) -> None:
         """Unmarked ``seg-*`` dirs (crashed before their marker PUT) are
-        invisible to readers; reclaim them here once they are older than
-        ``orphan_grace_ms`` (younger unmarked dirs may be another writer's
-        in-flight commit — see the attribute docstring).  A dir whose
-        marker exists but is UNPARSEABLE is equally uncommitted (the link
-        protocol above publishes markers content-atomically, so a torn
-        marker can only be pre-link-protocol garbage) — reclaim it too
-        instead of letting it poison reads forever.  Never touches a
+        invisible to readers; reclaim them here once their mtime is older
+        than ``orphan_grace_ms`` (younger unmarked dirs may be another
+        writer's in-flight commit — see the attribute docstring).  A dir
+        whose marker exists but is UNPARSEABLE is equally uncommitted (the
+        link protocol above publishes markers content-atomically, so a
+        torn marker can only be pre-link-protocol garbage) — reclaim it
+        too instead of letting it poison reads forever.  Never touches a
         validly marked segment."""
-        cutoff = time.time() * 1000 - self.orphan_grace_ms
+        cutoff = time.time() - self.orphan_grace_ms / 1000.0
         for name in os.listdir(table_path):
             p = os.path.join(table_path, name)
             if name.startswith("seg-") and os.path.isdir(p):
                 try:
-                    ts_ms = int(name.split("-")[1])
-                except ValueError:
-                    ts_ms = 0  # unparseable name: legacy garbage, no grace
-                if ts_ms > cutoff:
-                    continue
+                    if os.path.getmtime(p) > cutoff:
+                        continue
+                except FileNotFoundError:
+                    continue  # reclaimed concurrently
                 if not _marker_is_committed(os.path.join(p, _SEGMETA)):
                     shutil.rmtree(p, ignore_errors=True)
             elif name.startswith("compact-"):

@@ -29,6 +29,7 @@ import os
 import re
 import shutil
 import threading
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -590,6 +591,12 @@ class Engine:
 
                 res.kill_event = ev
                 res.on_finish = _deregister
+                # a result abandoned before iteration ever starts would
+                # otherwise leak its flag for the Engine's lifetime (a
+                # never-started generator runs no finally) — the finalizer
+                # guarantees eventual deregistration; _deregister is
+                # idempotent, so the common iter_rows path is unaffected
+                weakref.finalize(res, _deregister)
             return res
         finally:
             # drop the tag once the statement finishes — a KILL that lands

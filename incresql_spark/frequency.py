@@ -461,14 +461,34 @@ class FreqTable:
         with commit.fence_guard(self._fence):
             self.backend.clean_stale_segments(self.path)
             segs = self._segments()
-            # reclaim SEALED leftovers of a compact that crashed after
-            # publishing its merged segment but before deleting the inputs:
-            # they are subsumed (readers already ignore them) but hold disk
+            # Reclaim SEALED leftovers of a compact that crashed after
+            # publishing its merged segment but before deleting the
+            # inputs: they are subsumed (readers already ignore them) but
+            # hold disk.  Deletion here must PROVE subsumption from the
+            # candidate's own marker (round-13 review): an UNMARKED dir
+            # may be another writer's in-flight commit — that is the
+            # graced clean_stale_segments' territory, not ours — and a
+            # marked dir whose span is NOT covered by a live segment is a
+            # new commit that landed after the listing above (its seq is
+            # above every live seq, so the cover check below can never
+            # claim it).  Only a marker whose seq span a live segment
+            # strictly covers is crashed-compaction garbage.
             live_dirs = {s["dir"] for s in segs}
             for name in os.listdir(self.path):
                 p = os.path.join(self.path, name)
-                if (name.startswith("seg-") and os.path.isdir(p)
-                        and p not in live_dirs):
+                if (not name.startswith("seg-") or not os.path.isdir(p)
+                        or p in live_dirs):
+                    continue
+                try:
+                    with open(os.path.join(p, "_segmeta.json")) as fh:
+                        m = json.load(fh)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    continue  # unmarked/torn: graced GC handles it
+                if "seq" not in m:
+                    continue
+                lo = m.get("min_seq", m["seq"])
+                if any(s["min_seq"] <= lo and m["seq"] <= s["seq"]
+                       for s in segs):
                     shutil.rmtree(p, ignore_errors=True)
         if len(segs) <= 1:
             return

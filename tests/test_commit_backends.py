@@ -85,12 +85,13 @@ def test_cas_unsealed_segment_is_invisible_then_reclaimed(spark, tmp_path):
                   backend=CasPointerCommitBackend())
     t.create(_schema())
     t.insert(spark.createDataFrame([(1, "a")], _schema()))
-    # simulate the crash: data files under a final seg name, no marker
-    # old timestamp: past the orphan grace window, so GC may reclaim it
+    # simulate the crash: data files under a final seg name, no marker;
+    # backdate the mtime past the orphan grace window so GC may reclaim it
     orphan = os.path.join(t.path, "seg-1000-deadbeef")
     os.makedirs(orphan)
     with open(os.path.join(orphan, "part-0.parquet"), "wb") as fh:
         fh.write(b"not really parquet")
+    os.utime(orphan, (1000, 1000))
     assert [r.k for r in t.scan().collect()] == [1]  # invisible, not fatal
     t.insert(spark.createDataFrame([(2, "b")], _schema()))
     assert not os.path.isdir(orphan), "stale unsealed segment not reclaimed"
@@ -598,10 +599,11 @@ def test_torn_segment_marker_is_invisible_and_reclaimed(spark, tmp_path):
                       backend=backend)
         t.create(_schema())
         t.insert(spark.createDataFrame([(1, "a")], _schema()))
-        # old timestamp: outside the CAS backend's orphan grace window
+        # backdated mtime: outside the CAS backend's orphan grace window
         torn = os.path.join(t.path, "seg-1000-t0rnt0rn")
         os.makedirs(torn)
         open(os.path.join(torn, "_segmeta.json"), "w").close()  # torn: empty
+        os.utime(torn, (1000, 1000))
         assert [r.k for r in t.scan().collect()] == [1], backend.name
         t.insert(spark.createDataFrame([(2, "b")], _schema()))
         assert not os.path.isdir(torn), (
@@ -1036,11 +1038,15 @@ def test_cas_orphan_grace_protects_young_inflight_segments(spark, tmp_path):
     t.insert(spark.createDataFrame([(1, "a")], _schema()))
     now_ms = int(_time.time() * 1000)
     young = os.path.join(t.path, f"seg-{now_ms}-young000")
-    old = os.path.join(t.path, "seg-1000-old00000")
+    # the OLD orphan deliberately carries a YOUNG name-embedded ts: age
+    # must come from mtime (names carry logical time, which compaction
+    # and backdated inserts make arbitrarily old for in-flight writes)
+    old = os.path.join(t.path, f"seg-{now_ms}-old00000")
     for d in (young, old):
         os.makedirs(d)
         with open(os.path.join(d, "part-0.parquet"), "wb") as fh:
             fh.write(b"x")
+    os.utime(old, (1000, 1000))
     t.backend.clean_stale_segments(t.path)
     assert os.path.isdir(young), "in-flight-age segment was reclaimed"
     assert not os.path.isdir(old), "aged orphan survived GC"

@@ -321,7 +321,10 @@ def test_kill_reaches_streamed_select_between_jobs(server):
         _, pkt = read_packet(a.sock)
         if pkt[0] == 0xFF:
             saw_err = True
-            assert b"killed" in pkt, pkt[:120]
+            # either kill path is correct: the per-row flag (QueryKilled,
+            # "killed ... streaming") or cancelJobGroup aborting an
+            # in-flight partition job (Spark's "cancelled" message)
+            assert (b"killed" in pkt or b"cancel" in pkt), pkt[:160]
             break
         if pkt[0] == 0xFE and len(pkt) < 9:
             break  # natural end — the kill was lost
