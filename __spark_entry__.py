@@ -25,7 +25,7 @@ targets staleness, not coverage (policy in _GATE_DEMOTED).  Everything
 past the cap is equally
 oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
 registered queries locally value-hash-matched — the exact count is
-asserted against this docstring by tests/test_entry_gate.py: 109
+asserted against this docstring by tests/test_entry_gate.py: 110
 queries total; oracle output types are additionally linted — HUGEINT
 and DECIMAL rejected — after driver-only hash mismatches in rounds 2-4
 and 6-7).
@@ -166,11 +166,12 @@ _GATE_DEMOTED = (
     # Round-14 candidates by this rule (last fetch in parentheses):
     # sim_label_centroids (r5), mm_resize (r5), dedup_simhash (r8),
     # mm_frame_sample (r8), sim_kmeans (r8), sim_topk_cosine (r8).
-    # Round-13 NEW rows (sim_quantize_int8 here; text_gopher_quality and
-    # text_bm25_search flow to the tail via the text registry): start in
-    # the tail like every newcomer, but having ZERO driver evidence they
-    # outrank the staleness candidates above for the round-14 promotion.
-    "sim_quantize_int8",
+    # Round-13 NEW rows (sim_quantize_int8 and op_hll_incremental here;
+    # text_gopher_quality, text_bm25_search and op_hll_distinct flow to
+    # the tail via their registries): start in the tail like every
+    # newcomer, but having ZERO driver evidence they outrank the
+    # staleness candidates above for the round-14 promotion.
+    "sim_quantize_int8", "op_hll_incremental",
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated

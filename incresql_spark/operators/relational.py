@@ -1368,17 +1368,30 @@ def op_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the full-key shuffle HLL exists to avoid; production callers drop
     it and keep the sketch)."""
     li = load_table(spark, sf_dir, "lineitem")
-    x = _hll_sql("DIV", lambda e: f"shiftleft(CAST(1 AS BIGINT), {e})")
+    vals = hll_values(li)
+    return hll_finalize(hll_registers(vals), hll_exact(vals))
+
+
+def hll_values(df: DataFrame) -> DataFrame:
+    """(name, val) pairs for the HLL columns — one narrow explode."""
     pairs = ", ".join(
         f"named_struct('name', '{c}', 'val', CAST({c} AS STRING))"
         for c in HLL_COLUMNS
     )
-    vals = (
-        li.select(F.expr(f"explode(array({pairs}))").alias("nv"))
+    return (
+        df.select(F.expr(f"explode(array({pairs}))").alias("nv"))
         .select("nv.name", "nv.val")
         .filter(F.col("val").isNotNull())
     )
-    regs = (
+
+
+def hll_registers(vals: DataFrame) -> DataFrame:
+    """(name, j, mj) register frame — the MERGEABLE sketch state: registers
+    of a union of batches are the per-key MAX of the batches' registers
+    (max is commutative/associative/idempotent), which is what makes the
+    incremental maintainer exact."""
+    x = _hll_sql("DIV", lambda e: f"shiftleft(CAST(1 AS BIGINT), {e})")
+    return (
         vals.withColumn("h", F.expr(hash60_spark_sql("val")))
         .withColumn("j", F.expr(x["j"]))
         .withColumn("w", F.expr(x["w"]))
@@ -1386,6 +1399,19 @@ def op_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("name", "j")
         .agg(F.max("rho").alias("mj"))
     )
+
+
+def hll_exact(vals: DataFrame) -> DataFrame:
+    """Verification-only exact distinct counts per column."""
+    return vals.groupBy("name").agg(
+        F.countDistinct("val").alias("exact_count")
+    )
+
+
+def hll_finalize(regs: DataFrame, exact: DataFrame) -> DataFrame:
+    """Registers → the operator's output row per column (harmonic/LC
+    estimate, bit-exact cross-engine arithmetic)."""
+    x = _hll_sql("DIV", lambda e: f"shiftleft(CAST(1 AS BIGINT), {e})")
     per_name = (
         regs.groupBy("name")
         .agg(
@@ -1411,9 +1437,6 @@ def op_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("raw_est")
             ),
         )
-    )
-    exact = vals.groupBy("name").agg(
-        F.countDistinct("val").alias("exact_count")
     )
     return (
         per_name.join(F.broadcast(exact), "name")

@@ -133,3 +133,29 @@ def test_hll_sketch_shuffle_is_bounded(spark):
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 4
     assert len(re.findall(r"BroadcastExchange", plan)) == 1
+
+
+def test_hll_incremental_equals_batch_and_state_stays_bounded(
+        spark, tmp_path):
+    """Three waves through IncrementalHll must produce byte-identical
+    output to the batch operator over the full table (registers
+    max-merge exactly), and the maintained state must stay bounded at
+    columns x m rows no matter how many waves ingested."""
+    from incresql_spark.catalog import load_table
+    from incresql_spark.operators.relational import (
+        HLL_COLUMNS,
+        HLL_M,
+        hll_exact,
+        hll_values,
+        op_hll_distinct,
+    )
+    from incresql_spark.streaming.hll_incremental import IncrementalHll
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    hll = IncrementalHll(spark, str(tmp_path / "hll_state"))
+    for w in range(3):
+        hll.add_batch(li.filter(f"l_orderkey % 3 = {w}"))
+    got = hll.estimate(hll_exact(hll_values(li))).collect()
+    want = op_hll_distinct(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert hll.registers().count() <= len(HLL_COLUMNS) * HLL_M
