@@ -1891,6 +1891,136 @@ ORDER BY query_id, rank
 TEXT_BM25_SEARCH_SQL = _bm25_sql()
 
 
+# --- Count-Min sketch heavy hitters (Cormode & Muthukrishnan, 2005) ---------
+# The frequency sibling of op_hll_distinct: token frequencies in O(d*w)
+# memory with one bounded shuffle, vs text_vocab's exact full-key
+# aggregation.  Counters are exact integer sums over md5-derived buckets,
+# so the whole sketch — including the min-over-rows estimate — is
+# cross-engine bit-exact and value-hash checkable.  CMS_W is chosen SMALL
+# (16) relative to a production 2^20 because the synthetic corpus's ~40
+# token vocabulary would never collide at a realistic width — the
+# collision handling (overestimates bounded by the row minimum, never an
+# underestimate) is the mechanism under test, exactly the LANG_MARKERS
+# adaptation convention.  The exact counts ride along as verification
+# (they are the full-key shuffle CMS exists to avoid at 100 TB).
+CMS_D = 4     # hash rows
+CMS_W = 16    # buckets per row (production: 2^20+)
+CMS_TOP, CMS_BOTTOM = 15, 5
+
+
+def text_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS frequency estimates for the corpus's top-{CMS_TOP} and
+    bottom-{CMS_BOTTOM} tokens: build the d x w counter sketch (one
+    (row, bucket)-keyed aggregate whose map-side partials bound the
+    exchange at d*w counters per task), then estimate each candidate as
+    the MINIMUM of its d counters.  Invariant pinned by the oracle and
+    tests: cms_est >= exact_cnt always (CMS never underestimates), with
+    the overestimate column showing collision pressure at the deliberately
+    tiny width."""
+    d = load_table(spark, sf_dir, "documents")
+    seeds = ", ".join(str(i) for i in range(CMS_D))
+    bucket = (
+        f"({hash60_spark_sql('concat(CAST(i AS STRING), ' + chr(39) + '|' + chr(39) + ', tok)')}"
+        f" % {CMS_W})"
+    )
+    toks = d.select(
+        F.explode(F.expr(TOKENS_SPARK)).alias("tok")
+    )
+    pairs = toks.select(
+        "tok", F.explode(F.expr(f"array({seeds})")).alias("i")
+    ).withColumn("b", F.expr(bucket))
+    sketch = pairs.groupBy("i", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    exact = toks.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("exact_cnt")
+    )
+    # candidate selection as two orderBy().limit(k) frames, NOT a global
+    # row_number window: Spark plans each as TakeOrderedAndProject —
+    # per-task partial top-k, no single-partition window — so the
+    # selection scales to an arbitrarily large vocabulary (a global-rank
+    # window ships the whole vocab to one partition, and Spark does not
+    # infer a group limit for an unpartitioned window).  Deterministic
+    # tie-break on tok in both engines.
+    cands_top = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("tok").asc()
+    ).limit(CMS_TOP)
+    cands_bot = exact.orderBy(
+        F.col("exact_cnt").asc(), F.col("tok").asc()
+    ).limit(CMS_BOTTOM)
+    cands = cands_top.unionByName(cands_bot).distinct()
+    probes = cands.select(
+        "tok", "exact_cnt", F.explode(F.expr(f"array({seeds})")).alias("i")
+    ).withColumn("b", F.expr(bucket))
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.select(
+            "tok", "exact_cnt", "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+    )
+
+
+text_cms_heavyhitters.__doc__ = (
+    text_cms_heavyhitters.__doc__
+    .replace("{CMS_TOP}", str(CMS_TOP))
+    .replace("{CMS_BOTTOM}", str(CMS_BOTTOM))
+)
+
+
+def _cms_sql() -> str:
+    seeds = ", ".join(str(i) for i in range(CMS_D))
+    bucket = (
+        f"({hash60_sql(chr(39) + chr(39) + ' || i || ' + chr(39) + '|' + chr(39) + ' || tok')}"
+        f" % {CMS_W})"
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(tokens) AS tok
+  FROM (SELECT {TOKENS_DUCK} AS tokens FROM documents)
+),
+pairs AS (
+  SELECT u.i AS i, {bucket} AS b
+  FROM toks, unnest([{seeds}]) AS u(i)
+),
+sketch AS (
+  SELECT i, b, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY i, b
+),
+exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM toks GROUP BY tok
+),
+cands AS (
+  SELECT tok, exact_cnt FROM
+    (SELECT tok, exact_cnt FROM exact
+     ORDER BY exact_cnt DESC, tok ASC LIMIT {CMS_TOP})
+  UNION
+  SELECT tok, exact_cnt FROM
+    (SELECT tok, exact_cnt FROM exact
+     ORDER BY exact_cnt ASC, tok ASC LIMIT {CMS_BOTTOM})
+),
+probes AS (
+  SELECT tok, exact_cnt, u.i AS i, {bucket} AS b
+  FROM cands, unnest([{seeds}]) AS u(i)
+),
+est AS (
+  SELECT p.tok, p.exact_cnt, MIN(s.c) AS cms_est
+  FROM probes p JOIN sketch s ON s.i = p.i AND s.b = p.b
+  GROUP BY p.tok, p.exact_cnt
+)
+SELECT tok, exact_cnt, cms_est, cms_est - exact_cnt AS overestimate
+FROM est
+ORDER BY exact_cnt DESC, tok ASC
+"""
+
+
+TEXT_CMS_HEAVYHITTERS_SQL = _cms_sql()
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_repetition": text_repetition,
@@ -1913,6 +2043,7 @@ QUERIES = {
     "text_dsir_select": text_dsir_select,
     "text_gopher_quality": text_gopher_quality,
     "text_bm25_search": text_bm25_search,
+    "text_cms_heavyhitters": text_cms_heavyhitters,
 }
 
 ORACLE = {
@@ -1937,6 +2068,7 @@ ORACLE = {
     "text_dsir_select": TEXT_DSIR_SELECT_SQL,
     "text_gopher_quality": TEXT_GOPHER_QUALITY_SQL,
     "text_bm25_search": TEXT_BM25_SEARCH_SQL,
+    "text_cms_heavyhitters": TEXT_CMS_HEAVYHITTERS_SQL,
 }
 
 BENCH_QUERIES = {

@@ -159,3 +159,40 @@ def test_hll_incremental_equals_batch_and_state_stays_bounded(
     want = op_hll_distinct(spark, SF_SMALL).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert hll.registers().count() <= len(HLL_COLUMNS) * HLL_M
+
+
+def test_cms_never_underestimates_and_bounds_sketch(spark):
+    """Count-Min invariants: the estimate is NEVER below the exact count
+    (each counter sums a superset of the token's occurrences), the
+    deliberately tiny width (w=16 vs a ~40-token vocabulary) must
+    actually produce collisions somewhere (otherwise the min-over-rows
+    logic is untested), and the candidate set is top-15 + bottom-5."""
+    from incresql_spark.operators.text import (
+        CMS_BOTTOM,
+        CMS_TOP,
+        text_cms_heavyhitters,
+    )
+
+    rows = text_cms_heavyhitters(spark, SF_SMALL).collect()
+    assert 2 <= len(rows) <= CMS_TOP + CMS_BOTTOM
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.cms_est == r.exact_cnt + r.overestimate for r in rows)
+    assert any(r.overestimate > 0 for r in rows), (
+        "no collisions at w=16 — the min-over-rows path is untested")
+    for a, b in zip(rows, rows[1:]):
+        assert (a.exact_cnt, b.tok) >= (b.exact_cnt, a.tok) or \
+            a.exact_cnt >= b.exact_cnt
+
+
+def test_cms_candidate_selection_is_take_ordered(spark):
+    """Candidate selection must plan as TakeOrderedAndProject (per-task
+    partial top-k), never a single-partition global-rank window — the
+    shape that survives an arbitrarily large vocabulary."""
+    from incresql_spark.operators.text import text_cms_heavyhitters
+
+    plan = (
+        text_cms_heavyhitters(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert "Window [" not in plan
