@@ -179,9 +179,8 @@ def test_cms_never_underestimates_and_bounds_sketch(spark):
     assert all(r.cms_est == r.exact_cnt + r.overestimate for r in rows)
     assert any(r.overestimate > 0 for r in rows), (
         "no collisions at w=16 — the min-over-rows path is untested")
-    for a, b in zip(rows, rows[1:]):
-        assert (a.exact_cnt, b.tok) >= (b.exact_cnt, a.tok) or \
-            a.exact_cnt >= b.exact_cnt
+    for a, b in zip(rows, rows[1:]):  # exact_cnt desc, tok asc
+        assert (-a.exact_cnt, a.tok) <= (-b.exact_cnt, b.tok)
 
 
 def test_cms_candidate_selection_is_take_ordered(spark):
