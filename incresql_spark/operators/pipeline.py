@@ -36,6 +36,7 @@ from .dedup import (
     DEDUP_PASSAGES_SQL,
     EVAL_SET_MAX_DOC,
 )
+from .relational import OP_HLL_DISTINCT_SQL
 from .text import STOPWORDS, TOKENS_DUCK, TOKENS_SPARK, _sql_list
 
 #: quality gate: floor on token count and on the stopword (fluency) ratio
@@ -730,7 +731,7 @@ def op_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..operators.relational import hll_exact, hll_values
+    from .relational import hll_exact, hll_values
     from ..streaming.hll_incremental import IncrementalHll
 
     root = tempfile.mkdtemp(prefix="incr_hll_")
@@ -745,15 +746,6 @@ def op_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-
-
-def _op_hll_incremental_sql() -> str:
-    # registers max-merge exactly, so the maintained state after the
-    # waves equals the batch sketch over the full table — the batch
-    # oracle IS the incremental oracle (the dedup_*_incremental pattern)
-    from .relational import OP_HLL_DISTINCT_SQL
-
-    return OP_HLL_DISTINCT_SQL
 
 
 QUERIES = {
@@ -778,7 +770,10 @@ ORACLE = {
     "dedup_passages_incremental": DEDUP_PASSAGES_SQL,
     "dedup_embedding_incremental": DEDUP_EMBEDDING_SQL,
     "dedup_canonical": DEDUP_CANONICAL_SQL,
-    "op_hll_incremental": _op_hll_incremental_sql(),
+    # registers max-merge exactly, so the maintained state after the
+    # waves equals the batch sketch over the full table — the batch
+    # oracle IS the incremental oracle (the dedup_*_incremental pattern)
+    "op_hll_incremental": OP_HLL_DISTINCT_SQL,
 }
 
 # Round 11 (VERDICT r10 task 7): the incremental-maintainer hot path gets

@@ -1354,6 +1354,11 @@ def _hll_sql(div: str, shift) -> dict[str, str]:
     }
 
 
+#: Spark-dialect HLL fragments (the oracle builds its own with the
+#: DuckDB dialect inside _hll_oracle_sql)
+_HLL_X_SPARK = _hll_sql("DIV", lambda e: f"shiftleft(CAST(1 AS BIGINT), {e})")
+
+
 def op_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct-count over three lineitem
     columns spanning both HLL regimes (l_linenumber ~7 and l_partkey reach
@@ -1390,7 +1395,7 @@ def hll_registers(vals: DataFrame) -> DataFrame:
     of a union of batches are the per-key MAX of the batches' registers
     (max is commutative/associative/idempotent), which is what makes the
     incremental maintainer exact."""
-    x = _hll_sql("DIV", lambda e: f"shiftleft(CAST(1 AS BIGINT), {e})")
+    x = _HLL_X_SPARK
     return (
         vals.withColumn("h", F.expr(hash60_spark_sql("val")))
         .withColumn("j", F.expr(x["j"]))
@@ -1411,7 +1416,7 @@ def hll_exact(vals: DataFrame) -> DataFrame:
 def hll_finalize(regs: DataFrame, exact: DataFrame) -> DataFrame:
     """Registers → the operator's output row per column (harmonic/LC
     estimate, bit-exact cross-engine arithmetic)."""
-    x = _hll_sql("DIV", lambda e: f"shiftleft(CAST(1 AS BIGINT), {e})")
+    x = _HLL_X_SPARK
     per_name = (
         regs.groupBy("name")
         .agg(

@@ -1906,6 +1906,14 @@ TEXT_BM25_SEARCH_SQL = _bm25_sql()
 CMS_D = 4     # hash rows
 CMS_W = 16    # buckets per row (production: 2^20+)
 CMS_TOP, CMS_BOTTOM = 15, 5
+_CMS_SEEDS = ", ".join(str(i) for i in range(CMS_D))
+#: seeded bucket exprs — identical md5 input "<i>|<tok>" in both engines
+_CMS_BUCKET_SPARK = "({h} % {w})".format(
+    h=hash60_spark_sql("concat(CAST(i AS STRING), '|', tok)"), w=CMS_W
+)
+_CMS_BUCKET_DUCK = "({h} % {w})".format(
+    h=hash60_sql("'' || i || '|' || tok"), w=CMS_W
+)
 
 
 def text_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1918,11 +1926,7 @@ def text_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overestimate column showing collision pressure at the deliberately
     tiny width."""
     d = load_table(spark, sf_dir, "documents")
-    seeds = ", ".join(str(i) for i in range(CMS_D))
-    bucket = (
-        f"({hash60_spark_sql('concat(CAST(i AS STRING), ' + chr(39) + '|' + chr(39) + ', tok)')}"
-        f" % {CMS_W})"
-    )
+    seeds, bucket = _CMS_SEEDS, _CMS_BUCKET_SPARK
     toks = d.select(
         F.explode(F.expr(TOKENS_SPARK)).alias("tok")
     )
@@ -1974,11 +1978,7 @@ text_cms_heavyhitters.__doc__ = (
 
 
 def _cms_sql() -> str:
-    seeds = ", ".join(str(i) for i in range(CMS_D))
-    bucket = (
-        f"({hash60_sql(chr(39) + chr(39) + ' || i || ' + chr(39) + '|' + chr(39) + ' || tok')}"
-        f" % {CMS_W})"
-    )
+    seeds, bucket = _CMS_SEEDS, _CMS_BUCKET_DUCK
     return f"""
 WITH toks AS (
   SELECT unnest(tokens) AS tok
