@@ -109,8 +109,10 @@ class EngineResult:
     #: stream spends most of its wall time between partition jobs —
     #: blocked on the client socket — where a one-shot group cancel has
     #: nothing to abort and is silently lost.  iter_rows checks this flag
-    #: every row, so a KILL lands at the next row boundary regardless of
-    #: whether a Spark job happens to be in flight.
+    #: every row AND before each blocking iterator fetch, so a KILL lands
+    #: at the next row boundary regardless of whether a Spark job happens
+    #: to be in flight — worst case one partition-fetch job when the KILL
+    #: arrives while next() is already blocked (round-13 advice).
     kill_event: "threading.Event | None" = None
     #: callback run when iteration finishes (deregisters the kill flag)
     on_finish: "Callable[[], None] | None" = None
@@ -129,11 +131,23 @@ class EngineResult:
             sc.setJobGroup(self.job_group[0], self.job_group[1],
                            interruptOnCancel=True)
         try:
-            for r in self.df.toLocalIterator():
+            it = iter(self.df.toLocalIterator())
+            while True:
+                # checked BEFORE blocking on the iterator as well as after:
+                # a KILL that lands between partition jobs (no job in
+                # flight for cancelJobGroup to abort, round-13 advice)
+                # would otherwise launch — and fully wait out — the next
+                # partition-fetch job before the flag is seen.  A KILL
+                # arriving WHILE next() is already blocked still pays that
+                # one in-flight fetch (worst case: one partition job).
                 if self.kill_event is not None and self.kill_event.is_set():
                     raise QueryKilled(
                         "query killed while streaming its resultset"
                     )
+                try:
+                    r = next(it)
+                except StopIteration:
+                    break
                 yield tuple(r)
         finally:
             if self.on_finish is not None:

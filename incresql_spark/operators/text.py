@@ -1742,12 +1742,22 @@ FROM f ORDER BY doc_id
 # Scores are kept integer-exact for cross-engine bit-equality: every factor
 # (tf, dl, df, N, T=total tokens) is an exact integer, the k1/b rationals
 # are multiplied through (x10T), and the log-idf is replaced by its exact
-# rational argument (N-df+0.5)/(df+0.5) = (2(N-df)+1)/(2df+1) — monotone in
-# the log, so rankings match true BM25 while num/den stay single exact
-# integers whose DOUBLE quotient is bit-identical in both engines (the
-# sim_topk_cosine / text_lm_score recipe).  Intermediates use DECIMAL(38,0)
-# in Spark and HUGEINT in the oracle so the products cannot overflow i64 at
-# sf10+ (num ~ 2e19 at 5M docs).
+# rational argument (N-df+0.5)/(df+0.5) = (2(N-df)+1)/(2df+1).  The
+# substitution is monotone PER TERM — each term's contribution is a strictly
+# increasing function of its true BM25 contribution — but summed multi-term
+# scores are a deterministic BM25 VARIANT, not guaranteed to reproduce
+# log-idf BM25's ranking for multi-term queries (a monotone per-term map
+# does not commute with summation; round-13 advice).  What the operator
+# guarantees is self-consistency: num/den stay single exact integers whose
+# DOUBLE quotient is bit-identical in both engines (the sim_topk_cosine /
+# text_lm_score recipe).  Intermediates use DECIMAL(38,0) in Spark and
+# HUGEINT in the oracle so the products cannot overflow i64 at sf10+ (num ~
+# 2e19 at 5M docs); the exact-integer -> DOUBLE casts are routed through a
+# decimal STRING on both engines because a string->double parse is
+# guaranteed correctly rounded everywhere, whereas DuckDB's direct
+# HUGEINT->DOUBLE conversion (upper*2^64 + lower in double arithmetic)
+# can be 1 ulp off past 2^53 (round-13 advice; boundary values pinned in
+# tests/test_round13_ops.py).
 BM25_TOP_K = 10
 #: (query_id, terms) — terms drawn from the synthetic corpus vocabulary
 #: (the workload is a parameter of a search operator, exactly like
@@ -1776,11 +1786,19 @@ def _bm25_num_den(term: str, cast: str) -> tuple[str, str]:
 
 
 def _bm25_branch_exprs(qid: int, terms: tuple, cast: str) -> tuple[str, str]:
-    """(score, n_terms) SQL fragments for one query's branch."""
+    """(score, n_terms) SQL fragments for one query's branch.  The wide
+    integers become DOUBLE via a decimal-string round-trip (``cast`` also
+    selects the engine's string type) — string->double parsing is
+    correctly rounded in both engines, unlike DuckDB's direct
+    HUGEINT->DOUBLE arithmetic conversion (1-ulp risk past 2^53)."""
+    s = "VARCHAR" if cast == "HUGEINT" else "STRING"
     parts = []
     for t in sorted(terms):
         num, den = _bm25_num_den(t, cast)
-        parts.append(f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)")
+        parts.append(
+            f"CAST(CAST({num} AS {s}) AS DOUBLE) / "
+            f"CAST(CAST({den} AS {s}) AS DOUBLE)"
+        )
     score = " + ".join(parts)
     nterms = " + ".join(
         f"(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)" for t in sorted(terms)

@@ -195,3 +195,37 @@ def test_cms_candidate_selection_is_take_ordered(spark):
     )
     assert plan.count("TakeOrderedAndProject") == 2
     assert "Window [" not in plan
+
+
+def test_wide_integer_to_double_routing_is_correctly_rounded(spark):
+    """BM25's exact wide integers become DOUBLE via a decimal-string
+    round-trip on BOTH engines because a string->double parse is
+    guaranteed correctly rounded, while DuckDB's direct HUGEINT->DOUBLE
+    (upper*2^64 + lower in double arithmetic) can double-round 1 ulp off
+    past 2^53 (round-13 advice).  Feed known double-rounding boundary
+    integers through both engines' routed casts and pin them to Python's
+    int->float, which is correctly rounded by definition.
+
+    2^64 + 3*2^12 + 2^11 - 1 is the canonical trap: the low 64 bits round
+    first to exactly half an ulp of the final magnitude, then ties-even
+    rounds AWAY from the true value."""
+    import duckdb
+
+    boundary = [
+        (1 << 64) + 3 * (1 << 12) + (1 << 11) - 1,
+        (1 << 64) + 5 * (1 << 12) + (1 << 11) - 1,
+        (1 << 70) + 3 * (1 << 18) + (1 << 17) - 1,
+        10**25 + 3,
+        (1 << 53) + 1,
+    ]
+    con = duckdb.connect()
+    for v in boundary:
+        correct = float(v)  # CPython: correctly rounded int->float
+        (duck,) = con.sql(
+            f"SELECT CAST(CAST(CAST('{v}' AS HUGEINT) AS VARCHAR) AS DOUBLE)"
+        ).fetchone()
+        (spk,) = spark.sql(
+            f"SELECT CAST(CAST(CAST('{v}' AS DECIMAL(38,0)) AS STRING) "
+            "AS DOUBLE)"
+        ).collect()[0]
+        assert duck == correct and spk == correct, (v, duck, spk, correct)
