@@ -14,14 +14,13 @@ queries (mv_q3_incremental inner, mv_q13_incremental left-outer — round
 9), and a rotating head of the text suite.  Slots ROTATE each round so
 long-unverified queries gain driver evidence (the round-6/7 DECIMAL
 lesson: a fetch-path mismatch can be invisible to every local check).
-Round 13 rotated six per the recorded burn-down — the FINAL coverage
-rotation: op_corr, text_pack_sequences, text_chunk_overlap,
-text_mix_sources, text_bpe_tokenize and text_boilerplate moved into the
-gate (the last six rows with zero driver-fetch evidence — never-driver
-tail is now EMPTY); tpch_q5/q13/q19, text_bpe_merges, text_dsir_select
-and dedup_substring_winnow — each long driver-green with its plan class
-covered by a gated sibling — moved to the tail.  From round 14 rotation
-targets staleness, not coverage (policy in _GATE_DEMOTED).  Everything
+Round 14 promoted the six round-13 newcomers (op_hll_distinct,
+op_hll_incremental, text_cms_heavyhitters, text_gopher_quality,
+text_bm25_search, sim_quantize_int8) — zero driver-fetch evidence
+outranks every staleness candidate under the post-burn-down policy —
+and demoted tpch_q1/q6/q10, text_lm_score, text_oov and
+pipeline_pretrain, each long driver-green with its mechanism still
+gated by a sibling (per-row rationale in _GATE_DEMOTED).  Everything
 past the cap is equally
 oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
 registered queries locally value-hash-matched — the exact count is
@@ -75,6 +74,12 @@ _RELATIONAL_CORE = (
     # Round 13 (final burn-down slot, VERDICT r12 task 1): Pearson
     # correlation over integer sums — the last never-driver relational row.
     "op_corr",
+    # Round 14 (VERDICT r13 task 1): the deterministic HLL sketch — one of
+    # the six round-13 newcomers with zero driver-fetch evidence, all
+    # promoted this round per the staleness policy (zero evidence outranks
+    # every staleness candidate; the six emit DOUBLE columns, the class
+    # that produced invisible fetch-path mismatches in rounds 6-7).
+    "op_hll_distinct",
 )
 
 
@@ -166,20 +171,43 @@ _GATE_DEMOTED = (
     # Round-14 candidates by this rule (last fetch in parentheses):
     # sim_label_centroids (r5), mm_resize (r5), dedup_simhash (r8),
     # mm_frame_sample (r8), sim_kmeans (r8), sim_topk_cosine (r8).
-    # Round-13 NEW rows (sim_quantize_int8 and op_hll_incremental here;
-    # text_gopher_quality, text_bm25_search and op_hll_distinct flow to
-    # the tail via their registries): start in the tail like every
-    # newcomer, but having ZERO driver evidence they outrank the
-    # staleness candidates above for the round-14 promotion.
-    "sim_quantize_int8", "op_hll_incremental",
+    # Round-14 rotation (VERDICT r13 task 1): the six round-13 newcomers
+    # (op_hll_distinct, op_hll_incremental, text_cms_heavyhitters,
+    # text_gopher_quality, text_bm25_search, sim_quantize_int8) enter the
+    # gate — zero driver-fetch evidence outranks every staleness candidate,
+    # and all six emit DOUBLE columns, the rounds-6/7 mismatch class.
+    # Demoted to make room, each with its mechanism still gated by a
+    # sibling: tpch_q1 (13 rounds driver-green; lineitem group-agg + sort
+    # gated by q18/q14, AND still smoke-checked EVERY round because
+    # entry() itself runs q1 at sf0.001 — only the value-hash leg rotates
+    # out), tpch_q6 (13 rounds; scan-filter + global agg gated by q14's
+    # filtered conditional agg and q15's agg-threshold), tpch_q10 (13
+    # rounds; join+agg+TakeOrderedAndProject gated by q18's identical
+    # TakeOrdered top-100 and q7's multi-way join agg), text_lm_score (5
+    # rounds; integer-ppm narrow projection gated by text_stats, and
+    # gated dedup_canonical embeds the ENTIRE lm_score pipeline in both
+    # its plan and its oracle), text_oov (4 rounds; broadcast-vocab
+    # membership projection gated by text_stats + incoming
+    # text_gopher_quality's required-words membership count),
+    # pipeline_pretrain (9 rounds; composed curation dataflow gated by
+    # pipeline_curate, with its mixing/packing stages individually gated
+    # via text_mix_sources + text_pack_sequences).
+    "tpch_q1", "tpch_q6", "tpch_q10", "text_lm_score", "text_oov",
+    "pipeline_pretrain",
+    # Round-14 NEW rows start in the tail like every newcomer (zero driver
+    # evidence -> top promotion candidates for round 15):
+    # op_quantile_sketch flows to the tail via the relational registry;
+    # text_cms_incremental is registry-listed in pipeline.py, so it is
+    # pinned here to keep it out of the gate block until its promotion.
+    "text_cms_incremental",
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated
 # since round 1) plus the three whose only evidence was local.  Round 10
 # adds text_repetition and text_oov (never driver-verified).
 _GATE_TEXT = (
-    "text_stats", "text_lm_score",
-    "text_repetition", "text_oov",
+    "text_stats",
+    "text_repetition",
     # Round 11: the mT5 temperature-sampling recipe (integer-quantized
     # weights, zero float accumulation) and the CCNet per-language
     # perplexity terciles — both round-10 additions, never driver-fetched.
@@ -191,6 +219,11 @@ _GATE_TEXT = (
     # text_dsir_select rotate to the tail (see _GATE_DEMOTED).
     "text_pack_sequences", "text_chunk_overlap", "text_mix_sources",
     "text_bpe_tokenize", "text_boilerplate",
+    # Round 14 (VERDICT r13 task 1): the three round-13 text newcomers —
+    # Gopher word-level quality rules, BM25 top-k search, and the
+    # Count-Min heavy-hitter sketch — all zero-driver-evidence promotions
+    # (text_lm_score and text_oov rotate to the tail, see _GATE_DEMOTED).
+    "text_gopher_quality", "text_bm25_search", "text_cms_heavyhitters",
 )
 
 

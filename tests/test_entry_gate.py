@@ -2,33 +2,34 @@
 ``__spark_entry__.queries()`` — registration order IS the gate.  Pin the
 composition so a refactor cannot silently rotate queries in or out of
 driver evidence; a deliberate rotation updates this list in the same
-commit (round-13 composition — the final coverage rotation; the
-never-driver tail is now empty and round 14+ rotates on staleness)."""
+commit (round-14 composition — the six round-13 sketch/search newcomers
+promoted on the zero-driver-evidence rule; demotion rationale per row
+in __spark_entry__._GATE_DEMOTED)."""
 
 from __future__ import annotations
 
 GATE_50 = [
-    "tpch_q1", "tpch_q6", "tpch_q7", "tpch_q10",
-    "tpch_q14", "tpch_q15", "tpch_q18", "tpch_q21",
+    "tpch_q7", "tpch_q14", "tpch_q15", "tpch_q18", "tpch_q21",
     "op_asof_join", "op_range_join", "op_window_functions",
     "op_percentiles", "op_time_window", "op_rolling_window",
     "op_salted_join",
     "op_cube", "op_grouping_sets", "op_pivot", "op_full_outer_join",
     "op_retention_cohorts", "op_histogram", "op_corr",
+    "op_hll_distinct",
     "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_embedding",
     "dedup_contamination", "dedup_clusters",
-    "sim_ann_ivf",
+    "sim_ann_ivf", "sim_quantize_int8",
     "mm_image_phash",
-    "events_sessionize", "pipeline_curate", "pipeline_pretrain",
+    "events_sessionize", "pipeline_curate",
     "mv_q3_incremental", "mv_q13_incremental", "dedup_minhash_incremental",
     "dedup_passages_incremental", "dedup_embedding_incremental",
-    "dedup_canonical",
-    "text_stats", "text_lm_score",
-    "text_repetition", "text_oov",
+    "dedup_canonical", "op_hll_incremental",
+    "text_stats", "text_repetition",
     "text_sample_temperature", "text_ccnet_bucket",
     "text_pack_sequences", "text_chunk_overlap", "text_mix_sources",
     "text_bpe_tokenize", "text_boilerplate",
+    "text_gopher_quality", "text_bm25_search", "text_cms_heavyhitters",
 ]
 
 
