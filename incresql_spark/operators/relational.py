@@ -1359,7 +1359,9 @@ def _hll_sql(div: str, shift) -> dict[str, str]:
 _HLL_X_SPARK = _hll_sql("DIV", lambda e: f"shiftleft(CAST(1 AS BIGINT), {e})")
 
 
-def op_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def op_hll_distinct(
+    spark: SparkSession, sf_dir: str, verify: bool = True
+) -> DataFrame:
     """Deterministic HyperLogLog distinct-count over three lineitem
     columns spanning both HLL regimes (l_linenumber ~7 and l_partkey reach
     the linear-counting branch at small SFs; l_orderkey exercises the raw
@@ -1370,11 +1372,23 @@ def op_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive the map-side partial max, so the exchange ships KILOBYTES per
     task no matter how many petabytes were scanned — then a 3-row final
     aggregate.  The exact count(DISTINCT) column is verification-only (it
-    is the full-key shuffle HLL exists to avoid; production callers drop
-    it and keep the sketch)."""
+    is the full-key shuffle HLL exists to avoid); ``verify=False`` is the
+    production path — sketch only, no exact ride-along (round-13 advice:
+    at sf10 the exact column was ~75% of the row's cost, so the bench row
+    ``op_hll_sketch_only`` tracks this path)."""
     li = load_table(spark, sf_dir, "lineitem")
     vals = hll_values(li)
-    return hll_finalize(hll_registers(vals), hll_exact(vals))
+    exact = hll_exact(vals) if verify else None
+    return hll_finalize(hll_registers(vals), exact)
+
+
+def op_hll_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY: op_hll_distinct's production path (verify=False) —
+    no exact count(DISTINCT) ride-along, so the number tracks what a real
+    caller pays for the sketch.  Not a gate query: the sketch columns are
+    byte-identical to op_hll_distinct's (same plan minus the exact join),
+    so a second oracle row would add no evidence."""
+    return op_hll_distinct(spark, sf_dir, verify=False)
 
 
 def hll_values(df: DataFrame) -> DataFrame:
@@ -1413,9 +1427,11 @@ def hll_exact(vals: DataFrame) -> DataFrame:
     )
 
 
-def hll_finalize(regs: DataFrame, exact: DataFrame) -> DataFrame:
+def hll_finalize(regs: DataFrame, exact: DataFrame | None = None) -> DataFrame:
     """Registers → the operator's output row per column (harmonic/LC
-    estimate, bit-exact cross-engine arithmetic)."""
+    estimate, bit-exact cross-engine arithmetic).  ``exact`` is the
+    verification-only per-name exact-count frame; None (the production
+    path) omits the join and the exact_count column."""
     x = _HLL_X_SPARK
     per_name = (
         regs.groupBy("name")
@@ -1443,10 +1459,13 @@ def hll_finalize(regs: DataFrame, exact: DataFrame) -> DataFrame:
             ),
         )
     )
+    sketch_cols = ["name", F.lit(HLL_M).alias("m"), "occupied", "v_zero",
+                   "s", "raw_est", "used_lc", "estimate"]
+    if exact is None:
+        return per_name.select(*sketch_cols).orderBy("name")
     return (
         per_name.join(F.broadcast(exact), "name")
-        .select("name", F.lit(HLL_M).alias("m"), "occupied", "v_zero", "s",
-                "raw_est", "used_lc", "estimate", "exact_count")
+        .select(*sketch_cols, "exact_count")
         .orderBy("name")
     )
 
@@ -1592,4 +1611,7 @@ BENCH_QUERIES = {
     # path per-round (disclosed in BASELINE.md; like-for-like totals
     # exclude it when comparing to pre-r13 rounds)
     "op_hll_distinct": op_hll_distinct,
+    # round 14 (VERDICT r13 task 3): the production path (verify=False, no
+    # exact count(DISTINCT) ride-along) — the number a real caller pays
+    "op_hll_sketch_only": op_hll_sketch_only,
 }

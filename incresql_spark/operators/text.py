@@ -1921,39 +1921,88 @@ TEXT_BM25_SEARCH_SQL = _bm25_sql()
 # underestimate) is the mechanism under test, exactly the LANG_MARKERS
 # adaptation convention.  The exact counts ride along as verification
 # (they are the full-key shuffle CMS exists to avoid at 100 TB).
-CMS_D = 4     # hash rows
-CMS_W = 16    # buckets per row (production: 2^20+)
+CMS_D = 4     # hash rows (gate geometry)
+CMS_W = 16    # buckets per row — DELIBERATE collision-stress test geometry
+CMS_PROD_W = 1 << 20   # production default width (see cms_sketch)
 CMS_TOP, CMS_BOTTOM = 15, 5
-_CMS_SEEDS = ", ".join(str(i) for i in range(CMS_D))
-#: seeded bucket exprs — identical md5 input "<i>|<tok>" in both engines
-_CMS_BUCKET_SPARK = "({h} % {w})".format(
-    h=hash60_spark_sql("concat(CAST(i AS STRING), '|', tok)"), w=CMS_W
-)
-_CMS_BUCKET_DUCK = "({h} % {w})".format(
-    h=hash60_sql("'' || i || '|' || tok"), w=CMS_W
-)
 
 
-def text_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cms_seeds(depth: int) -> str:
+    return ", ".join(str(i) for i in range(depth))
+
+
+def _cms_bucket_spark(width: int) -> str:
+    """Seeded bucket expr — identical md5 input "<i>|<tok>" in both
+    engines."""
+    return "({h} % {w})".format(
+        h=hash60_spark_sql("concat(CAST(i AS STRING), '|', tok)"), w=width
+    )
+
+
+def _cms_bucket_duck(width: int) -> str:
+    return "({h} % {w})".format(h=hash60_sql("'' || i || '|' || tok"),
+                                w=width)
+
+
+def cms_sketch(toks: DataFrame, width: int = CMS_PROD_W,
+               depth: int = CMS_D) -> DataFrame:
+    """The d x w Count-Min counter frame (i, b, c) for a ``tok`` column —
+    one (row, bucket)-keyed aggregate whose map-side partials bound the
+    exchange at d*w counters per task.  Counters are ADDITIVE, so sketches
+    of disjoint batches sum-merge exactly (the incremental maintainer's
+    basis, streaming/cms_incremental.py).  Only occupied buckets
+    materialize, so a production width (default 2^20) costs state
+    proportional to min(d*w, d*|vocab|), not d*w."""
+    seeds = _cms_seeds(depth)
+    pairs = toks.select(
+        "tok", F.explode(F.expr(f"array({seeds})")).alias("i")
+    ).withColumn("b", F.expr(_cms_bucket_spark(width)))
+    return pairs.groupBy("i", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+
+
+def cms_probe(sketch: DataFrame, cands: DataFrame, width: int = CMS_PROD_W,
+              depth: int = CMS_D) -> DataFrame:
+    """Estimate each candidate token's frequency as the MINIMUM of its d
+    counters (CMS point query — never an underestimate).  ``cands`` must
+    carry a ``tok`` column; any extra columns ride through.  Geometry must
+    match the sketch's."""
+    key_cols = cands.columns
+    probes = cands.select(
+        "*", F.explode(F.expr(f"array({_cms_seeds(depth)})")).alias("i")
+    ).withColumn("b", F.expr(_cms_bucket_spark(width)))
+    # a candidate absent from every bucket of a row has count 0; the join
+    # is inner because every probed (i, b) bucket of a PRESENT token is
+    # occupied by construction, and absent tokens estimate as the bucket's
+    # collision mass anyway — coalesce to 0 only if the bucket is empty
+    return (
+        probes.join(F.broadcast(sketch), ["i", "b"], "left")
+        .groupBy(*key_cols)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def text_cms_heavyhitters(
+    spark: SparkSession, sf_dir: str,
+    width: int = CMS_W, depth: int = CMS_D,
+) -> DataFrame:
     """CMS frequency estimates for the corpus's top-{CMS_TOP} and
-    bottom-{CMS_BOTTOM} tokens: build the d x w counter sketch (one
-    (row, bucket)-keyed aggregate whose map-side partials bound the
-    exchange at d*w counters per task), then estimate each candidate as
-    the MINIMUM of its d counters.  Invariant pinned by the oracle and
-    tests: cms_est >= exact_cnt always (CMS never underestimates), with
-    the overestimate column showing collision pressure at the deliberately
-    tiny width."""
+    bottom-{CMS_BOTTOM} tokens: build the d x w counter sketch via
+    ``cms_sketch``, then estimate each candidate as the minimum of its d
+    counters.  Invariant pinned by the oracle and tests: cms_est >=
+    exact_cnt always (CMS never underestimates), with the overestimate
+    column showing collision pressure.  The GATE defaults pin width=16 —
+    a deliberate collision-stress geometry against the synthetic ~40-token
+    vocabulary; production callers pass a real width (cms_sketch defaults
+    to 2^20) or use ``text_cms_sketch_only``'s shape, which also drops the
+    exact ride-along columns (round-13 advice: geometry and verification
+    are now parameters, not hard-codes)."""
     d = load_table(spark, sf_dir, "documents")
-    seeds, bucket = _CMS_SEEDS, _CMS_BUCKET_SPARK
     toks = d.select(
         F.explode(F.expr(TOKENS_SPARK)).alias("tok")
     )
-    pairs = toks.select(
-        "tok", F.explode(F.expr(f"array({seeds})")).alias("i")
-    ).withColumn("b", F.expr(bucket))
-    sketch = pairs.groupBy("i", "b").agg(
-        F.count("*").cast("bigint").alias("c")
-    )
+    sketch = cms_sketch(toks, width, depth)
     exact = toks.groupBy("tok").agg(
         F.count("*").cast("bigint").alias("exact_cnt")
     )
@@ -1971,14 +2020,7 @@ def text_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_cnt").asc(), F.col("tok").asc()
     ).limit(CMS_BOTTOM)
     cands = cands_top.unionByName(cands_bot).distinct()
-    probes = cands.select(
-        "tok", "exact_cnt", F.explode(F.expr(f"array({seeds})")).alias("i")
-    ).withColumn("b", F.expr(bucket))
-    est = (
-        probes.join(F.broadcast(sketch), ["i", "b"])
-        .groupBy("tok", "exact_cnt")
-        .agg(F.min("c").alias("cms_est"))
-    )
+    est = cms_probe(sketch, cands, width, depth)
     return (
         est.select(
             "tok", "exact_cnt", "cms_est",
@@ -1995,8 +2037,25 @@ text_cms_heavyhitters.__doc__ = (
 )
 
 
+def text_cms_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH-ONLY: the production CMS path — sketch at the production
+    geometry (w=2^20, d=4: collision probability per row ~|vocab|/2^20)
+    plus point-queries for a fixed candidate token list, with NO exact
+    per-token aggregation ride-along (that full-key shuffle is the thing
+    CMS exists to avoid; round-13 advice).  Not a gate query: the gate's
+    text_cms_heavyhitters pins the same sketch/probe arithmetic against
+    the DuckDB oracle at the collision-stress geometry."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
+    sketch = cms_sketch(toks, CMS_PROD_W, CMS_D)
+    cands = spark.createDataFrame(
+        [(t,) for t in _BM25_TERMS], ["tok"]
+    )
+    return cms_probe(sketch, cands, CMS_PROD_W, CMS_D).orderBy("tok")
+
+
 def _cms_sql() -> str:
-    seeds, bucket = _CMS_SEEDS, _CMS_BUCKET_DUCK
+    seeds, bucket = _cms_seeds(CMS_D), _cms_bucket_duck(CMS_W)
     return f"""
 WITH toks AS (
   SELECT unnest(tokens) AS tok
@@ -2093,4 +2152,7 @@ BENCH_QUERIES = {
     "text_stats": text_stats,
     "text_repetition": text_repetition,
     "text_dsir_select": text_dsir_select,
+    # round 14 (VERDICT r13 task 3): the production CMS path — sketch at
+    # w=2^20 + fixed-candidate point queries, no exact ride-along
+    "text_cms_sketch_only": text_cms_sketch_only,
 }

@@ -197,6 +197,64 @@ def test_cms_candidate_selection_is_take_ordered(spark):
     assert "Window [" not in plan
 
 
+def test_cms_geometry_is_a_parameter(spark):
+    """Round-14 (VERDICT r13 task 3): width/depth are call parameters, not
+    hard-codes.  At the gate's collision-stress w=16 the corpus must
+    produce overestimates; at a realistic w=4096 the same ~40-token
+    vocabulary must probe collision-free (est == exact for every
+    candidate, min over 4 independent rows).  Both geometries preserve
+    the never-underestimate invariant."""
+    from incresql_spark.operators.text import text_cms_heavyhitters
+
+    tiny = text_cms_heavyhitters(spark, SF_SMALL, width=16).collect()
+    wide = text_cms_heavyhitters(spark, SF_SMALL, width=4096).collect()
+    assert all(r.overestimate >= 0 for r in tiny + wide)
+    assert any(r.overestimate > 0 for r in tiny)
+    assert all(r.overestimate == 0 for r in wide), [
+        r for r in wide if r.overestimate
+    ]
+
+
+def test_cms_sketch_only_matches_exact_at_production_width(spark):
+    """The production path (w=2^20 sketch + fixed-candidate probes, no
+    exact ride-along) returns one row per candidate whose estimate equals
+    the exact count at a width where this vocabulary cannot collide in
+    all 4 rows."""
+    from incresql_spark.operators.text import (
+        _BM25_TERMS,
+        TOKENS_SPARK,
+        text_cms_sketch_only,
+    )
+    from incresql_spark.operators.relational import load_table
+    from pyspark.sql import functions as F
+
+    rows = text_cms_sketch_only(spark, SF_SMALL).collect()
+    assert [r.tok for r in rows] == sorted(_BM25_TERMS)
+    exact = {
+        r.tok: r.cnt
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select(F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("cnt")).collect()
+    }
+    for r in rows:
+        assert r.cms_est == exact.get(r.tok, 0), (r, exact.get(r.tok))
+
+
+def test_hll_verify_flag_splits_sketch_from_verification(spark):
+    """verify=False (the production path, bench row op_hll_sketch_only)
+    drops the exact count(DISTINCT) ride-along; the sketch columns are
+    byte-identical to the verify=True output."""
+    from incresql_spark.operators.relational import op_hll_distinct
+
+    full = op_hll_distinct(spark, SF_SMALL).collect()
+    sk = op_hll_distinct(spark, SF_SMALL, verify=False)
+    assert sk.columns == ["name", "m", "occupied", "v_zero", "s",
+                          "raw_est", "used_lc", "estimate"]
+    got = {tuple(r) for r in sk.collect()}
+    want = {tuple(r)[:-1] for r in full}
+    assert got == want
+
+
 def test_wide_integer_to_double_routing_is_correctly_rounded(spark):
     """BM25's exact wide integers become DOUBLE via a decimal-string
     round-trip on BOTH engines because a string->double parse is
