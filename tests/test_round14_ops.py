@@ -1,0 +1,94 @@
+"""Round-14 operators: the bottom-k quantile sketch (op_quantile_sketch),
+the incremental Count-Min maintainer, and the table-driven BM25 search.
+
+Cross-engine value equality is covered by the DuckDB oracle gate
+(tools/check_oracle.py); these tests pin the semantic invariants the hash
+can't articulate: the sample really is the bottom-k of the hash (so states
+merge exactly), the estimates really sit near their target ranks, and the
+production (verify=False) plan really avoids the global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incresql_spark.functions.hashing import hash60_spark_sql
+from incresql_spark.operators.relational import (
+    QSK_K,
+    QSK_QS,
+    _QSK_KEY_SPARK,
+    load_table,
+    op_quantile_sketch,
+    quantile_sample,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_quantile_estimates_sit_near_their_target_ranks(spark):
+    """For each target percentile q, the exact rank of the estimated value
+    must be within 6 percentage points (≈4 sigma at K=1024: stderr of the
+    sample rank is sqrt(q(1-q)/K) <= 1.6 points)."""
+    rows = op_quantile_sketch(spark, SF_SMALL).collect()
+    assert [r.q_pct for r in rows] == sorted(QSK_QS)
+    li = load_table(spark, SF_SMALL, "lineitem")
+    n = rows[0].n
+    for r in rows:
+        below = li.filter(F.col("l_extendedprice") <= r.est_price).count()
+        frac = 100.0 * below / n
+        assert abs(frac - r.q_pct) <= 6.0, (r.q_pct, frac, r.est_price)
+        assert r.sample_n == min(QSK_K, n)
+
+
+def test_quantile_sample_is_mergeable(spark):
+    """Bottom-k of the union == bottom-k of the parts' bottom-k frames —
+    the exact-merge property an incremental maintainer relies on (the HLL
+    register-max property class)."""
+    li = load_table(spark, SF_SMALL, "lineitem")
+    whole = quantile_sample(li, "l_extendedprice", _QSK_KEY_SPARK)
+    parts = [
+        quantile_sample(
+            li.filter(f"l_orderkey % 3 = {w}"),
+            "l_extendedprice", _QSK_KEY_SPARK,
+        )
+        for w in range(3)
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = u.orderBy("h", "v").limit(QSK_K)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_quantile_sketch_verify_flag_and_plan_shape(spark):
+    """verify=False drops exact_price and its global sort: the production
+    plan has ONE TakeOrderedAndProject (the bounded bottom-k) and ONE
+    window (over the <=K-row sample), while verify=True adds the
+    full-data row_number window (the sort being replaced)."""
+    sk = op_quantile_sketch(spark, SF_SMALL, verify=False)
+    assert sk.columns == ["q_pct", "n", "sample_n", "est_price"]
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Window") == 1
+    full_plan = (
+        op_quantile_sketch(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert full_plan.count("Window") == 2
+    full = {r.q_pct: r for r in op_quantile_sketch(spark, SF_SMALL).collect()}
+    for r in sk.collect():
+        assert full[r.q_pct].est_price == r.est_price
+
+
+def test_quantile_sample_hash_matches_key_definition(spark):
+    """The sample's h column really is hash60 of the documented unique row
+    key — the contract the DuckDB oracle recomputes."""
+    li = load_table(spark, SF_SMALL, "lineitem").limit(50)
+    got = li.select(
+        F.expr(hash60_spark_sql(_QSK_KEY_SPARK)).alias("h"),
+        F.expr(_QSK_KEY_SPARK).alias("k"),
+    ).collect()
+    from incresql_spark.functions.hashing import py_hash60
+
+    for r in got:
+        assert r.h == py_hash60(r.k)
