@@ -1999,20 +1999,34 @@ def text_cms_heavyhitters(
     exact ride-along columns (round-13 advice: geometry and verification
     are now parameters, not hard-codes)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        F.explode(F.expr(TOKENS_SPARK)).alias("tok")
-    )
+    toks = cms_tokens(d)
     sketch = cms_sketch(toks, width, depth)
+    return cms_heavyhitter_report(sketch, toks, width, depth)
+
+
+def cms_tokens(docs: DataFrame) -> DataFrame:
+    """The shared (tok) stream the sketch and its verification both
+    consume."""
+    return docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
+
+
+def cms_heavyhitter_report(sketch: DataFrame, toks: DataFrame,
+                           width: int, depth: int) -> DataFrame:
+    """Verification shaping shared by the batch operator and the
+    incremental maintainer's gate query: exact per-token counts pick the
+    top-{CMS_TOP} + bottom-{CMS_BOTTOM} candidates, each probed against
+    ``sketch``, with the overestimate column showing collision pressure.
+
+    Candidate selection is two orderBy().limit(k) frames, NOT a global
+    row_number window: Spark plans each as TakeOrderedAndProject —
+    per-task partial top-k, no single-partition window — so the
+    selection scales to an arbitrarily large vocabulary (a global-rank
+    window ships the whole vocab to one partition, and Spark does not
+    infer a group limit for an unpartitioned window).  Deterministic
+    tie-break on tok in both engines."""
     exact = toks.groupBy("tok").agg(
         F.count("*").cast("bigint").alias("exact_cnt")
     )
-    # candidate selection as two orderBy().limit(k) frames, NOT a global
-    # row_number window: Spark plans each as TakeOrderedAndProject —
-    # per-task partial top-k, no single-partition window — so the
-    # selection scales to an arbitrarily large vocabulary (a global-rank
-    # window ships the whole vocab to one partition, and Spark does not
-    # infer a group limit for an unpartitioned window).  Deterministic
-    # tie-break on tok in both engines.
     cands_top = exact.orderBy(
         F.col("exact_cnt").desc(), F.col("tok").asc()
     ).limit(CMS_TOP)

@@ -80,6 +80,42 @@ def test_quantile_sketch_verify_flag_and_plan_shape(spark):
         assert full[r.q_pct].est_price == r.est_price
 
 
+def test_cms_incremental_equals_batch_and_state_stays_bounded(
+    spark, tmp_path
+):
+    """Three waves through IncrementalCms == the batch sketch over the
+    union (counters sum-merge exactly), so the maintained heavy-hitter
+    report is row-identical to text_cms_heavyhitters; the state never
+    exceeds d x w counter rows and the per-row counter mass always sums
+    to the full token count (mass conservation under merging)."""
+    from incresql_spark.operators.text import (
+        CMS_D,
+        CMS_W,
+        cms_heavyhitter_report,
+        cms_tokens,
+        text_cms_heavyhitters,
+    )
+    from incresql_spark.streaming.cms_incremental import IncrementalCms
+
+    d = load_table(spark, SF_SMALL, "documents")
+    cms = IncrementalCms(spark, str(tmp_path / "state"),
+                         width=CMS_W, depth=CMS_D)
+    for w in range(3):
+        cms.add_batch(cms_tokens(d.filter(f"doc_id % 3 = {w}")))
+    got = cms_heavyhitter_report(
+        cms.sketch(), cms_tokens(d), CMS_W, CMS_D
+    ).collect()
+    want = text_cms_heavyhitters(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    sk = cms.sketch()
+    assert sk.count() <= CMS_D * CMS_W
+    total = cms_tokens(d).count()
+    per_row = {r.i: r.s for r in
+               sk.groupBy("i").agg(F.sum("c").alias("s")).collect()}
+    assert set(per_row) == set(range(CMS_D))
+    assert all(s == total for s in per_row.values()), (per_row, total)
+
+
 def test_quantile_sample_hash_matches_key_definition(spark):
     """The sample's h column really is hash60 of the documented unique row
     key — the contract the DuckDB oracle recomputes."""
