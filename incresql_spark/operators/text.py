@@ -1862,6 +1862,85 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_search_table(docs: DataFrame, queries: DataFrame,
+                      top_k: int = BM25_TOP_K) -> DataFrame:
+    """Table-driven BM25 top-k: the production search operator (round-13
+    advice — ``text_bm25_search``'s workload is a plan-time literal and
+    cannot accept a query set without regenerating the plan).
+
+    ``docs``: (doc_id, text); ``queries``: (query_id, term) rows — any
+    number of queries, supplied as DATA.  Same k1=1.2 / b=0.75 rational
+    scoring as the literal operator, but per-term contributions are
+    accumulated as exact INTEGER parts-per-billion (floor(num*1e9/den) in
+    DECIMAL(38,0) space): an integer sum is order-independent, so the
+    score is deterministic under any partitioning — which a float sum
+    over a data-driven groupBy would not be (the literal operator pins
+    its float addition order in the expression text; a shuffle cannot).
+
+    Plan shape: tokenize -> explode -> broadcast-semi-join the distinct
+    query terms (the corpus never shuffles on raw tokens; non-query
+    tokens die at the broadcast filter) -> ONE (doc, dl, term) aggregate.
+    Everything downstream operates on the MATCHED-PAIRS frame, never the
+    corpus: per-term document frequency is an unordered window count over
+    that same frame (a groupBy-then-join-back would make Catalyst
+    recompute the whole scan/explode/shuffle subtree — caught in this
+    function's first plan audit), then a broadcast join of the query
+    table, ONE (query, doc) integer-sum aggregate, and the per-query
+    top-k window (WindowGroupLimit partial top-k before its exchange).
+    Corpus stats (N, total tokens) are a separate NARROW scan + scalar
+    aggregate broadcast in.  The corpus is scanned twice and shuffled
+    once; exactly one explode exists in the plan (test-pinned)."""
+    toks = docs.select(
+        "doc_id", F.expr(TOKENS_SPARK).alias("tokens")
+    ).select(
+        "doc_id", F.size("tokens").cast("bigint").alias("dl"),
+        F.explode("tokens").alias("term"),
+    )
+    terms = queries.select("term").distinct()
+    tf = (
+        toks.join(F.broadcast(terms), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .withColumn(
+            "df",
+            F.count("*").over(Window.partitionBy("term")).cast("bigint"),
+        )
+    )
+    dls = docs.select(
+        F.expr(f"CAST(size({TOKENS_SPARK}) AS BIGINT)").alias("dl")
+    )
+    stats = dls.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("t"),
+    )
+    scored = (
+        tf.join(F.broadcast(queries), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib_ppb",
+            F.expr(
+                "CAST((CAST((2*(n - df) + 1) AS DECIMAL(38,0)) * 22 * tf"
+                " * t * 1000000000)"
+                " DIV (CAST((2*df + 1) AS DECIMAL(38,0))"
+                " * (10*tf*t + 3*t + 9*dl*n)) AS BIGINT)"
+            ),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib_ppb").alias("score_ppb"),
+        F.count("*").cast("int").alias("n_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_ppb").desc(), F.col("doc_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "doc_id", "score_ppb", "n_terms")
+        .orderBy("query_id", "rank")
+    )
+
+
 def _bm25_sql() -> str:
     tf_cols = ",\n         ".join(
         f"len(list_filter(tokens, t -> t = '{t}')) AS tf_{t}"

@@ -116,6 +116,45 @@ def test_cms_incremental_equals_batch_and_state_stays_bounded(
     assert all(s == total for s in per_row.values()), (per_row, total)
 
 
+def test_bm25_table_driven_matches_literal_operator(spark):
+    """bm25_search_table fed the SAME workload as a DataFrame must
+    reproduce text_bm25_search's rankings exactly, with integer-ppb
+    scores within 2e-9 of the literal operator's double scores (the
+    floor() in the ppb accumulation can shave < |terms| * 1e-9).  Also
+    pins the scale shape: the corpus token stream reaches the first
+    aggregate through a broadcast join (never a shuffle on raw tokens)
+    and the top-k window is group-limited."""
+    from incresql_spark.operators.text import (
+        BM25_QUERIES,
+        bm25_search_table,
+        text_bm25_search,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    queries = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        ["query_id", "term"],
+    )
+    got = bm25_search_table(docs, queries).collect()
+    want = text_bm25_search(spark, SF_SMALL).collect()
+    assert [(r.query_id, r.rank, r.doc_id, r.n_terms) for r in got] == [
+        (r.query_id, r.rank, r.doc_id, r.n_terms) for r in want
+    ]
+    for g, w in zip(got, want):
+        assert abs(g.score_ppb / 1e9 - w.score) <= 2e-9 * max(1.0, w.score)
+    plan = (
+        bm25_search_table(docs, queries)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    # the corpus-heavy explode subtree must exist ONCE — deriving df via
+    # groupBy-then-join-back made Catalyst clone the whole
+    # scan/explode/shuffle pipeline (caught by this test's first run)
+    assert plan.count("Generate explode") == 1, plan
+    # two corpus scans total: the token pipeline and the narrow N/T stats
+    assert plan.count("FileScan parquet") == 2, plan
+
+
 def test_quantile_sample_hash_matches_key_definition(spark):
     """The sample's h column really is hash60 of the documented unique row
     key — the contract the DuckDB oracle recomputes."""
