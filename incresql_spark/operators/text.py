@@ -1651,6 +1651,51 @@ GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI = 3.0, 10.0
 GOPHER_MAX_SYMBOL_RATIO = 0.1
 GOPHER_MIN_ALPHA_RATIO = 0.8
 GOPHER_MIN_REQUIRED_HITS = 2
+# Round 14 (VERDICT r13 task 7): Gopher's two repetition rules —
+# duplicate-LINE and duplicate-PARAGRAPH character fractions (Rae et al.
+# A1.1: "fraction of characters contained within duplicate lines /
+# paragraphs") — which text_repetition's n-gram fractions do not cover.
+# The synthetic corpus is single-line, so line structure is synthesized
+# the text_boilerplate way: deterministic token slices (GOPHER_LINE_TOKENS
+# tokens per line, GOPHER_PARA_LINES lines per paragraph, newline-joined);
+# the char-fraction mechanism over that structure is the deliverable.
+# Both fractions are informational columns — the keep flag keeps its
+# round-13 five-rule semantics (r13 verdict: flag unchanged; the output
+# gained columns, disclosed in COVERAGE.md).
+GOPHER_LINE_TOKENS = 2
+GOPHER_PARA_LINES = 2
+
+
+def _gopher_slices(src: str, per: int, sep: str, dialect: str) -> str:
+    """Array-of-strings expr: ``src`` sliced into ``per``-element chunks
+    joined with ``sep`` — identical chunk boundaries in both engines
+    (1-based inclusive slice clamped at the tail)."""
+    n = f"CAST(ceil({{len}}({src}) / {per}.0) AS INT) - 1"
+    if dialect == "spark":
+        return (f"transform(sequence(0, {n.format(len='size')}), "
+                f"i -> array_join(slice({src}, i * {per} + 1, {per}), "
+                f"{sep}))")
+    return (f"list_transform(generate_series(0, {n.format(len='len')}), "
+            f"i -> array_to_string(list_slice({src}, i * {per} + 1, "
+            f"i * {per} + {per}), {sep}))")
+
+
+def _gopher_dup_frac(arr: str, dialect: str) -> str:
+    """Fraction of characters inside elements that occur >= 2 times in
+    ``arr`` — exact integer character counts on both sides, one DOUBLE
+    quotient at the end.  O(elements^2) per document but a pure narrow
+    expression: no shuffle, scales horizontally with the scan."""
+    if dialect == "spark":
+        dup = (f"aggregate({arr}, CAST(0 AS BIGINT), (acc, x) -> acc + "
+               f"IF(size(filter({arr}, y -> y = x)) >= 2, "
+               f"CAST(length(x) AS BIGINT), CAST(0 AS BIGINT)))")
+        tot = f"length(array_join({arr}, ''))"
+    else:
+        dup = (f"CAST(list_sum(list_transform({arr}, x -> CASE WHEN "
+               f"len(list_filter({arr}, y -> y = x)) >= 2 THEN length(x) "
+               f"ELSE 0 END)) AS BIGINT)")
+        tot = f"length(array_to_string({arr}, ''))"
+    return f"CAST({dup} AS DOUBLE) / CAST({tot} AS DOUBLE)"
 
 
 def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1685,17 +1730,31 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     required_hits = F.expr(
         f"size(filter(array({req}), w -> array_contains(tokens, w)))"
     ).cast("int")
-    df = d.withColumn("tokens", F.expr(TOKENS_SPARK)).filter(
-        F.size("tokens") >= 1
-    ).select(
-        "doc_id",
-        n_words.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        alpha_ratio.alias("alpha_word_ratio"),
-        (symbol_cnt.cast("double") / n_words.cast("double")).alias(
-            "symbol_word_ratio"
-        ),
-        required_hits.alias("required_hits"),
+    df = (
+        d.withColumn("tokens", F.expr(TOKENS_SPARK))
+        .filter(F.size("tokens") >= 1)
+        .withColumn("lines", F.expr(
+            _gopher_slices("tokens", GOPHER_LINE_TOKENS, "' '", "spark")
+        ))
+        .withColumn("paras", F.expr(
+            _gopher_slices("lines", GOPHER_PARA_LINES, "char(10)", "spark")
+        ))
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            mean_len.alias("mean_word_len"),
+            alpha_ratio.alias("alpha_word_ratio"),
+            (symbol_cnt.cast("double") / n_words.cast("double")).alias(
+                "symbol_word_ratio"
+            ),
+            required_hits.alias("required_hits"),
+            F.expr(_gopher_dup_frac("lines", "spark")).alias(
+                "dup_line_frac"
+            ),
+            F.expr(_gopher_dup_frac("paras", "spark")).alias(
+                "dup_para_frac"
+            ),
+        )
     )
     keep = (
         (F.col("n_words") >= GOPHER_MIN_WORDS)
@@ -1712,6 +1771,12 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_GOPHER_QUALITY_SQL = f"""
 WITH t AS (
   SELECT doc_id, text, {TOKENS_DUCK} AS tokens FROM documents
+), tl AS (
+  SELECT *, {_gopher_slices("tokens", GOPHER_LINE_TOKENS, "' '", "duck")} AS lines
+  FROM t WHERE len(tokens) >= 1
+), tp AS (
+  SELECT *, {_gopher_slices("lines", GOPHER_PARA_LINES, "chr(10)", "duck")} AS paras
+  FROM tl
 ), f AS (
   SELECT doc_id,
          len(tokens) AS n_words,
@@ -1723,11 +1788,13 @@ WITH t AS (
                + ((length(text) - length(replace(text, '...', ''))) // 3)) AS DOUBLE)
            / CAST(len(tokens) AS DOUBLE) AS symbol_word_ratio,
          CAST(len(list_filter([{_sql_list(GOPHER_REQUIRED_WORDS)}],
-                              w -> list_contains(tokens, w))) AS INT) AS required_hits
-  FROM t
-  WHERE len(tokens) >= 1
+                              w -> list_contains(tokens, w))) AS INT) AS required_hits,
+         {_gopher_dup_frac("lines", "duck")} AS dup_line_frac,
+         {_gopher_dup_frac("paras", "duck")} AS dup_para_frac
+  FROM tp
 )
 SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, symbol_word_ratio, required_hits,
+       dup_line_frac, dup_para_frac,
        (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
         AND mean_word_len >= {GOPHER_MEAN_LEN_LO} AND mean_word_len <= {GOPHER_MEAN_LEN_HI}
         AND symbol_word_ratio <= {GOPHER_MAX_SYMBOL_RATIO}

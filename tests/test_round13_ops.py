@@ -47,6 +47,64 @@ def test_gopher_keep_is_exactly_the_rule_conjunction(spark):
     assert 0 < kept < len(rows)
 
 
+def test_gopher_repetition_fractions_match_python_recompute(spark):
+    """Round-14 columns (Gopher's duplicate-line / duplicate-paragraph
+    character fractions over the synthesized token-slice structure) pinned
+    against an independent pure-Python recompute; the keep flag must stay
+    the round-13 five-rule conjunction (repetition is informational)."""
+    import collections
+    import re
+
+    from incresql_spark.operators.text import (
+        GOPHER_LINE_TOKENS,
+        GOPHER_PARA_LINES,
+    )
+
+    rows = text_gopher_quality(spark, SF_SMALL).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "text").collect()
+    }
+
+    def frac(elems):
+        c = collections.Counter(elems)
+        tot = sum(len(e) for e in elems)
+        dup = sum(len(e) for e in elems if c[e] >= 2)
+        return dup / tot if tot else 0.0
+
+    n_line_pos = n_para_pos = 0
+    for r in rows:
+        toks = re.findall(r"[a-z0-9]+", texts[r.doc_id].lower())
+        lines = [
+            " ".join(toks[i:i + GOPHER_LINE_TOKENS])
+            for i in range(0, len(toks), GOPHER_LINE_TOKENS)
+        ]
+        paras = [
+            "\n".join(lines[i:i + GOPHER_PARA_LINES])
+            for i in range(0, len(lines), GOPHER_PARA_LINES)
+        ]
+        assert abs(r.dup_line_frac - frac(lines)) < 1e-12, r
+        assert abs(r.dup_para_frac - frac(paras)) < 1e-12, r
+        n_line_pos += r.dup_line_frac > 0
+        n_para_pos += r.dup_para_frac > 0
+    # the columns must discriminate: some docs repeat lines, not all
+    assert 0 < n_line_pos < len(rows)
+    assert n_para_pos >= 1
+
+
+def test_gopher_plan_is_shuffle_free(spark):
+    """The repetition columns are narrow array HOFs — the only exchange
+    in the whole operator remains the deterministic ORDER BY's range
+    partitioning (zero hash exchanges: scan -> project -> sort)."""
+    plan = (
+        text_gopher_quality(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("Exchange rangepartitioning") == 1
+
+
 def test_bm25_ranks_order_by_score_and_respect_k(spark):
     rows = text_bm25_search(spark, SF_SMALL).collect()
     by_q: dict[int, list] = {}
