@@ -24,7 +24,7 @@ gated by a sibling (per-row rationale in _GATE_DEMOTED).  Everything
 past the cap is equally
 oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
 registered queries locally value-hash-matched — the exact count is
-asserted against this docstring by tests/test_entry_gate.py: 113
+asserted against this docstring by tests/test_entry_gate.py: 114
 queries total; oracle output types are additionally linted — HUGEINT
 and DECIMAL rejected — after driver-only hash mismatches in rounds 2-4
 and 6-7).
@@ -199,7 +199,7 @@ _GATE_DEMOTED = (
     # op_quantile_sketch flows to the tail via the relational registry;
     # text_cms_incremental is registry-listed in pipeline.py, so it is
     # pinned here to keep it out of the gate block until its promotion.
-    "text_cms_incremental",
+    "text_cms_incremental", "op_quantile_incremental",
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated

@@ -100,6 +100,39 @@ def main() -> None:
     }
     if sf1_timings:
         out["sf1"] = sf1_timings
+
+    # DuckDB comparison pass (round-13 verdict task 8): time each bench
+    # query's oracle SQL on the same parquet at the same SF so the
+    # Spark-vs-baseline ratio is machine-tracked per round instead of
+    # living in BASELINE.md snapshots.  One pass per query (a reference
+    # point, not a precision measurement; BASELINE.md documents DuckDB's
+    # low run-to-run variance on these sizes).  Bench-only rows without an
+    # oracle (sketch-only / CAS-backend variants) are skipped.  Disable
+    # with SPARK_GRAFT_BENCH_DUCK=0.
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCK", "1") != "0":
+        import duckdb
+
+        import __spark_entry__ as entry_mod
+
+        oracles = entry_mod.oracle_sql()
+        con = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+            )
+        duck: dict[str, float] = {}
+        for name in timings:
+            sql = oracles.get(name)
+            if sql is None:
+                continue
+            t0 = time.time()
+            con.sql(sql).fetchall()
+            duck[name] = round(time.time() - t0, 4)
+        out["duck"] = duck
+        out["ratio"] = {
+            n: round(timings[n] / duck[n], 2) for n in duck if duck[n] > 0
+        }
     print(json.dumps(out))
 
 

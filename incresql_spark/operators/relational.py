@@ -1581,6 +1581,14 @@ def quantile_sample(df: DataFrame, value: str, key_expr: str,
     )
 
 
+def quantile_base(li: DataFrame) -> DataFrame:
+    """The (v, h) frame the sketch and its verification both consume."""
+    return li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.expr(hash60_spark_sql(_QSK_KEY_SPARK)).alias("h"),
+    ).filter(F.col("v").isNotNull())
+
+
 def op_quantile_sketch(
     spark: SparkSession, sf_dir: str, verify: bool = True
 ) -> DataFrame:
@@ -1592,12 +1600,17 @@ def op_quantile_sketch(
     gate query) adds the exact full-data nearest-rank value per
     percentile; that global sort is precisely the cost the sketch avoids,
     so verify=False is the production path."""
-    li = load_table(spark, sf_dir, "lineitem")
-    base = li.select(
-        F.col("l_extendedprice").alias("v"),
-        F.expr(hash60_spark_sql(_QSK_KEY_SPARK)).alias("h"),
-    ).filter(F.col("v").isNotNull())
+    base = quantile_base(load_table(spark, sf_dir, "lineitem"))
     sample = base.orderBy("h", "v").limit(QSK_K)
+    return quantile_finalize(base, sample, verify)
+
+
+def quantile_finalize(base: DataFrame, sample: DataFrame,
+                      verify: bool = True) -> DataFrame:
+    """Sample + base totals → the operator's output rows; shared by the
+    batch operator and the incremental maintainer's gate query (the
+    maintained bottom-k state IS the batch sample, so finalizing it here
+    reproduces the batch output row-for-row)."""
     sr = sample.withColumn(
         "rs", F.row_number().over(Window.orderBy("v", "h"))
     )

@@ -155,6 +155,31 @@ def test_bm25_table_driven_matches_literal_operator(spark):
     assert plan.count("FileScan parquet") == 2, plan
 
 
+def test_quantile_incremental_equals_batch_and_replay_is_noop(
+    spark, tmp_path
+):
+    """Three waves through IncrementalQuantile == the batch sketch over
+    the union (min-k merge is exact); the state never exceeds k rows; and
+    REPLAYING a wave changes nothing (min-k merge is idempotent — the
+    property HLL shares and CMS does not)."""
+    from incresql_spark.operators.relational import quantile_base
+    from incresql_spark.streaming.quantile_incremental import (
+        IncrementalQuantile,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    q = IncrementalQuantile(spark, str(tmp_path / "state"))
+    for w in range(3):
+        q.add_batch(quantile_base(li.filter(f"l_orderkey % 3 = {w}")))
+    got = q.estimate(quantile_base(li)).collect()
+    want = op_quantile_sketch(spark, SF_SMALL).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert q.sample().count() <= QSK_K
+    before = sorted(map(tuple, q.sample().collect()))
+    q.add_batch(quantile_base(li.filter("l_orderkey % 3 = 1")))  # replay
+    assert sorted(map(tuple, q.sample().collect())) == before
+
+
 def test_quantile_sample_hash_matches_key_definition(spark):
     """The sample's h column really is hash60 of the documented unique row
     key — the contract the DuckDB oracle recomputes."""
