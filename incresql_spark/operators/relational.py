@@ -1646,6 +1646,128 @@ def quantile_finalize(base: DataFrame, sample: DataFrame,
     )
 
 
+#: grouped-sketch geometry: per-group sample size and target percentiles
+QSK_GROUP_K = 256
+QSK_GROUP_QS = (25, 50, 90)
+
+
+def op_quantile_grouped(
+    spark: SparkSession, sf_dir: str, verify: bool = True
+) -> DataFrame:
+    """GROUPED bottom-k quantile sketch — the true scale sibling of
+    op_percentiles (relational.py:1176): per-o_orderpriority percentile
+    estimates over orders.o_totalprice by nearest-rank selection inside a
+    per-group K={QSK_GROUP_K} smallest-hash sample.
+
+    Plan shape (the part op_percentiles cannot have): the per-group
+    bottom-k is a row_number-over-(group; h)-filter, which Spark rewrites
+    through WindowGroupLimit — every input partition forwards at most
+    K x |groups| rows BEFORE the group exchange, so the window shuffle is
+    bounded no matter how many rows a group has.  op_percentiles' exact
+    rank selection must instead ship EVERY row of every group through its
+    sort-shuffle; with verify=True (the gate query) that exact path rides
+    along per group, and the per-row cost gap is the operator's reason to
+    exist at 100 TB.  Estimates are raw data values (no arithmetic to
+    diverge cross-engine)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("v"),
+        F.expr(hash60_spark_sql("CAST(o_orderkey AS STRING)")).alias("h"),
+    ).filter(F.col("v").isNotNull())
+    wk = Window.partitionBy("g").orderBy("h", "v")
+    sample = (
+        base.withColumn("rh", F.row_number().over(wk))
+        .filter(F.col("rh") <= QSK_GROUP_K)
+        .drop("rh")
+    )
+    sr = sample.withColumn(
+        "rs", F.row_number().over(Window.partitionBy("g").orderBy("v", "h"))
+    )
+    ns = sample.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("sample_n")
+    )
+    tot = base.groupBy("g").agg(F.count("*").cast("bigint").alias("n"))
+    qs = ", ".join(str(q) for q in QSK_GROUP_QS)
+    qf = (
+        tot.join(ns, "g")
+        .select("g", "n", "sample_n",
+                F.expr(f"explode(array({qs}))").alias("q_pct"))
+        .withColumn("r_s", F.expr("(q_pct * sample_n + 99) DIV 100"))
+        .withColumn("r_x", F.expr("(q_pct * n + 99) DIV 100"))
+    )
+    est = (
+        qf.join(sr, (qf["g"] == sr["g"]) & (F.col("rs") == F.col("r_s")))
+        .select(qf["g"], "q_pct", "n", "sample_n",
+                F.col("v").alias("est_price"), "r_x")
+    )
+    if not verify:
+        return est.drop("r_x").orderBy("g", "q_pct")
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("g").orderBy("v", "h")
+        ).cast("bigint"),
+    ).select(F.col("g").alias("gx"), F.col("v").alias("exact_price"), "rk")
+    return (
+        est.join(ranked, (est["g"] == ranked["gx"])
+                 & (F.col("rk") == F.col("r_x")))
+        .select("g", "q_pct", "n", "sample_n", "est_price", "exact_price")
+        .orderBy("g", "q_pct")
+    )
+
+
+op_quantile_grouped.__doc__ = op_quantile_grouped.__doc__.replace(
+    "{QSK_GROUP_K}", str(QSK_GROUP_K)
+)
+
+
+def _quantile_grouped_oracle_sql() -> str:
+    qs = ", ".join(str(q) for q in QSK_GROUP_QS)
+    return f"""
+WITH base AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v,
+         {hash60_sql("CAST(o_orderkey AS VARCHAR)")} AS h
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+samp AS (
+  SELECT g, v, h FROM (
+    SELECT g, v, h,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY h ASC, v ASC) AS rh
+    FROM base
+  ) WHERE rh <= {QSK_GROUP_K}
+),
+sr AS (
+  SELECT g, v,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v ASC, h ASC) AS rs
+  FROM samp
+),
+ns AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS sample_n FROM samp GROUP BY g),
+tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY g),
+qf AS (
+  SELECT t.g, n, sample_n, q.q_pct,
+         (q_pct * sample_n + 99) // 100 AS r_s,
+         (q_pct * n + 99) // 100 AS r_x
+  FROM tot t JOIN ns USING (g), (SELECT unnest([{qs}]) AS q_pct) q
+),
+ranked AS (
+  SELECT g, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY v ASC, h ASC)
+              AS BIGINT) AS rk
+  FROM base
+)
+SELECT qf.g, qf.q_pct, qf.n, qf.sample_n,
+       s.v AS est_price, r.v AS exact_price
+FROM qf
+JOIN sr s ON s.g = qf.g AND s.rs = qf.r_s
+JOIN ranked r ON r.g = qf.g AND r.rk = qf.r_x
+ORDER BY qf.g, qf.q_pct
+"""
+
+
+OP_QUANTILE_GROUPED_SQL = _quantile_grouped_oracle_sql()
+
+
 def op_quantile_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BENCH-ONLY: op_quantile_sketch's production path (verify=False) —
     no exact-rank ride-along, so the number tracks the bounded-shuffle
@@ -1722,6 +1844,7 @@ QUERIES = {
     "op_corr": op_corr,
     "op_hll_distinct": op_hll_distinct,
     "op_quantile_sketch": op_quantile_sketch,
+    "op_quantile_grouped": op_quantile_grouped,
 }
 
 ORACLE = {
@@ -1760,6 +1883,7 @@ ORACLE = {
     "op_corr": OP_CORR_SQL,
     "op_hll_distinct": OP_HLL_DISTINCT_SQL,
     "op_quantile_sketch": OP_QUANTILE_SKETCH_SQL,
+    "op_quantile_grouped": OP_QUANTILE_GROUPED_SQL,
 }
 
 BENCH_QUERIES = {

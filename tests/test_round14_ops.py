@@ -80,6 +80,37 @@ def test_quantile_sketch_verify_flag_and_plan_shape(spark):
         assert full[r.q_pct].est_price == r.est_price
 
 
+def test_quantile_grouped_ranks_and_bounded_plan(spark):
+    """The grouped sketch's estimates sit near their per-group target
+    ranks (K=256/group: stderr <= 3.2 points at the median; 10-point
+    bound ~ 3 sigma), and the production plan's per-group bottom-k goes
+    through WindowGroupLimit — every input partition forwards at most
+    K x |groups| rows before the group exchange, the property
+    op_percentiles' exact path cannot have."""
+    from pyspark.sql import functions as FF
+
+    from incresql_spark.operators.relational import (
+        QSK_GROUP_QS,
+        op_quantile_grouped,
+    )
+
+    rows = op_quantile_grouped(spark, SF_SMALL).collect()
+    o = load_table(spark, SF_SMALL, "orders")
+    groups = {r.g for r in rows}
+    assert len(rows) == len(groups) * len(QSK_GROUP_QS)
+    for r in rows:
+        below = o.filter(
+            (FF.col("o_orderpriority") == r.g)
+            & (FF.col("o_totalprice") <= r.est_price)
+        ).count()
+        frac = 100.0 * below / r.n
+        assert abs(frac - r.q_pct) <= 10.0, (r.g, r.q_pct, frac)
+    sk = op_quantile_grouped(spark, SF_SMALL, verify=False)
+    assert sk.columns == ["g", "q_pct", "n", "sample_n", "est_price"]
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
 def test_cms_incremental_equals_batch_and_state_stays_bounded(
     spark, tmp_path
 ):
