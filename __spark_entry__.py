@@ -196,10 +196,13 @@ _GATE_DEMOTED = (
     "pipeline_pretrain",
     # Round-14 NEW rows start in the tail like every newcomer (zero driver
     # evidence -> top promotion candidates for round 15):
-    # op_quantile_sketch flows to the tail via the relational registry;
+    # op_quantile_sketch / op_quantile_grouped flow to the tail via the
+    # relational registry;
     # text_cms_incremental is registry-listed in pipeline.py, so it is
     # pinned here to keep it out of the gate block until its promotion.
     "text_cms_incremental", "op_quantile_incremental",
+    # (op_quantile_grouped, added later in round 14, likewise reaches the
+    # tail via the relational registry without a pin here)
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated

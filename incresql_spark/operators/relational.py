@@ -1330,37 +1330,49 @@ def _hll_ln_series(t: str) -> str:
     return f"{_d(2.0)} * ({t}) * ({expr})"
 
 
-def _hll_sql(div: str, shift) -> dict[str, str]:
-    """Engine-shared HLL expression fragments.  ``div`` is the integer
-    division keyword; ``shift(e)`` renders 1 << e as BIGINT."""
+def _hll_sql(div: str, shift, p: int = HLL_P) -> dict[str, str]:
+    """Engine-shared HLL expression fragments for precision ``p``
+    (m = 2^p registers; the remaining 60 - p hash bits give rank values
+    up to R = 61 - p, and m * 2^R = 2^61 < 2^62 keeps the integer
+    harmonic sum exact in BIGINT at ANY p).  ``div`` is the integer
+    division keyword; ``shift(e)`` renders 1 << e as BIGINT.  Geometry is
+    a parameter since round 14 (the CMS width/depth precedent); the gate
+    pins p=12, and the alpha approximation below requires p >= 7."""
+    m = 1 << p
+    r = 61 - p                      # rank of an all-zero suffix
+    empty_term = 1 << r             # register value 0 -> 2^(r-0)
     return {
-        "j": f"(h % {HLL_M})",
-        "w": f"(h {div} {HLL_M})",
-        "rho": ("CASE WHEN w = 0 THEN 49 "
-                "ELSE CAST(49 - length(bin(w)) AS INT) END"),
-        "term": shift("49 - mj"),
+        "j": f"(h % {m})",
+        "w": f"(h {div} {m})",
+        "rho": (f"CASE WHEN w = 0 THEN {r} "
+                f"ELSE CAST({r} - length(bin(w)) AS INT) END"),
+        "term": shift(f"{r} - mj"),
         "raw": (f"({_d(0.7213)} / ({_d(1.0)} + {_d(1.079)} / "
-                f"{_d(float(HLL_M))})) * {_d(float(HLL_M))} * "
-                f"{_d(float(HLL_M))} * {_d(float(_HLL_EMPTY_TERM))} "
+                f"{_d(float(m))})) * {_d(float(m))} * "
+                f"{_d(float(m))} * {_d(float(empty_term))} "
                 f"/ CAST(s AS DOUBLE)"),
         "kv": "length(bin(v_zero))",
         "z": f"CAST(v_zero AS DOUBLE) / CAST({shift('kv - 1')} AS DOUBLE)",
         "t": f"(z - {_d(1.0)}) / (z + {_d(1.0)})",
         "ln_v": (f"CAST(kv - 1 AS DOUBLE) * {_d(float(_HLL_LN2))} "
                  f"+ {_hll_ln_series('t')}"),
-        "lc": (f"{_d(float(HLL_M))} * ({_d(float(HLL_P))} * "
+        "lc": (f"{_d(float(m))} * ({_d(float(p))} * "
                f"{_d(float(_HLL_LN2))} - ln_v)"),
-        "used_lc": f"(raw_est <= {_d(2.5 * HLL_M)} AND v_zero > 0)",
+        "used_lc": f"(raw_est <= {_d(2.5 * m)} AND v_zero > 0)",
+        "m": m,
+        "empty_term": empty_term,
     }
 
 
-#: Spark-dialect HLL fragments (the oracle builds its own with the
-#: DuckDB dialect inside _hll_oracle_sql)
-_HLL_X_SPARK = _hll_sql("DIV", lambda e: f"shiftleft(CAST(1 AS BIGINT), {e})")
+def _hll_spark(p: int = HLL_P) -> dict[str, str]:
+    """Spark-dialect HLL fragments (the oracle builds its own with the
+    DuckDB dialect inside _hll_oracle_sql)."""
+    return _hll_sql("DIV", lambda e: f"shiftleft(CAST(1 AS BIGINT), {e})", p)
 
 
 def op_hll_distinct(
-    spark: SparkSession, sf_dir: str, verify: bool = True
+    spark: SparkSession, sf_dir: str, verify: bool = True,
+    p: int = HLL_P,
 ) -> DataFrame:
     """Deterministic HyperLogLog distinct-count over three lineitem
     columns spanning both HLL regimes (l_linenumber ~7 and l_partkey reach
@@ -1379,7 +1391,7 @@ def op_hll_distinct(
     li = load_table(spark, sf_dir, "lineitem")
     vals = hll_values(li)
     exact = hll_exact(vals) if verify else None
-    return hll_finalize(hll_registers(vals), exact)
+    return hll_finalize(hll_registers(vals, p), exact, p)
 
 
 def op_hll_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1404,12 +1416,13 @@ def hll_values(df: DataFrame) -> DataFrame:
     )
 
 
-def hll_registers(vals: DataFrame) -> DataFrame:
+def hll_registers(vals: DataFrame, p: int = HLL_P) -> DataFrame:
     """(name, j, mj) register frame — the MERGEABLE sketch state: registers
     of a union of batches are the per-key MAX of the batches' registers
     (max is commutative/associative/idempotent), which is what makes the
-    incremental maintainer exact."""
-    x = _HLL_X_SPARK
+    incremental maintainer exact.  Sketches of different precisions never
+    merge — the maintainer pins p at construction."""
+    x = _hll_spark(p)
     return (
         vals.withColumn("h", F.expr(hash60_spark_sql("val")))
         .withColumn("j", F.expr(x["j"]))
@@ -1427,23 +1440,24 @@ def hll_exact(vals: DataFrame) -> DataFrame:
     )
 
 
-def hll_finalize(regs: DataFrame, exact: DataFrame | None = None) -> DataFrame:
+def hll_finalize(regs: DataFrame, exact: DataFrame | None = None,
+                 p: int = HLL_P) -> DataFrame:
     """Registers → the operator's output row per column (harmonic/LC
     estimate, bit-exact cross-engine arithmetic).  ``exact`` is the
     verification-only per-name exact-count frame; None (the production
     path) omits the join and the exact_count column."""
-    x = _HLL_X_SPARK
+    x = _hll_spark(p)
     per_name = (
         regs.groupBy("name")
         .agg(
             F.count("*").cast("int").alias("occupied"),
             F.sum(F.expr(x["term"])).alias("s_occ"),
         )
-        .withColumn("v_zero", F.lit(HLL_M) - F.col("occupied"))
+        .withColumn("v_zero", F.lit(x["m"]) - F.col("occupied"))
         .withColumn(
             "s",
             (F.col("s_occ")
-             + F.col("v_zero").cast("bigint") * F.lit(_HLL_EMPTY_TERM)
+             + F.col("v_zero").cast("bigint") * F.lit(x["empty_term"])
              ).cast("bigint"),
         )
         .withColumn("raw_est", F.expr(x["raw"]))
@@ -1459,7 +1473,7 @@ def hll_finalize(regs: DataFrame, exact: DataFrame | None = None) -> DataFrame:
             ),
         )
     )
-    sketch_cols = ["name", F.lit(HLL_M).alias("m"), "occupied", "v_zero",
+    sketch_cols = ["name", F.lit(x["m"]).alias("m"), "occupied", "v_zero",
                    "s", "raw_est", "used_lc", "estimate"]
     if exact is None:
         return per_name.select(*sketch_cols).orderBy("name")
@@ -1470,8 +1484,9 @@ def hll_finalize(regs: DataFrame, exact: DataFrame | None = None) -> DataFrame:
     )
 
 
-def _hll_oracle_sql() -> str:
-    x = _hll_sql("//", lambda e: f"(CAST(1 AS BIGINT) << ({e}))")
+def _hll_oracle_sql(p: int = HLL_P) -> str:
+    x = _hll_sql("//", lambda e: f"(CAST(1 AS BIGINT) << ({e}))", p)
+    m, r, empty_term = x["m"], 61 - p, x["empty_term"]
     unions = "\n  UNION ALL\n  ".join(
         f"SELECT '{c}' AS name, CAST({c} AS VARCHAR) AS val FROM lineitem"
         for c in HLL_COLUMNS
@@ -1485,9 +1500,9 @@ WITH vals AS (
 regs AS (
   SELECT name, j, MAX(rho) AS mj FROM (
     SELECT name,
-           (h % {HLL_M}) AS j,
-           CASE WHEN (h // {HLL_M}) = 0 THEN 49
-                ELSE CAST(49 - length(bin(h // {HLL_M})) AS INT) END AS rho
+           (h % {m}) AS j,
+           CASE WHEN (h // {m}) = 0 THEN {r}
+                ELSE CAST({r} - length(bin(h // {m})) AS INT) END AS rho
     FROM (SELECT name, val, {hash60_sql("val")} AS h FROM vals)
   ) GROUP BY name, j
 ),
@@ -1497,9 +1512,9 @@ per0 AS (
   FROM regs GROUP BY name
 ),
 per1 AS (
-  SELECT name, occupied, {HLL_M} - occupied AS v_zero,
-         CAST(s_occ + CAST({HLL_M} - occupied AS BIGINT)
-              * {_HLL_EMPTY_TERM} AS BIGINT) AS s
+  SELECT name, occupied, {m} - occupied AS v_zero,
+         CAST(s_occ + CAST({m} - occupied AS BIGINT)
+              * {empty_term} AS BIGINT) AS s
   FROM per0
 ),
 per2 AS (
@@ -1517,7 +1532,7 @@ exact AS (
   SELECT name, CAST(COUNT(DISTINCT val) AS BIGINT) AS exact_count
   FROM vals GROUP BY name
 )
-SELECT p.name, {HLL_M} AS m, p.occupied, p.v_zero, p.s, p.raw_est,
+SELECT p.name, {m} AS m, p.occupied, p.v_zero, p.s, p.raw_est,
        p.used_lc,
        CASE WHEN p.used_lc THEN {x["lc"]} ELSE p.raw_est END AS estimate,
        e.exact_count
@@ -1590,7 +1605,8 @@ def quantile_base(li: DataFrame) -> DataFrame:
 
 
 def op_quantile_sketch(
-    spark: SparkSession, sf_dir: str, verify: bool = True
+    spark: SparkSession, sf_dir: str, verify: bool = True,
+    k: int = QSK_K,
 ) -> DataFrame:
     """Bottom-k quantile sketch over lineitem.l_extendedprice: percentile
     estimates {1, 25, 50, 75, 99} by nearest-rank selection inside the
@@ -1601,7 +1617,7 @@ def op_quantile_sketch(
     percentile; that global sort is precisely the cost the sketch avoids,
     so verify=False is the production path."""
     base = quantile_base(load_table(spark, sf_dir, "lineitem"))
-    sample = base.orderBy("h", "v").limit(QSK_K)
+    sample = base.orderBy("h", "v").limit(k)
     return quantile_finalize(base, sample, verify)
 
 

@@ -147,6 +147,31 @@ def test_cms_incremental_equals_batch_and_state_stays_bounded(
     assert all(s == total for s in per_row.values()), (per_row, total)
 
 
+def test_hll_geometry_is_a_parameter(spark, duck):
+    """Round-14: HLL precision p is a call parameter (the CMS width/depth
+    precedent).  At p=8 (m=256) the sketch must STILL be cross-engine
+    bit-exact — the DuckDB oracle rebuilt at the same p matches the Spark
+    output value-for-value — and estimates stay inside 4 sigma of exact
+    (sigma = 1.04/sqrt(m) ~ 6.5% at m=256)."""
+    from incresql_spark.operators.relational import (
+        _hll_oracle_sql,
+        op_hll_distinct,
+    )
+
+    got = sorted(map(tuple, op_hll_distinct(spark, SF_SMALL, p=8).collect()))
+    for t in ("lineitem",):
+        duck.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{SF_SMALL}/{t}.parquet'"
+        )
+    want = sorted(map(tuple, duck.sql(_hll_oracle_sql(8)).fetchall()))
+    assert got == want
+    for r in op_hll_distinct(spark, SF_SMALL, p=8).collect():
+        assert r.m == 256
+        err = abs(r.estimate - r.exact_count) / max(1, r.exact_count)
+        assert err <= 4 * 1.04 / (256 ** 0.5), (r.name, err)
+
+
 def test_bm25_table_driven_matches_literal_operator(spark):
     """bm25_search_table fed the SAME workload as a DataFrame must
     reproduce text_bm25_search's rankings exactly, with integer-ppb
