@@ -1662,6 +1662,173 @@ def quantile_finalize(base: DataFrame, sample: DataFrame,
     )
 
 
+# --- KMV set-cardinality algebra (k minimum values; Bar-Yossef 2002, ----
+# Beyer et al. SIGMOD 2007) -----------------------------------------------
+# The set-EXPRESSION member of the sketch family: HLL answers |S|, but two
+# HLLs cannot estimate |A ∩ B| without the inclusion-exclusion error blowup.
+# A KMV sample (the k smallest 60-bit hashes of a set's DISTINCT values) is
+# mergeable (min-k, idempotent — bottom-k machinery shared with
+# op_quantile_sketch) and supports set algebra directly: union sample =
+# bottom-k of the parts' samples; |S| ~ (k-1) * 2^60 / h_k (the k-th
+# smallest hash); |A ∩ B| ~ (rho / k_u) * |A ∪ B| where rho counts union-
+# sample hashes present in BOTH input samples.  Everything is exact-integer
+# until a final pinned DOUBLE expression, so the whole operator value-hashes
+# cross-engine.  Sets here: the distinct l_partkey values vs the distinct
+# l_suppkey values (overlapping integer domains -> a real, SF-dependent
+# intersection); at every SF one set rides the exact small-set branch
+# (n_s < k) and one the estimator branch, so both regimes stay gate-covered.
+KMV_K = 128
+_KMV_SPACE = float(1 << 60)
+
+
+def _kmv_est(ns: str, hk: str) -> str:
+    """Pinned estimator text shared by both engines: exact below k,
+    (k-1) * 2^60 / h_k above (h_k < 2^60 fits int64 -> the BIGINT->DOUBLE
+    cast is a single correctly-rounded hardware conversion in both)."""
+    return (f"CASE WHEN {ns} < {KMV_K} THEN CAST({ns} AS DOUBLE) "
+            f"ELSE {_d(float(KMV_K - 1))} * {_d(_KMV_SPACE)} "
+            f"/ CAST({hk} AS DOUBLE) END")
+
+
+def op_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-cardinality estimates for A = distinct l_partkey
+    values, B = distinct l_suppkey values, A ∪ B and A ∩ B, each with its
+    exact verification count.  ONE output row.
+
+    Plan shape: per set, a map-side-partial DISTINCT on the 8-byte hash
+    (the exchange ships per-partition distinct hashes, never raw rows)
+    followed by TakeOrderedAndProject(k); all downstream algebra runs on
+    <= k-row frames joined as broadcasts.  At 100 TB the distinct
+    exchange is the honest cost of EXACT bottom-k over distinct values —
+    a production deployment can additionally pre-truncate each partition
+    to its local k smallest distinct hashes (correct: the global k
+    smallest distinct hashes are contained in the union of per-partition
+    k-smallest sets), which this gate query omits to keep the plan the
+    oracle mirrors."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def sample(col: str) -> DataFrame:
+        return (
+            li.filter(F.col(col).isNotNull())
+            .select(F.expr(
+                hash60_spark_sql(f"CAST({col} AS STRING)")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_K)
+        )
+
+    def vals(col: str) -> DataFrame:
+        return (li.filter(F.col(col).isNotNull())
+                .select(F.expr(f"CAST({col} AS STRING)").alias("val"))
+                .distinct())
+
+    # each <= k-row sample is REUSED three times downstream (its own
+    # stats, the union sample, the rho semi-joins); without materializing
+    # them Catalyst clones the whole distinct-scan subtree per use (10
+    # TakeOrderedAndProject in the first plan audit — the corpus would be
+    # rescanned ten times).  localCheckpoint pins each tiny frame once.
+    a_s = sample("l_partkey").localCheckpoint()
+    b_s = sample("l_suppkey").localCheckpoint()
+    u_s = (a_s.unionByName(b_s).distinct().orderBy("h").limit(KMV_K)
+           .localCheckpoint())
+    stats = [
+        s.agg(F.count("*").cast("bigint").alias(f"ns_{n}"),
+              F.max("h").alias(f"hk_{n}"))
+        for n, s in (("a", a_s), ("b", b_s), ("u", u_s))
+    ]
+    rho = (
+        u_s.join(a_s, "h", "semi").join(b_s, "h", "semi")
+        .agg(F.count("*").cast("bigint").alias("rho"))
+    )
+    # verification: ONE full-outer join of the two distinct-value frames
+    # yields all four exact counts in a single pass (three separate
+    # count/union/intersect subtrees would each rescan the corpus)
+    exacts = (
+        vals("l_partkey").withColumn("ina", F.lit(1))
+        .join(vals("l_suppkey").withColumn("inb", F.lit(1)),
+              "val", "full_outer")
+        .agg(
+            F.sum(F.coalesce(F.col("ina"), F.lit(0)))
+            .cast("bigint").alias("a_exact"),
+            F.sum(F.coalesce(F.col("inb"), F.lit(0)))
+            .cast("bigint").alias("b_exact"),
+            F.count("*").cast("bigint").alias("union_exact"),
+            F.sum(F.coalesce(F.col("ina"), F.lit(0))
+                  * F.coalesce(F.col("inb"), F.lit(0)))
+            .cast("bigint").alias("inter_exact"),
+        )
+    )
+    row = stats[0].crossJoin(stats[1]).crossJoin(stats[2]) \
+        .crossJoin(rho).crossJoin(exacts)
+    return row.select(
+        F.lit(KMV_K).alias("k"),
+        F.expr(_kmv_est("ns_a", "hk_a")).alias("a_est"),
+        F.col("a_exact"),
+        F.expr(_kmv_est("ns_b", "hk_b")).alias("b_est"),
+        F.col("b_exact"),
+        F.expr(_kmv_est("ns_u", "hk_u")).alias("union_est"),
+        F.col("union_exact"),
+        F.expr(
+            f"CAST(rho AS DOUBLE) * ({_kmv_est('ns_u', 'hk_u')}) "
+            f"/ CAST(ns_u AS DOUBLE)"
+        ).alias("inter_est"),
+        F.col("inter_exact"),
+    )
+
+
+def _kmv_oracle_sql() -> str:
+    return f"""
+WITH a_vals AS (
+  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS val
+  FROM lineitem WHERE l_partkey IS NOT NULL
+),
+b_vals AS (
+  SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS val
+  FROM lineitem WHERE l_suppkey IS NOT NULL
+),
+a_s AS (
+  SELECT DISTINCT {hash60_sql("val")} AS h FROM a_vals
+  ORDER BY h LIMIT {KMV_K}
+),
+b_s AS (
+  SELECT DISTINCT {hash60_sql("val")} AS h FROM b_vals
+  ORDER BY h LIMIT {KMV_K}
+),
+u_s AS (
+  SELECT h FROM (SELECT h FROM a_s UNION SELECT h FROM b_s)
+  ORDER BY h LIMIT {KMV_K}
+),
+stats AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM a_s) AS ns_a,
+    (SELECT MAX(h) FROM a_s) AS hk_a,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM b_s) AS ns_b,
+    (SELECT MAX(h) FROM b_s) AS hk_b,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM u_s) AS ns_u,
+    (SELECT MAX(h) FROM u_s) AS hk_u,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM u_s
+      WHERE h IN (SELECT h FROM a_s) AND h IN (SELECT h FROM b_s)) AS rho,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM a_vals) AS a_exact,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM b_vals) AS b_exact,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM
+      (SELECT val FROM a_vals UNION SELECT val FROM b_vals)) AS union_exact,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM a_vals
+      WHERE val IN (SELECT val FROM b_vals)) AS inter_exact
+)
+SELECT {KMV_K} AS k,
+       {_kmv_est("ns_a", "hk_a")} AS a_est, a_exact,
+       {_kmv_est("ns_b", "hk_b")} AS b_est, b_exact,
+       {_kmv_est("ns_u", "hk_u")} AS union_est, union_exact,
+       CAST(rho AS DOUBLE) * ({_kmv_est("ns_u", "hk_u")})
+         / CAST(ns_u AS DOUBLE) AS inter_est,
+       inter_exact
+FROM stats
+"""
+
+
+OP_KMV_SET_OPS_SQL = _kmv_oracle_sql()
+
+
 #: grouped-sketch geometry: per-group sample size and target percentiles
 QSK_GROUP_K = 256
 QSK_GROUP_QS = (25, 50, 90)
@@ -1861,6 +2028,7 @@ QUERIES = {
     "op_hll_distinct": op_hll_distinct,
     "op_quantile_sketch": op_quantile_sketch,
     "op_quantile_grouped": op_quantile_grouped,
+    "op_kmv_set_ops": op_kmv_set_ops,
 }
 
 ORACLE = {
@@ -1900,6 +2068,7 @@ ORACLE = {
     "op_hll_distinct": OP_HLL_DISTINCT_SQL,
     "op_quantile_sketch": OP_QUANTILE_SKETCH_SQL,
     "op_quantile_grouped": OP_QUANTILE_GROUPED_SQL,
+    "op_kmv_set_ops": OP_KMV_SET_OPS_SQL,
 }
 
 BENCH_QUERIES = {

@@ -111,6 +111,56 @@ def test_quantile_grouped_ranks_and_bounded_plan(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_kmv_set_ops_branches_and_accuracy(spark):
+    """KMV invariants the value hash can't articulate: sets below k take
+    the exact branch (est == exact, h_k ignored); sets on the estimator
+    branch stay within 4/sqrt(k) relative error (~35% at k=128 — the
+    sf0.001 partkey domain is only ~1.6x k, the estimator's worst
+    regime); the intersection estimate is bounded by the smaller set; and
+    both branches are actually exercised by the chosen column pair."""
+    from incresql_spark.operators.relational import KMV_K, op_kmv_set_ops
+
+    (r,) = op_kmv_set_ops(spark, SF_SMALL).collect()
+    assert r.k == KMV_K
+    tol = 4.0 / (KMV_K ** 0.5)
+    branches = set()
+    for est, exact in ((r.a_est, r.a_exact), (r.b_est, r.b_exact),
+                       (r.union_est, r.union_exact)):
+        if exact < KMV_K:
+            assert est == float(exact), (est, exact)
+            branches.add("exact")
+        else:
+            assert abs(est - exact) / exact <= tol, (est, exact)
+            branches.add("estimator")
+    assert branches == {"exact", "estimator"}
+    assert 0.0 <= r.inter_est <= max(r.a_est, r.b_est) * (1 + tol)
+    assert r.inter_exact <= min(r.a_exact, r.b_exact)
+    # suppkeys are a subset of the partkey integer range in this corpus
+    assert r.inter_exact == r.b_exact
+    plan = (
+        op_kmv_set_ops(spark, SF_SMALL)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the bottom-k samples are checkpointed once (their own plans are
+    # TakeOrderedAndProject over a map-side-partial distinct); the final
+    # plan must therefore scan lineitem exactly twice — the verification
+    # full-outer join's two distinct-value passes — instead of re-deriving
+    # each sample per use (10 clones in the first plan audit)
+    assert plan.count("FileScan parquet") == 2, plan.count("FileScan")
+    from incresql_spark.operators.relational import hash60_spark_sql
+    from pyspark.sql import functions as FF
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    sample_plan = (
+        li.select(FF.expr(
+            hash60_spark_sql("CAST(l_partkey AS STRING)")).alias("h"))
+        .distinct().orderBy("h").limit(KMV_K)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in sample_plan
+    assert sample_plan.count("HashAggregate") == 2  # partial + final dedup
+
+
 def test_cms_incremental_equals_batch_and_state_stays_bounded(
     spark, tmp_path
 ):
