@@ -14,14 +14,14 @@ queries (mv_q3_incremental inner, mv_q13_incremental left-outer — round
 9), and a rotating head of the text suite.  Slots ROTATE each round so
 long-unverified queries gain driver evidence (the round-6/7 DECIMAL
 lesson: a fetch-path mismatch can be invisible to every local check).
-Round 14 promoted the six round-13 newcomers (op_hll_distinct,
-op_hll_incremental, text_cms_heavyhitters, text_gopher_quality,
-text_bm25_search, sim_quantize_int8) — zero driver-fetch evidence
-outranks every staleness candidate under the post-burn-down policy —
-and demoted tpch_q1/q6/q10, text_lm_score, text_oov and
-pipeline_pretrain, each long driver-green with its mechanism still
-gated by a sibling (per-row rationale in _GATE_DEMOTED).  Everything
-past the cap is equally
+Round 15 promoted the five round-14 newcomers (op_quantile_sketch,
+op_quantile_grouped, op_kmv_set_ops, op_quantile_incremental,
+text_cms_incremental) — zero driver-fetch evidence outranks every
+staleness candidate under the post-burn-down policy — and demoted
+tpch_q15, text_ccnet_bucket, op_percentiles, op_time_window and
+op_rolling_window, each long driver-green with its mechanism still
+gated by a sibling (per-row rationale in _GATE_DEMOTED and
+_RELATIONAL_CORE).  Everything past the cap is equally
 oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
 registered queries locally value-hash-matched — the exact count is
 asserted against this docstring by tests/test_entry_gate.py: 116
@@ -59,9 +59,6 @@ _RELATIONAL_CORE = (
     "op_asof_join",
     "op_range_join",
     "op_window_functions",
-    "op_percentiles",
-    "op_time_window",
-    "op_rolling_window",
     # Round 11: explicit hot-key salting proven result-invariant against
     # the plain-join oracle — the one skew lever AQE cannot always supply.
     "op_salted_join",
@@ -80,6 +77,17 @@ _RELATIONAL_CORE = (
     # every staleness candidate; the six emit DOUBLE columns, the class
     # that produced invisible fetch-path mismatches in rounds 6-7).
     "op_hll_distinct",
+    # Round 15 (VERDICT r14 task 1): the three round-14 relational
+    # newcomers — bottom-k quantile sketch (global + grouped) and the KMV
+    # set-cardinality algebra — zero driver-fetch evidence outranks every
+    # staleness candidate.  op_percentiles / op_time_window /
+    # op_rolling_window rotate to the tail to make room (rationale at
+    # their _GATE_DEMOTED-style note below): each is 5 rounds driver-green
+    # and its plan class keeps a gated sibling — exact percentiles by the
+    # incoming quantile sketches (same analytical question, sketch is the
+    # 100 TB path), time-bucket aggregation by events_sessionize +
+    # op_histogram, rolling frames by op_window_functions.
+    "op_quantile_sketch", "op_quantile_grouped", "op_kmv_set_ops",
 )
 
 
@@ -197,15 +205,20 @@ _GATE_DEMOTED = (
     # via text_mix_sources + text_pack_sequences).
     "tpch_q1", "tpch_q6", "tpch_q10", "text_lm_score", "text_oov",
     "pipeline_pretrain",
-    # Round-14 NEW rows start in the tail like every newcomer (zero driver
-    # evidence -> top promotion candidates for round 15):
-    # op_quantile_sketch / op_quantile_grouped flow to the tail via the
-    # relational registry;
-    # text_cms_incremental is registry-listed in pipeline.py, so it is
-    # pinned here to keep it out of the gate block until its promotion.
-    "text_cms_incremental", "op_quantile_incremental",
-    # (op_quantile_grouped, added later in round 14, likewise reaches the
-    # tail via the relational registry without a pin here)
+    # Round-15 rotation (VERDICT r14 task 1): the five round-14 newcomers
+    # enter the gate (the text_cms_incremental / op_quantile_incremental
+    # pins that held them in the tail during round 14 are removed — they
+    # now flow into the gate via the pipeline registry; the relational
+    # trio enters via _RELATIONAL_CORE).  Demoted to make room, each with
+    # its mechanism still gated by a sibling: tpch_q15 (14 rounds
+    # driver-green; agg + join-on-max threshold gated by q18's
+    # HAVING-sum top-k and q21's multi-way join), text_ccnet_bucket (4
+    # rounds; broadcast integer-table scoring + bucketing gated by
+    # text_sample_temperature's identical integer-quantized broadcast
+    # class), and op_percentiles / op_time_window / op_rolling_window
+    # (5 rounds each; rationale in the _RELATIONAL_CORE note — these
+    # rotate out of the whitelist rather than being pinned here).
+    "tpch_q15",
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated
@@ -217,7 +230,10 @@ _GATE_TEXT = (
     # Round 11: the mT5 temperature-sampling recipe (integer-quantized
     # weights, zero float accumulation) and the CCNet per-language
     # perplexity terciles — both round-10 additions, never driver-fetched.
-    "text_sample_temperature", "text_ccnet_bucket",
+    # (Round 15: text_ccnet_bucket rotates to the tail after 4 green
+    # rounds — same broadcast integer-table class as the gated
+    # text_sample_temperature — freeing a slot for text_cms_incremental.)
+    "text_sample_temperature",
     # Round 13 (final burn-down): the five remaining never-driver text
     # rows — sequence packing (two-level prefix sum), overlapping chunker,
     # source mixing (broadcast budgets), BPE train-then-apply, and the C4

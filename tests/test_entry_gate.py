@@ -2,20 +2,20 @@
 ``__spark_entry__.queries()`` — registration order IS the gate.  Pin the
 composition so a refactor cannot silently rotate queries in or out of
 driver evidence; a deliberate rotation updates this list in the same
-commit (round-14 composition — the six round-13 sketch/search newcomers
+commit (round-15 composition — the five round-14 sketch newcomers
 promoted on the zero-driver-evidence rule; demotion rationale per row
-in __spark_entry__._GATE_DEMOTED)."""
+in __spark_entry__._GATE_DEMOTED and _RELATIONAL_CORE)."""
 
 from __future__ import annotations
 
 GATE_50 = [
-    "tpch_q7", "tpch_q14", "tpch_q15", "tpch_q18", "tpch_q21",
+    "tpch_q7", "tpch_q14", "tpch_q18", "tpch_q21",
     "op_asof_join", "op_range_join", "op_window_functions",
-    "op_percentiles", "op_time_window", "op_rolling_window",
     "op_salted_join",
     "op_cube", "op_grouping_sets", "op_pivot", "op_full_outer_join",
     "op_retention_cohorts", "op_histogram", "op_corr",
     "op_hll_distinct",
+    "op_quantile_sketch", "op_quantile_grouped", "op_kmv_set_ops",
     "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_embedding",
     "dedup_contamination", "dedup_clusters",
@@ -25,8 +25,9 @@ GATE_50 = [
     "mv_q3_incremental", "mv_q13_incremental", "dedup_minhash_incremental",
     "dedup_passages_incremental", "dedup_embedding_incremental",
     "dedup_canonical", "op_hll_incremental",
+    "text_cms_incremental", "op_quantile_incremental",
     "text_stats", "text_repetition",
-    "text_sample_temperature", "text_ccnet_bucket",
+    "text_sample_temperature",
     "text_pack_sequences", "text_chunk_overlap", "text_mix_sources",
     "text_bpe_tokenize", "text_boilerplate",
     "text_gopher_quality", "text_bm25_search", "text_cms_heavyhitters",
