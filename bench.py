@@ -104,11 +104,15 @@ def main() -> None:
     # DuckDB comparison pass (round-13 verdict task 8): time each bench
     # query's oracle SQL on the same parquet at the same SF so the
     # Spark-vs-baseline ratio is machine-tracked per round instead of
-    # living in BASELINE.md snapshots.  One pass per query (a reference
-    # point, not a precision measurement; BASELINE.md documents DuckDB's
-    # low run-to-run variance on these sizes).  Bench-only rows without an
-    # oracle (sketch-only / CAS-backend variants) are skipped.  Disable
-    # with SPARK_GRAFT_BENCH_DUCK=0.
+    # living in BASELINE.md snapshots.  Protocol matches the Spark side
+    # (round-15 advice: the old single cold pass paid parquet footer reads
+    # on the first query and had no JIT warm-up while Spark got both): one
+    # untimed warm-up execution per query, then one timed pass.  Bench-only
+    # rows without an oracle (sketch-only / CAS-backend variants) are
+    # skipped, as is any query whose tables are absent from a custom
+    # SPARK_GRAFT_SF_DIR (round-15 advice: a TPC-H-only directory used to
+    # crash the whole run at CREATE VIEW).  Disable with
+    # SPARK_GRAFT_BENCH_DUCK=0.
     if os.environ.get("SPARK_GRAFT_BENCH_DUCK", "1") != "0":
         import duckdb
 
@@ -118,14 +122,19 @@ def main() -> None:
         con = duckdb.connect()
         for t in ("region nation customer supplier part orders lineitem "
                   "events documents embeddings").split():
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-            )
+            if os.path.exists(f"{SF_DIR}/{t}.parquet"):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+                )
         duck: dict[str, float] = {}
         for name in timings:
             sql = oracles.get(name)
             if sql is None:
                 continue
+            try:
+                con.sql(sql).fetchall()  # warm-up: footers + plan cache
+            except duckdb.Error:
+                continue  # table absent from a custom SF_DIR — skip
             t0 = time.time()
             con.sql(sql).fetchall()
             duck[name] = round(time.time() - t0, 4)
@@ -133,7 +142,40 @@ def main() -> None:
         out["ratio"] = {
             n: round(timings[n] / duck[n], 2) for n in duck if duck[n] > 0
         }
-    print(json.dumps(out))
+
+    # Artifact protocol (round-15 verdict task 2): the driver records only
+    # the last ~2000 chars of stdout, and the full per-query JSON outgrew
+    # that once the duck/ratio sections landed (BENCH_r14.json archived
+    # with "parsed": null).  Write the COMPLETE result to BENCH_LOCAL.json
+    # (committed each round as BENCH_LOCAL_r{N}.json) and print a compact
+    # line that keeps the driver contract — metric/value/unit/queries/sf
+    # with full per-query Spark timings — but summarizes the duck/ratio
+    # sections to medians (full detail lives in the local artifact).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+
+    def _median(vals: list[float]) -> float:
+        s = sorted(vals)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    compact = {k: v for k, v in out.items() if k not in ("duck", "ratio")}
+    if out.get("ratio"):
+        compact["duck_total"] = round(sum(out["duck"].values()), 4)
+        compact["ratio_median"] = round(_median(list(out["ratio"].values())), 2)
+        ratio_tpch = [v for n, v in out["ratio"].items()
+                      if n.startswith("tpch_")]
+        if ratio_tpch:
+            compact["ratio_median_tpch"] = round(_median(ratio_tpch), 2)
+    line = json.dumps(compact)
+    if len(line) > 1900:  # stay inside the driver's tail capture
+        worst = sorted(compact["queries"], key=compact["queries"].get,
+                       reverse=True)[:30]
+        compact["queries"] = {n: compact["queries"][n] for n in worst}
+        compact["queries_truncated_to_slowest"] = len(worst)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
