@@ -24,7 +24,7 @@ gated by a sibling (per-row rationale in _GATE_DEMOTED and
 _RELATIONAL_CORE).  Everything past the cap is equally
 oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
 registered queries locally value-hash-matched — the exact count is
-asserted against this docstring by tests/test_entry_gate.py: 116
+asserted against this docstring by tests/test_entry_gate.py: 118
 queries total; oracle output types are additionally linted — HUGEINT
 and DECIMAL rejected — after driver-only hash mismatches in rounds 2-4
 and 6-7).

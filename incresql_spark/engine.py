@@ -901,9 +901,16 @@ class Engine:
         df = self._run_select(s)
         if stream:
             return EngineResult(list(df.columns), [], df, streaming=True)
-        max_rows = int(self.spark.conf.get(
+        raw_cap = self.spark.conf.get(
             EMBEDDED_MAX_COLLECT_CONF, str(EMBEDDED_MAX_COLLECT_DEFAULT)
-        ))
+        )
+        try:
+            max_rows = int(raw_cap)
+        except ValueError:
+            raise ValueError(
+                f"{EMBEDDED_MAX_COLLECT_CONF} must be an integer row cap "
+                f"(0 disables the fence), got {raw_cap!r}"
+            ) from None
         if max_rows > 0:
             rows = [tuple(r) for r in df.limit(max_rows + 1).collect()]
             if len(rows) > max_rows:

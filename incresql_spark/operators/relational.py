@@ -1416,39 +1416,49 @@ def hll_values(df: DataFrame) -> DataFrame:
     )
 
 
-def hll_registers(vals: DataFrame, p: int = HLL_P) -> DataFrame:
-    """(name, j, mj) register frame — the MERGEABLE sketch state: registers
+def hll_registers(vals: DataFrame, p: int = HLL_P,
+                  keys: tuple[str, ...] = ("name",)) -> DataFrame:
+    """(*keys, j, mj) register frame — the MERGEABLE sketch state: registers
     of a union of batches are the per-key MAX of the batches' registers
     (max is commutative/associative/idempotent), which is what makes the
     incremental maintainer exact.  Sketches of different precisions never
-    merge — the maintainer pins p at construction."""
+    merge — the maintainer pins p at construction.  ``keys`` defaults to
+    the global per-column sketch; op_hll_grouped passes ("g", "name") so
+    every sketch key is (group, column) — the register exchange then
+    ships at most |groups| x |columns| x m rows per task."""
     x = _hll_spark(p)
     return (
         vals.withColumn("h", F.expr(hash60_spark_sql("val")))
         .withColumn("j", F.expr(x["j"]))
         .withColumn("w", F.expr(x["w"]))
         .withColumn("rho", F.expr(x["rho"]))
-        .groupBy("name", "j")
+        .groupBy(*keys, "j")
         .agg(F.max("rho").alias("mj"))
     )
 
 
-def hll_exact(vals: DataFrame) -> DataFrame:
-    """Verification-only exact distinct counts per column."""
-    return vals.groupBy("name").agg(
+def hll_exact(vals: DataFrame,
+              keys: tuple[str, ...] = ("name",)) -> DataFrame:
+    """Verification-only exact distinct counts per sketch key."""
+    return vals.groupBy(*keys).agg(
         F.countDistinct("val").alias("exact_count")
     )
 
 
 def hll_finalize(regs: DataFrame, exact: DataFrame | None = None,
-                 p: int = HLL_P) -> DataFrame:
-    """Registers → the operator's output row per column (harmonic/LC
+                 p: int = HLL_P,
+                 keys: tuple[str, ...] = ("name",)) -> DataFrame:
+    """Registers → the operator's output row per sketch key (harmonic/LC
     estimate, bit-exact cross-engine arithmetic).  ``exact`` is the
-    verification-only per-name exact-count frame; None (the production
-    path) omits the join and the exact_count column."""
+    verification-only per-key exact-count frame; None (the production
+    path) omits the join and the exact_count column.  Every row also
+    carries ``rse_ppm`` — the estimator's relative standard error
+    1.04/sqrt(m) as integer parts-per-million (a geometry constant, so
+    it is emitted as the SAME literal in the Spark plan and the oracle:
+    downstream consumers can gate on accuracy without knowing HLL)."""
     x = _hll_spark(p)
     per_name = (
-        regs.groupBy("name")
+        regs.groupBy(*keys)
         .agg(
             F.count("*").cast("int").alias("occupied"),
             F.sum(F.expr(x["term"])).alias("s_occ"),
@@ -1473,14 +1483,16 @@ def hll_finalize(regs: DataFrame, exact: DataFrame | None = None,
             ),
         )
     )
-    sketch_cols = ["name", F.lit(x["m"]).alias("m"), "occupied", "v_zero",
-                   "s", "raw_est", "used_lc", "estimate"]
+    rse_ppm = round(1.04 / (x["m"] ** 0.5) * 1_000_000)
+    sketch_cols = [*keys, F.lit(x["m"]).alias("m"), "occupied", "v_zero",
+                   "s", "raw_est", "used_lc", "estimate",
+                   F.lit(rse_ppm).cast("bigint").alias("rse_ppm")]
     if exact is None:
-        return per_name.select(*sketch_cols).orderBy("name")
+        return per_name.select(*sketch_cols).orderBy(*keys)
     return (
-        per_name.join(F.broadcast(exact), "name")
+        per_name.join(F.broadcast(exact), list(keys))
         .select(*sketch_cols, "exact_count")
-        .orderBy("name")
+        .orderBy(*keys)
     )
 
 
@@ -1535,6 +1547,7 @@ exact AS (
 SELECT p.name, {m} AS m, p.occupied, p.v_zero, p.s, p.raw_est,
        p.used_lc,
        CASE WHEN p.used_lc THEN {x["lc"]} ELSE p.raw_est END AS estimate,
+       CAST({round(1.04 / m ** 0.5 * 1_000_000)} AS BIGINT) AS rse_ppm,
        e.exact_count
 FROM per6 p JOIN exact e USING (name)
 ORDER BY p.name
@@ -1542,6 +1555,115 @@ ORDER BY p.name
 
 
 OP_HLL_DISTINCT_SQL = _hll_oracle_sql()
+
+
+# --- Grouped HLL: per-group distinct counts, bounded register exchange ------
+# The per-language / per-source cardinality report every 100 TB curation
+# job wants ("distinct URLs per language", "distinct authors per source")
+# without exact count(DISTINCT)'s per-group full-key exchange.  Follows
+# op_quantile_grouped's bounded-per-group pattern: the sketch key becomes
+# (group, column), so the only exchange ships at most
+# |groups| x |columns| x m register rows per task regardless of input
+# size.  Geometry p=8 (m=256) is chosen so BOTH HLL regimes are live per
+# group at the gate SF: o_custkey (~1.3k distinct per priority at sf0.01)
+# lands in the raw harmonic branch, o_orderstatus (3 distinct) in the
+# linear-counting branch — every group emits one row of each.
+HLL_GROUP_P = 8
+HLL_GROUP_COLUMNS = ("o_custkey", "o_orderstatus")
+
+
+def op_hll_grouped(
+    spark: SparkSession, sf_dir: str, verify: bool = True,
+    p: int = HLL_GROUP_P,
+) -> DataFrame:
+    """Per-o_orderpriority deterministic HLL distinct counts over two
+    orders columns spanning both HLL regimes (see the block comment).
+
+    Plan shape: one narrow explode to (g, name, val), one hash aggregate
+    on (g, name, register) — map-side partial max caps what any task
+    forwards at |groups| x |columns| x m rows — then a |groups| x
+    |columns|-row final aggregate.  The exact per-group count(DISTINCT)
+    column is verification-only (it is the full-key-per-group shuffle
+    this operator exists to avoid); the arithmetic is op_hll_distinct's
+    own, reused via hll_finalize(keys=("g", "name"))."""
+    o = load_table(spark, sf_dir, "orders")
+    pairs = ", ".join(
+        f"named_struct('name', '{c}', 'val', CAST({c} AS STRING))"
+        for c in HLL_GROUP_COLUMNS
+    )
+    vals = (
+        o.select(
+            F.col("o_orderpriority").alias("g"),
+            F.expr(f"explode(array({pairs}))").alias("nv"),
+        )
+        .select("g", "nv.name", "nv.val")
+        .filter(F.col("val").isNotNull())
+    )
+    keys = ("g", "name")
+    exact = hll_exact(vals, keys) if verify else None
+    return hll_finalize(hll_registers(vals, p, keys), exact, p, keys)
+
+
+def _hll_grouped_oracle_sql(p: int = HLL_GROUP_P) -> str:
+    x = _hll_sql("//", lambda e: f"(CAST(1 AS BIGINT) << ({e}))", p)
+    m, r, empty_term = x["m"], 61 - p, x["empty_term"]
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT o_orderpriority AS g, '{c}' AS name, "
+        f"CAST({c} AS VARCHAR) AS val FROM orders"
+        for c in HLL_GROUP_COLUMNS
+    )
+    return f"""
+WITH vals AS (
+  SELECT g, name, val FROM (
+  {unions}
+  ) WHERE val IS NOT NULL
+),
+regs AS (
+  SELECT g, name, j, MAX(rho) AS mj FROM (
+    SELECT g, name,
+           (h % {m}) AS j,
+           CASE WHEN (h // {m}) = 0 THEN {r}
+                ELSE CAST({r} - length(bin(h // {m})) AS INT) END AS rho
+    FROM (SELECT g, name, val, {hash60_sql("val")} AS h FROM vals)
+  ) GROUP BY g, name, j
+),
+per0 AS (
+  SELECT g, name, CAST(COUNT(*) AS INT) AS occupied,
+         SUM({x["term"]}) AS s_occ
+  FROM regs GROUP BY g, name
+),
+per1 AS (
+  SELECT g, name, occupied, {m} - occupied AS v_zero,
+         CAST(s_occ + CAST({m} - occupied AS BIGINT)
+              * {empty_term} AS BIGINT) AS s
+  FROM per0
+),
+per2 AS (
+  SELECT g, name, occupied, v_zero, s, {x["raw"]} AS raw_est,
+         {x["kv"]} AS kv
+  FROM per1
+),
+per3 AS (SELECT *, {x["z"]} AS z FROM per2),
+per4 AS (SELECT *, {x["t"]} AS t FROM per3),
+per5 AS (SELECT *, {x["ln_v"]} AS ln_v FROM per4),
+per6 AS (
+  SELECT *, {x["used_lc"]} AS used_lc FROM per5
+),
+exact AS (
+  SELECT g, name, CAST(COUNT(DISTINCT val) AS BIGINT) AS exact_count
+  FROM vals GROUP BY g, name
+)
+SELECT p.g, p.name, {m} AS m, p.occupied, p.v_zero, p.s, p.raw_est,
+       p.used_lc,
+       CASE WHEN p.used_lc THEN {x["lc"]} ELSE p.raw_est END AS estimate,
+       CAST({round(1.04 / m ** 0.5 * 1_000_000)} AS BIGINT) AS rse_ppm,
+       e.exact_count
+FROM per6 p JOIN exact e USING (g, name)
+ORDER BY p.g, p.name
+"""
+
+
+OP_HLL_GROUPED_SQL = _hll_grouped_oracle_sql()
 
 
 # --- Deterministic mergeable quantile sketch (bottom-k hash sample) ---------
@@ -1690,6 +1812,17 @@ def _kmv_est(ns: str, hk: str) -> str:
             f"/ CAST({hk} AS DOUBLE) END")
 
 
+def _kmv_rse(ns: str) -> str:
+    """Relative standard error as integer parts-per-million (round-15
+    verdict task 6): ~1/sqrt(k-2) for the KMV estimator (Beyer et al.
+    SIGMOD 2007, Thm 2), EXACTLY 0 in the small-set regime (ns < k means
+    the sample IS the distinct set).  The nonzero branch is a Python-
+    computed integer literal, so the column value-hashes cross-engine."""
+    ppm = round(1_000_000 / (KMV_K - 2) ** 0.5)
+    return (f"CAST(CASE WHEN {ns} < {KMV_K} THEN 0 "
+            f"ELSE {ppm} END AS BIGINT)")
+
+
 def op_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-cardinality estimates for A = distinct l_partkey
     values, B = distinct l_suppkey values, A ∪ B and A ∩ B, each with its
@@ -1763,10 +1896,13 @@ def op_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(
         F.lit(KMV_K).alias("k"),
         F.expr(_kmv_est("ns_a", "hk_a")).alias("a_est"),
+        F.expr(_kmv_rse("ns_a")).alias("a_rse_ppm"),
         F.col("a_exact"),
         F.expr(_kmv_est("ns_b", "hk_b")).alias("b_est"),
+        F.expr(_kmv_rse("ns_b")).alias("b_rse_ppm"),
         F.col("b_exact"),
         F.expr(_kmv_est("ns_u", "hk_u")).alias("union_est"),
+        F.expr(_kmv_rse("ns_u")).alias("union_rse_ppm"),
         F.col("union_exact"),
         F.expr(
             f"CAST(rho AS DOUBLE) * ({_kmv_est('ns_u', 'hk_u')}) "
@@ -1816,9 +1952,12 @@ stats AS (
       WHERE val IN (SELECT val FROM b_vals)) AS inter_exact
 )
 SELECT {KMV_K} AS k,
-       {_kmv_est("ns_a", "hk_a")} AS a_est, a_exact,
-       {_kmv_est("ns_b", "hk_b")} AS b_est, b_exact,
-       {_kmv_est("ns_u", "hk_u")} AS union_est, union_exact,
+       {_kmv_est("ns_a", "hk_a")} AS a_est,
+       {_kmv_rse("ns_a")} AS a_rse_ppm, a_exact,
+       {_kmv_est("ns_b", "hk_b")} AS b_est,
+       {_kmv_rse("ns_b")} AS b_rse_ppm, b_exact,
+       {_kmv_est("ns_u", "hk_u")} AS union_est,
+       {_kmv_rse("ns_u")} AS union_rse_ppm, union_exact,
        CAST(rho AS DOUBLE) * ({_kmv_est("ns_u", "hk_u")})
          / CAST(ns_u AS DOUBLE) AS inter_est,
        inter_exact
@@ -2029,6 +2168,7 @@ QUERIES = {
     "op_quantile_sketch": op_quantile_sketch,
     "op_quantile_grouped": op_quantile_grouped,
     "op_kmv_set_ops": op_kmv_set_ops,
+    "op_hll_grouped": op_hll_grouped,
 }
 
 ORACLE = {
@@ -2069,6 +2209,7 @@ ORACLE = {
     "op_quantile_sketch": OP_QUANTILE_SKETCH_SQL,
     "op_quantile_grouped": OP_QUANTILE_GROUPED_SQL,
     "op_kmv_set_ops": OP_KMV_SET_OPS_SQL,
+    "op_hll_grouped": OP_HLL_GROUPED_SQL,
 }
 
 BENCH_QUERIES = {

@@ -2008,6 +2008,77 @@ def bm25_search_table(docs: DataFrame, queries: DataFrame,
     )
 
 
+def text_bm25_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query for the table-driven BM25 operator (round-15 verdict
+    task 4): same workload as ``text_bm25_search`` but supplied as DATA —
+    a small in-plan (query_id, term) frame — through ``bm25_search_table``,
+    so the driver exercises the production search path (broadcast term
+    filter, single explode, integer-ppb accumulation, WindowGroupLimit
+    top-k) rather than the plan-time-literal sibling."""
+    d = load_table(spark, sf_dir, "documents")
+    workload = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id INT, term STRING",
+    )
+    return bm25_search_table(d, workload)
+
+
+def _bm25_table_sql() -> str:
+    """Oracle for text_bm25_table: the workload as a VALUES CTE, the same
+    ppb integer accumulation (HUGEINT intermediates, BIGINT out)."""
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
+    )
+    return f"""
+WITH workload(query_id, term) AS (VALUES {rows}),
+toks AS (
+  SELECT doc_id, CAST(len(tokens) AS BIGINT) AS dl,
+         unnest(tokens) AS term
+  FROM (SELECT doc_id, {TOKENS_DUCK} AS tokens FROM documents)
+),
+tf0 AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN (SELECT DISTINCT term FROM workload)
+  GROUP BY doc_id, dl, term
+),
+tf AS (
+  SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+  FROM tf0
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(len({TOKENS_DUCK}) AS BIGINT)) AS BIGINT) AS t
+  FROM documents
+),
+scored AS (
+  SELECT w.query_id, tf.doc_id,
+         CAST((CAST((2*(n - df) + 1) AS HUGEINT) * 22 * tf * t
+               * 1000000000)
+              // (CAST((2*df + 1) AS HUGEINT)
+                  * (10*tf*t + 3*t + 9*dl*n)) AS BIGINT) AS contrib_ppb
+  FROM tf JOIN workload w USING (term), stats
+),
+agg AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(contrib_ppb) AS BIGINT) AS score_ppb,
+         CAST(COUNT(*) AS INT) AS n_terms
+  FROM scored GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_ppb, n_terms,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_ppb DESC, doc_id ASC) AS rank
+  FROM agg
+)
+SELECT query_id, rank, doc_id, score_ppb, n_terms
+FROM ranked WHERE rank <= {BM25_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+TEXT_BM25_TABLE_SQL = _bm25_table_sql()
+
+
 def _bm25_sql() -> str:
     tf_cols = ",\n         ".join(
         f"len(list_filter(tokens, t -> t = '{t}')) AS tf_{t}"
@@ -2280,6 +2351,7 @@ QUERIES = {
     "text_dsir_select": text_dsir_select,
     "text_gopher_quality": text_gopher_quality,
     "text_bm25_search": text_bm25_search,
+    "text_bm25_table": text_bm25_table,
     "text_cms_heavyhitters": text_cms_heavyhitters,
 }
 
@@ -2305,6 +2377,7 @@ ORACLE = {
     "text_dsir_select": TEXT_DSIR_SELECT_SQL,
     "text_gopher_quality": TEXT_GOPHER_QUALITY_SQL,
     "text_bm25_search": TEXT_BM25_SEARCH_SQL,
+    "text_bm25_table": TEXT_BM25_TABLE_SQL,
     "text_cms_heavyhitters": TEXT_CMS_HEAVYHITTERS_SQL,
 }
 

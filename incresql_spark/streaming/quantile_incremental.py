@@ -60,11 +60,17 @@ class IncrementalQuantile:
 
     def add_batch(self, base: DataFrame) -> None:
         """Min-k-merge the batch's bottom-k into the maintained state."""
-        delta = base.orderBy("h", "v").limit(self.k)
-        old = self.state.read()
-        # dropDuplicates makes replayed deltas true no-ops (the idempotence
+        # dropDuplicates on BOTH paths keeps the sample's multiset/set
+        # semantics uniform (round-15 advice: the batch operator keeps
+        # (h, v) multiset duplicates, so a 60-bit hash collision with
+        # equal values — probability ~2^-60 — could otherwise make the
+        # first-batch sample diverge from a later merge of the same
+        # rows), and makes replayed deltas true no-ops (the idempotence
         # claim above): without it a replayed row would occupy two sample
-        # slots and evict a legitimate one.  The frame is <= 2k rows.
+        # slots and evict a legitimate one.  The frames are <= 2k rows.
+        delta = (base.orderBy("h", "v").limit(self.k)
+                 .dropDuplicates(["h", "v"]))
+        old = self.state.read()
         merged = delta if old is None else (
             old.unionByName(delta)
             .dropDuplicates(["h", "v"])

@@ -307,7 +307,7 @@ def test_hll_verify_flag_splits_sketch_from_verification(spark):
     full = op_hll_distinct(spark, SF_SMALL).collect()
     sk = op_hll_distinct(spark, SF_SMALL, verify=False)
     assert sk.columns == ["name", "m", "occupied", "v_zero", "s",
-                          "raw_est", "used_lc", "estimate"]
+                          "raw_est", "used_lc", "estimate", "rse_ppm"]
     got = {tuple(r) for r in sk.collect()}
     want = {tuple(r)[:-1] for r in full}
     assert got == want
