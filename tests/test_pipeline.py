@@ -199,20 +199,41 @@ def test_dedup_canonical_accepts_precomputed_inputs(spark):
         layout.release(lm)
 
 
-def test_real_codec_path_gated_on_availability():
-    """fake=False is wired to Pillow behind a gated import (round 13); in
-    this container Pillow is absent (probe documented in multimodal.py) so
-    the stub tests above pin the loud NotImplementedError.  Where Pillow IS
-    importable this proves a real PNG decodes through the same entrypoint,
-    with the fake path still the oracle surface."""
-    import pytest as _pytest
+def test_real_codec_path_decodes_ppm_without_dependencies():
+    """The fake=False branch now has one REAL codec that needs no
+    external library (round-15 verdict task 7): binary PPM, hand-built
+    here byte by byte — so the real-decode entrypoint is TESTED in this
+    container, not just documented.  Comment lines and the non-PPM
+    NotImplementedError gate are pinned too."""
+    import numpy as np
 
-    _pytest.importorskip("PIL")
+    w, h = 4, 3
+    raster = bytes((x * 7 + c) % 256 for x in range(w * h)
+                   for c in (0, 100, 200))
+    ppm = b"P6\n# hand-built test image\n4 3\n255\n" + raster
+    arr = multimodal.decode_image(ppm, "image/x-portable-pixmap")
+    assert arr.shape == (h, w, 3)
+    assert arr.tobytes() == raster
+    assert (arr[0, 1] == np.array([7, 107, 207], dtype=np.uint8)).all()
+
+
+def test_real_codec_path_gated_on_availability():
+    """Non-PPM formats still route to Pillow behind a gated import
+    (round 13); in this container Pillow is absent (probe documented in
+    multimodal.py), so the entrypoint must raise the loud
+    NotImplementedError rather than a bare ImportError.  Where Pillow IS
+    importable this instead proves a real PNG decodes through the same
+    entrypoint, with the fake path still the oracle surface."""
     import io
 
     import numpy as np
-    from PIL import Image
 
+    try:
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="fake=True"):
+            multimodal.decode_image(b"\x89PNG fake bytes", "image/png")
+        return
     img = Image.new("RGB", (4, 3), (10, 20, 30))
     buf = io.BytesIO()
     img.save(buf, format="PNG")

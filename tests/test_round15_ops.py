@@ -1,0 +1,101 @@
+"""Round-15 operators: the grouped HLL sketch (op_hll_grouped), the
+table-driven BM25 gate query (text_bm25_table), and the estimator-family
+error-bound columns (rse_ppm).
+
+Cross-engine value equality is covered by the DuckDB oracle gate
+(tools/check_oracle.py); these tests pin the invariants the hash can't
+articulate: the grouped production plan really avoids per-group
+count(DISTINCT), both HLL regimes really are live per group, the
+error-bound columns really track the estimator regime, and the gate BM25
+query really runs the table-driven path.
+"""
+
+from __future__ import annotations
+
+from incresql_spark.operators.relational import (
+    HLL_GROUP_P,
+    op_hll_grouped,
+    op_kmv_set_ops,
+)
+from incresql_spark.operators.text import (
+    TEXT_BM25_TABLE_SQL,
+    text_bm25_table,
+)
+
+from .conftest import SF_SMALL
+
+SF_001 = "/root/testdata/sf0.01"
+
+
+def test_hll_grouped_production_plan_is_bounded(spark):
+    """verify=False (the production path) must contain no distinct
+    aggregate anywhere — the exact per-group count(DISTINCT) is the
+    full-key-per-group shuffle the operator exists to avoid — and its
+    register aggregate must have a map-side partial max, which is what
+    bounds any task's forwarding at |groups| x |columns| x m rows."""
+    plan = (
+        op_hll_grouped(spark, SF_SMALL, verify=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "distinct" not in plan.lower(), plan
+    assert "partial_max" in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_hll_grouped_both_regimes_live_per_group(spark):
+    """The p=8 geometry puts o_custkey (~1.3k distinct per priority) in
+    the raw harmonic branch and o_orderstatus (3 distinct) in the
+    linear-counting branch at sf0.01 — every group emits one row of
+    each, with the estimate inside 4 sigma of exact."""
+    rows = op_hll_grouped(spark, SF_001).collect()
+    m = 1 << HLL_GROUP_P
+    groups = {r.g for r in rows}
+    assert len(rows) == 2 * len(groups)
+    rse = 1.04 / (m ** 0.5)
+    for r in rows:
+        assert r.m == m
+        assert r.rse_ppm == round(rse * 1_000_000)
+        if r.name == "o_orderstatus":
+            assert r.used_lc and r.exact_count == 3
+            # LC = m*ln(m/V): within ~1% this far below m
+            assert abs(r.estimate - 3.0) < 0.05
+        else:
+            assert not r.used_lc and r.exact_count > 2.5 * m
+        err = abs(r.estimate - r.exact_count) / max(1, r.exact_count)
+        assert err <= 4 * rse, (r.g, r.name, err)
+
+
+def test_kmv_rse_tracks_the_estimator_regime(spark):
+    """rse_ppm is 0 exactly when the sample IS the distinct set (ns < k:
+    the estimate equals the exact count), and the 1/sqrt(k-2) literal
+    otherwise.  At sf0.001 l_suppkey rides the exact branch and
+    l_partkey the estimator branch, so both cases are pinned."""
+    r = op_kmv_set_ops(spark, SF_SMALL).collect()[0]
+    ppm = round(1_000_000 / (r.k - 2) ** 0.5)
+    for est, exact, rse in (
+        (r.a_est, r.a_exact, r.a_rse_ppm),
+        (r.b_est, r.b_exact, r.b_rse_ppm),
+        (r.union_est, r.union_exact, r.union_rse_ppm),
+    ):
+        if rse == 0:
+            assert est == float(exact) and exact < r.k
+        else:
+            assert rse == ppm and exact >= r.k
+    assert {r.a_rse_ppm, r.b_rse_ppm} == {0, ppm}
+
+
+def test_bm25_table_gate_query_runs_the_table_driven_path(spark, duck):
+    """text_bm25_table must oracle-match AND actually exercise the
+    production searcher: integer-ppb scores (the literal operator emits
+    DOUBLE), a broadcast of the workload frame, and exactly one explode
+    (the corpus never shuffles on raw tokens)."""
+    from .oracle import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, duck, text_bm25_table, TEXT_BM25_TABLE_SQL, SF_SMALL
+    )
+    df = text_bm25_table(spark, SF_SMALL)
+    assert "score_ppb" in df.columns
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
