@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from . import commit, dialect
+from . import commit, dialect, sketch_sql
 from .explain import reference_explain
 from .frequency import FreqTable
 from .materialize import AggregateJoinMaterializedView, MaterializedView
@@ -545,6 +545,11 @@ class Engine:
             # this mid-flight; its own mutation keeps the catalog dirty
             if not self._in_mutation:
                 self._catalog_dirty = False
+        # sketch table functions (hll_distinct / quantile_sketch /
+        # cms_topk) expand to derived tables BEFORE qualification, so the
+        # generated FROM <table> resolves through the catalog like any
+        # other source (sketch_sql.py; round-15 wire surface).
+        sql = sketch_sql.expand_sketch_calls(sql)
         rewritten = dialect.rewrite(
             self._qualify(sql, self.current_db), self.current_db,
             self._register_dir, int_col_type=self._int_col_type,

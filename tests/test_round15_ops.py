@@ -99,3 +99,38 @@ def test_bm25_table_gate_query_runs_the_table_driven_path(spark, duck):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate explode") == 1, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_sketch_sql_surface_is_bit_equal_to_the_operator(spark):
+    """The SQL table function (sketch_sql.py, the wire surface) must
+    produce byte-identical rows to op_hll_distinct's production path at
+    the same geometry — the fragments are shared, so any divergence
+    means the expansion mangled them.  Also pins that the expansion is a
+    no-op without a sketch call and rejects non-identifier arguments."""
+    import pytest as _pytest
+
+    from incresql_spark import sketch_sql
+    from incresql_spark.operators.relational import (
+        HLL_COLUMNS,
+        op_hll_distinct,
+    )
+
+    for t in ("lineitem",):
+        spark.read.parquet(f"{SF_SMALL}/{t}.parquet") \
+            .createOrReplaceTempView(t)
+    cols = ", ".join(f"'{c}'" for c in HLL_COLUMNS)
+    expanded = sketch_sql.expand_sketch_calls(
+        f"SELECT * FROM hll_distinct('lineitem', {cols}) ORDER BY name"
+    )
+    got = [tuple(r) for r in spark.sql(expanded).collect()]
+    want = [
+        tuple(r)
+        for r in op_hll_distinct(spark, SF_SMALL, verify=False).collect()
+    ]
+    assert got == want
+    plain = "SELECT 1 AS x"
+    assert sketch_sql.expand_sketch_calls(plain) is plain
+    with _pytest.raises(ValueError, match="identifier"):
+        sketch_sql.expand_sketch_calls(
+            "SELECT * FROM hll_distinct('lineitem; DROP', 'x')"
+        )

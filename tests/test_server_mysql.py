@@ -336,3 +336,37 @@ def test_kill_reaches_streamed_select_between_jobs(server):
     assert rows == [("42",)]
     a.close()
     b.close()
+
+
+def test_sketch_table_function_over_the_wire(server):
+    """Round-15 wire surface: the sketch family is SQL-callable, so the
+    MySQL front-end can serve estimates end-to-end — hll_distinct and
+    quantile_sketch run here over a table created and loaded through the
+    same connection (sketch_sql.py expands the calls before the engine
+    qualifies table names)."""
+    c = MiniClient(server.port, CLIENT_PROTOCOL_41 | CLIENT_DEPRECATE_EOF)
+    assert c.query("CREATE TABLE sk (a INT, v INT)") == 0
+    vals = ", ".join(f"({i % 7}, {i})" for i in range(40))
+    c.query(f"INSERT INTO sk VALUES {vals}")
+    cols, rows = c.query(
+        "SELECT name, estimate, rse_ppm FROM hll_distinct('sk', 'a', 'v') "
+        "ORDER BY name"
+    )
+    assert cols == ["name", "estimate", "rse_ppm"]
+    assert [r[0] for r in rows] == ["a", "v"]
+    # 7 and 40 true distincts — linear counting is near-exact this far
+    # below m=4096, and rse_ppm is the 1.04/sqrt(4096) literal
+    assert abs(float(rows[0][1]) - 7) < 1.0
+    assert abs(float(rows[1][1]) - 40) < 3.0
+    assert rows[0][2] == "16250"
+    cols2, rows2 = c.query(
+        "SELECT q_pct, sample_n, est_value "
+        "FROM quantile_sketch('sk', 'v', 'a') ORDER BY q_pct"
+    )
+    assert cols2 == ["q_pct", "sample_n", "est_value"]
+    # 40 rows < k: the sample is the data, so estimates are the exact
+    # nearest-rank values of 0..39
+    by_q = {r[0]: r for r in rows2}
+    assert by_q["50"][1] == "40" and by_q["50"][2] == "19"
+    assert by_q["99"][2] == "39"
+    c.close()
