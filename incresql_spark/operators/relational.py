@@ -1587,21 +1587,28 @@ def op_hll_grouped(
     this operator exists to avoid); the arithmetic is op_hll_distinct's
     own, reused via hll_finalize(keys=("g", "name"))."""
     o = load_table(spark, sf_dir, "orders")
+    vals = hll_grouped_values(o)
+    keys = ("g", "name")
+    exact = hll_exact(vals, keys) if verify else None
+    return hll_finalize(hll_registers(vals, p, keys), exact, p, keys)
+
+
+def hll_grouped_values(orders: DataFrame) -> DataFrame:
+    """(g, name, val) frame for the grouped sketch — one narrow explode;
+    shared by the batch operator and the incremental maintainer so the
+    maintained registers come from the exact same code path."""
     pairs = ", ".join(
         f"named_struct('name', '{c}', 'val', CAST({c} AS STRING))"
         for c in HLL_GROUP_COLUMNS
     )
-    vals = (
-        o.select(
+    return (
+        orders.select(
             F.col("o_orderpriority").alias("g"),
             F.expr(f"explode(array({pairs}))").alias("nv"),
         )
         .select("g", "nv.name", "nv.val")
         .filter(F.col("val").isNotNull())
     )
-    keys = ("g", "name")
-    exact = hll_exact(vals, keys) if verify else None
-    return hll_finalize(hll_registers(vals, p, keys), exact, p, keys)
 
 
 def _hll_grouped_oracle_sql(p: int = HLL_GROUP_P) -> str:
@@ -2228,4 +2235,8 @@ BENCH_QUERIES = {
     # the per-round gap between the two rows measures the sort avoided
     "op_quantile_sketch": op_quantile_sketch,
     "op_quantile_sketch_only": op_quantile_sketch_only,
+    # round 15: the grouped HLL — tracks the bounded per-group register
+    # exchange per round (disclosed in BASELINE.md; like-for-like totals
+    # exclude it when comparing to pre-r15 rounds)
+    "op_hll_grouped": op_hll_grouped,
 }

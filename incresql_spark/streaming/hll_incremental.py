@@ -35,37 +35,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..materialize import AggState
-from ..operators.relational import hll_finalize, hll_registers, hll_values
+from ..operators.relational import (
+    HLL_P,
+    hll_finalize,
+    hll_registers,
+    hll_values,
+)
 
 
 class IncrementalHll:
     """Materialized HLL register state + per-batch max-merge.
 
-    ``state_dir`` holds one AggState keyed (name, j).  ``add_batch(df)``
-    merges the batch's registers; ``estimate(exact)`` finalizes the
-    current state (``exact`` is the verification-only per-name exact
-    count frame the batch operator also carries)."""
+    ``state_dir`` holds one AggState keyed (*keys, j).  ``add_batch(df)``
+    merges a lineitem batch's registers through the default per-column
+    values frame; ``add_batch_values(vals)`` takes any (*keys, val)
+    frame — the grouped maintainer's entrypoint (keys=("g", "name"),
+    round 15).  ``estimate(exact)`` finalizes the current state
+    (``exact`` is the verification-only per-key exact count frame the
+    batch operator also carries).  Geometry (p) and keys are pinned at
+    construction — sketches of different shapes never merge."""
 
     NUM_BUCKETS = 4
 
     def __init__(self, spark: SparkSession, state_dir: str,
-                 fence: bool = False):
+                 fence: bool = False, keys: tuple[str, ...] = ("name",),
+                 p: int = HLL_P):
         self.spark = spark
+        self.keys = list(keys)
+        self.p = p
         self.state = AggState(spark, state_dir, num_buckets=self.NUM_BUCKETS)
         if fence:
             self.state.acquire_writer_fence()
 
     def add_batch(self, df: DataFrame) -> None:
-        """Max-merge the batch's registers into the maintained state."""
-        delta = hll_registers(hll_values(df))
+        """Max-merge a lineitem batch's registers into the state."""
+        self.add_batch_values(hll_values(df))
+
+    def add_batch_values(self, vals: DataFrame) -> None:
+        """Max-merge the registers of any (*keys, val) frame."""
+        delta = hll_registers(vals, self.p, tuple(self.keys))
         old = self.state.read()
         merged = delta if old is None else (
             old.unionByName(delta)
-            .groupBy("name", "j")
+            .groupBy(*self.keys, "j")
             .agg(F.max("mj").alias("mj"))
         )
         self.state.write_buckets(
-            merged, ["name", "j"], list(range(self.NUM_BUCKETS))
+            merged, self.keys + ["j"], list(range(self.NUM_BUCKETS))
         )
 
     def registers(self) -> DataFrame | None:
@@ -75,4 +91,4 @@ class IncrementalHll:
         regs = self.state.read()
         if regs is None:
             raise ValueError("no batches ingested yet")
-        return hll_finalize(regs, exact)
+        return hll_finalize(regs, exact, self.p, tuple(self.keys))

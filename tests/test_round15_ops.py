@@ -134,3 +134,41 @@ def test_sketch_sql_surface_is_bit_equal_to_the_operator(spark):
         sketch_sql.expand_sketch_calls(
             "SELECT * FROM hll_distinct('lineitem; DROP', 'x')"
         )
+
+
+def test_hll_grouped_incremental_equals_batch_and_replay_is_noop(
+    spark, tmp_path
+):
+    """Three waves through the grouped IncrementalHll == the batch
+    grouped sketch over the union (register max-merge is exact per
+    (g, name) key); the state never exceeds |groups| x |columns| x m
+    rows; and REPLAYING a wave changes nothing (max is idempotent)."""
+    from incresql_spark.operators.relational import (
+        HLL_GROUP_COLUMNS,
+        HLL_GROUP_P,
+        hll_exact,
+        hll_grouped_values,
+        load_table,
+    )
+    from incresql_spark.streaming.hll_incremental import IncrementalHll
+
+    o = load_table(spark, SF_SMALL, "orders")
+    hll = IncrementalHll(spark, str(tmp_path / "state"),
+                         keys=("g", "name"), p=HLL_GROUP_P)
+    for w in range(3):
+        hll.add_batch_values(
+            hll_grouped_values(o.filter(f"o_orderkey % 3 = {w}"))
+        )
+    exact = hll_exact(hll_grouped_values(o), ("g", "name"))
+    got = hll.estimate(exact).collect()
+    want = op_hll_grouped(spark, SF_SMALL).collect()
+    assert got == want
+    n_groups = o.select("o_orderpriority").distinct().count()
+    assert hll.registers().count() <= (
+        n_groups * len(HLL_GROUP_COLUMNS) * (1 << HLL_GROUP_P)
+    )
+    # replay wave 1: max-merge is idempotent, so nothing may change
+    hll.add_batch_values(
+        hll_grouped_values(o.filter("o_orderkey % 3 = 1"))
+    )
+    assert hll.estimate(exact).collect() == want
