@@ -39,6 +39,7 @@ from .dedup import (
 from .relational import (
     OP_HLL_DISTINCT_SQL,
     OP_HLL_GROUPED_SQL,
+    OP_QUANTILE_GROUPED_SQL,
     OP_QUANTILE_SKETCH_SQL,
 )
 from .text import (STOPWORDS, TEXT_CMS_HEAVYHITTERS_SQL, TOKENS_DUCK,
@@ -821,6 +822,40 @@ def op_quantile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def op_quantile_grouped_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GROUPED quantile maintainer driven end-to-end as a gate query
+    (round 15): orders arrives in THREE waves (split on o_orderkey % 3)
+    through ``IncrementalQuantileGrouped``, whose materialized (g, v, h)
+    AggState makes each wave O(|delta| + k x |groups|) — state bounded at
+    k rows PER GROUP forever.  Because per-group min-k-merge is exact
+    (and idempotent), the maintained sample after the waves EQUALS the
+    batch per-group bottom-k over the full table, so finalizing it
+    reproduces ``op_quantile_grouped`` row-for-row — whose DuckDB oracle
+    recomputes everything from scratch."""
+    import shutil
+    import tempfile
+
+    from .relational import quantile_grouped_base
+    from ..streaming.quantile_incremental import IncrementalQuantileGrouped
+
+    root = tempfile.mkdtemp(prefix="incr_qskg_")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        q = IncrementalQuantileGrouped(spark, f"{root}/state")
+        for w in range(3):
+            q.add_batch(
+                quantile_grouped_base(o.filter(f"o_orderkey % 3 = {w}"))
+            )
+        out = q.estimate(quantile_grouped_base(o))
+        # materialize before the state dir is deleted (the plan reads the
+        # AggState parquet lazily)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def op_hll_grouped_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GROUPED HLL maintainer driven end-to-end as a gate query
     (round 15): orders arrives in THREE waves (split on o_orderkey % 3)
@@ -866,6 +901,7 @@ QUERIES = {
     "text_cms_incremental": text_cms_incremental,
     "op_quantile_incremental": op_quantile_incremental,
     "op_hll_grouped_incremental": op_hll_grouped_incremental,
+    "op_quantile_grouped_incremental": op_quantile_grouped_incremental,
 }
 ORACLE = {
     "pipeline_curate": PIPELINE_CURATE_SQL,
@@ -891,6 +927,9 @@ ORACLE = {
     # maintained grouped sketch equals the batch op_hll_grouped — the
     # batch oracle IS the incremental oracle (the family pattern)
     "op_hll_grouped_incremental": OP_HLL_GROUPED_SQL,
+    # per-group min-k-merge is exact, so the maintained grouped sample
+    # equals the batch op_quantile_grouped — batch oracle = incremental
+    "op_quantile_grouped_incremental": OP_QUANTILE_GROUPED_SQL,
 }
 
 # Round 11 (VERDICT r10 task 7): the incremental-maintainer hot path gets

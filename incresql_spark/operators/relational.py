@@ -1999,17 +1999,40 @@ def op_quantile_grouped(
     exist at 100 TB.  Estimates are raw data values (no arithmetic to
     diverge cross-engine)."""
     o = load_table(spark, sf_dir, "orders")
-    base = o.select(
+    base = quantile_grouped_base(o)
+    sample = quantile_grouped_sample(base)
+    return quantile_grouped_finalize(base, sample, verify)
+
+
+def quantile_grouped_base(orders: DataFrame) -> DataFrame:
+    """The (g, v, h) frame the grouped sketch and its verification both
+    consume — shared with the incremental maintainer so maintained
+    samples come from the exact same code path."""
+    return orders.select(
         F.col("o_orderpriority").alias("g"),
         F.col("o_totalprice").alias("v"),
         F.expr(hash60_spark_sql("CAST(o_orderkey AS STRING)")).alias("h"),
     ).filter(F.col("v").isNotNull())
+
+
+def quantile_grouped_sample(base: DataFrame,
+                            k: int = QSK_GROUP_K) -> DataFrame:
+    """Per-group bottom-k of the hash — the mergeable sketch state
+    (min-k per group is commutative/associative/idempotent).  Spark
+    rewrites the row_number-filter through WindowGroupLimit, bounding
+    per-partition forwarding at k x |groups| rows."""
     wk = Window.partitionBy("g").orderBy("h", "v")
-    sample = (
+    return (
         base.withColumn("rh", F.row_number().over(wk))
-        .filter(F.col("rh") <= QSK_GROUP_K)
+        .filter(F.col("rh") <= k)
         .drop("rh")
     )
+
+
+def quantile_grouped_finalize(base: DataFrame, sample: DataFrame,
+                              verify: bool = True) -> DataFrame:
+    """Sample -> per-group nearest-rank percentile estimates (the batch
+    operator's own arithmetic, reused by the incremental maintainer)."""
     sr = sample.withColumn(
         "rs", F.row_number().over(Window.partitionBy("g").orderBy("v", "h"))
     )

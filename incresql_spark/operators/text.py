@@ -2329,6 +2329,114 @@ ORDER BY exact_cnt DESC, tok ASC
 TEXT_CMS_HEAVYHITTERS_SQL = _cms_sql()
 
 
+# --- Grouped CMS: per-group heavy hitters ------------------------------------
+# Completes the grouped-sketch matrix (quantiles r14, HLL r15): the
+# per-language top-token report a 100 TB curation job wants without a
+# per-(group, token) full-key exchange surviving to the output.  The
+# sketch key becomes (group, row, bucket) — the counter exchange is
+# bounded at |groups| x d x w rows per task; probes run per (group,
+# candidate).  As in the flat operator, exact per-(g, tok) counts ride
+# along as the GATE's candidate selector + verification; production
+# callers probe a known candidate list against the group's sketch.
+CMS_GROUP_TOP = 5
+
+
+def text_cms_grouped(
+    spark: SparkSession, sf_dir: str,
+    width: int = CMS_W, depth: int = CMS_D,
+) -> DataFrame:
+    """Per-lang CMS frequency estimates for each language's top-
+    {CMS_GROUP_TOP} tokens.  Candidate selection is a row_number window
+    per group — Spark rewrites it through WindowGroupLimit, so every
+    partition forwards at most {CMS_GROUP_TOP} x |groups| candidate rows
+    (the op_quantile_grouped shape); gate geometry w=16 keeps the
+    collision-stress property of the flat operator."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("lang").alias("g"),
+        F.explode(F.expr(TOKENS_SPARK)).alias("tok"),
+    )
+    seeds = _cms_seeds(depth)
+    pairs = toks.select(
+        "g", "tok", F.explode(F.expr(f"array({seeds})")).alias("i")
+    ).withColumn("b", F.expr(_cms_bucket_spark(width)))
+    sketch = pairs.groupBy("g", "i", "b").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    exact = toks.groupBy("g", "tok").agg(
+        F.count("*").cast("bigint").alias("exact_cnt")
+    )
+    wk = Window.partitionBy("g").orderBy(
+        F.col("exact_cnt").desc(), F.col("tok").asc()
+    )
+    cands = (
+        exact.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= CMS_GROUP_TOP)
+        .drop("rk")
+    )
+    probes = cands.select(
+        "g", "tok", "exact_cnt",
+        F.explode(F.expr(f"array({seeds})")).alias("i"),
+    ).withColumn("b", F.expr(_cms_bucket_spark(width)))
+    est = probes.join(sketch, ["g", "i", "b"]).groupBy(
+        "g", "tok", "exact_cnt"
+    ).agg(F.min("c").alias("cms_est"))
+    return est.select(
+        "g", "tok", "exact_cnt", "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+    ).orderBy("g", F.col("exact_cnt").desc(), F.col("tok").asc())
+
+
+text_cms_grouped.__doc__ = text_cms_grouped.__doc__.replace(
+    "{CMS_GROUP_TOP}", str(CMS_GROUP_TOP)
+)
+
+
+def _cms_grouped_sql() -> str:
+    seeds, bucket = _cms_seeds(CMS_D), _cms_bucket_duck(CMS_W)
+    return f"""
+WITH toks AS (
+  SELECT g, unnest(tokens) AS tok
+  FROM (SELECT lang AS g, {TOKENS_DUCK} AS tokens FROM documents)
+),
+pairs AS (
+  SELECT g, tok, u.i AS i FROM toks, unnest([{seeds}]) AS u(i)
+),
+sketch AS (
+  SELECT g, i, {bucket} AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs GROUP BY g, i, {bucket}
+),
+exact AS (
+  SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM toks GROUP BY g, tok
+),
+cands AS (
+  SELECT g, tok, exact_cnt FROM (
+    SELECT g, tok, exact_cnt,
+           ROW_NUMBER() OVER (PARTITION BY g
+                              ORDER BY exact_cnt DESC, tok ASC) AS rk
+    FROM exact
+  ) WHERE rk <= {CMS_GROUP_TOP}
+),
+probes AS (
+  SELECT g, tok, exact_cnt, u.i AS i, {bucket} AS b
+  FROM cands, unnest([{seeds}]) AS u(i)
+),
+est AS (
+  SELECT p.g, p.tok, p.exact_cnt, MIN(s.c) AS cms_est
+  FROM probes p JOIN sketch s ON s.g = p.g AND s.i = p.i AND s.b = p.b
+  GROUP BY p.g, p.tok, p.exact_cnt
+)
+SELECT g, tok, exact_cnt, cms_est,
+       cms_est - exact_cnt AS overestimate
+FROM est
+ORDER BY g, exact_cnt DESC, tok ASC
+"""
+
+
+TEXT_CMS_GROUPED_SQL = _cms_grouped_sql()
+
+
 QUERIES = {
     "text_stats": text_stats,
     "text_repetition": text_repetition,
@@ -2352,6 +2460,7 @@ QUERIES = {
     "text_gopher_quality": text_gopher_quality,
     "text_bm25_search": text_bm25_search,
     "text_bm25_table": text_bm25_table,
+    "text_cms_grouped": text_cms_grouped,
     "text_cms_heavyhitters": text_cms_heavyhitters,
 }
 
@@ -2378,6 +2487,7 @@ ORACLE = {
     "text_gopher_quality": TEXT_GOPHER_QUALITY_SQL,
     "text_bm25_search": TEXT_BM25_SEARCH_SQL,
     "text_bm25_table": TEXT_BM25_TABLE_SQL,
+    "text_cms_grouped": TEXT_CMS_GROUPED_SQL,
     "text_cms_heavyhitters": TEXT_CMS_HEAVYHITTERS_SQL,
 }
 

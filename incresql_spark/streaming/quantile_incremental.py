@@ -88,3 +88,54 @@ class IncrementalQuantile:
         if s is None:
             raise ValueError("no batches ingested yet")
         return quantile_finalize(base, s, verify)
+
+
+class IncrementalQuantileGrouped:
+    """Per-GROUP bottom-k state + min-k-merge (round 15): the grouped
+    sibling of IncrementalQuantile, maintaining op_quantile_grouped's
+    per-group sample.  State is the (g, v, h) frame bounded at
+    k x |groups| rows; the per-group bottom-k on both the delta and the
+    merge goes through ``quantile_grouped_sample`` — the batch operator's
+    own code path (WindowGroupLimit bounds per-partition forwarding), so
+    the maintained sample after N waves EQUALS the batch sample over the
+    union and finalizing reproduces ``op_quantile_grouped`` row-for-row.
+    Min-k-merge per group is idempotent, as in the global maintainer."""
+
+    NUM_BUCKETS = 4
+
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 k: int | None = None, fence: bool = False):
+        from ..operators.relational import QSK_GROUP_K
+
+        self.spark = spark
+        self.k = QSK_GROUP_K if k is None else k
+        self.state = AggState(spark, state_dir, num_buckets=self.NUM_BUCKETS)
+        if fence:
+            self.state.acquire_writer_fence()
+
+    def add_batch(self, base: DataFrame) -> None:
+        """Min-k-merge the batch's per-group bottom-k into the state."""
+        from ..operators.relational import quantile_grouped_sample
+
+        # dedup on both paths for uniform set semantics under 60-bit
+        # hash collisions, as in the global maintainer
+        delta = quantile_grouped_sample(base, self.k) \
+            .dropDuplicates(["g", "h", "v"])
+        old = self.state.read()
+        merged = delta if old is None else quantile_grouped_sample(
+            old.unionByName(delta).dropDuplicates(["g", "h", "v"]), self.k
+        )
+        self.state.write_buckets(
+            merged, ["g", "h"], list(range(self.NUM_BUCKETS))
+        )
+
+    def sample(self) -> DataFrame | None:
+        return self.state.read()
+
+    def estimate(self, base: DataFrame, verify: bool = True) -> DataFrame:
+        from ..operators.relational import quantile_grouped_finalize
+
+        s = self.state.read()
+        if s is None:
+            raise ValueError("no batches ingested yet")
+        return quantile_grouped_finalize(base, s, verify)

@@ -172,3 +172,55 @@ def test_hll_grouped_incremental_equals_batch_and_replay_is_noop(
         hll_grouped_values(o.filter("o_orderkey % 3 = 1"))
     )
     assert hll.estimate(exact).collect() == want
+
+
+def test_cms_grouped_plan_and_invariants(spark):
+    """Grouped CMS: candidate selection must go through WindowGroupLimit
+    (bounded per-partition forwarding, the op_quantile_grouped shape),
+    every group emits exactly CMS_GROUP_TOP rows, and CMS never
+    underestimates (cms_est >= exact_cnt)."""
+    from incresql_spark.operators.text import CMS_GROUP_TOP, text_cms_grouped
+
+    df = text_cms_grouped(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    rows = df.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.g, []).append(r)
+        assert r.cms_est >= r.exact_cnt, (r.g, r.tok)
+        assert r.overestimate == r.cms_est - r.exact_cnt
+    assert all(len(v) == CMS_GROUP_TOP for v in by_g.values()), {
+        g: len(v) for g, v in by_g.items()
+    }
+
+
+def test_quantile_grouped_incremental_equals_batch_and_replay_is_noop(
+    spark, tmp_path
+):
+    """Three waves through IncrementalQuantileGrouped == the batch
+    grouped sketch over the union (per-group min-k-merge is exact); the
+    state never exceeds k rows per group; and REPLAYING a wave changes
+    nothing (min-k is idempotent)."""
+    from incresql_spark.operators.relational import (
+        QSK_GROUP_K,
+        load_table,
+        op_quantile_grouped,
+        quantile_grouped_base,
+    )
+    from incresql_spark.streaming.quantile_incremental import (
+        IncrementalQuantileGrouped,
+    )
+
+    o = load_table(spark, SF_SMALL, "orders")
+    q = IncrementalQuantileGrouped(spark, str(tmp_path / "state"))
+    for w in range(3):
+        q.add_batch(quantile_grouped_base(o.filter(f"o_orderkey % 3 = {w}")))
+    base = quantile_grouped_base(o)
+    got = q.estimate(base).collect()
+    want = op_quantile_grouped(spark, SF_SMALL).collect()
+    assert got == want
+    per_group = q.sample().groupBy("g").count().collect()
+    assert all(r["count"] <= QSK_GROUP_K for r in per_group)
+    q.add_batch(quantile_grouped_base(o.filter("o_orderkey % 3 = 1")))
+    assert q.estimate(base).collect() == want
