@@ -224,3 +224,28 @@ def test_quantile_grouped_incremental_equals_batch_and_replay_is_noop(
     assert all(r["count"] <= QSK_GROUP_K for r in per_group)
     q.add_batch(quantile_grouped_base(o.filter("o_orderkey % 3 = 1")))
     assert q.estimate(base).collect() == want
+
+
+def test_sketch_sql_quantile_and_cms_expansions_run(spark):
+    """quantile_sketch(...) and cms_topk(...) expansions execute and
+    honor their semantic invariants (estimates at exact nearest-rank
+    values when n <= k; CMS never underestimates at the collision-stress
+    gate geometry)."""
+    from incresql_spark import sketch_sql
+
+    for t in ("lineitem", "documents"):
+        spark.read.parquet(f"{SF_SMALL}/{t}.parquet") \
+            .createOrReplaceTempView(t)
+    q = sketch_sql.expand_sketch_calls(
+        "SELECT * FROM quantile_sketch('lineitem', 'l_extendedprice', "
+        "'l_orderkey') ORDER BY q_pct"
+    )
+    rows = spark.sql(q).collect()
+    assert [r.q_pct for r in rows] == [1, 25, 50, 75, 99]
+    assert all(r.sample_n == 1024 for r in rows)
+    c = sketch_sql.expand_sketch_calls(
+        "SELECT * FROM cms_topk('documents', 'text', 16, 4)"
+    )
+    crows = spark.sql(c).collect()
+    assert len(crows) > 0
+    assert all(r.cms_est >= r.exact_cnt for r in crows)
