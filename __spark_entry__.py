@@ -24,7 +24,7 @@ gated by a sibling (per-row rationale in _GATE_DEMOTED and
 _RELATIONAL_CORE).  Everything past the cap is equally
 oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
 registered queries locally value-hash-matched — the exact count is
-asserted against this docstring by tests/test_entry_gate.py: 121
+asserted against this docstring by tests/test_entry_gate.py: 122
 queries total; oracle output types are additionally linted — HUGEINT
 and DECIMAL rejected — after driver-only hash mismatches in rounds 2-4
 and 6-7).
@@ -223,8 +223,10 @@ _GATE_DEMOTED = (
     # driver evidence -> top promotion candidates for round 16):
     # op_hll_grouped and text_bm25_table flow to the tail via their
     # registries; op_hll_grouped_incremental is registry-listed in
-    # pipeline.py, so they are pinned here until their promotion.
+    # pipeline.py, so they are pinned here until their promotion —
+    # as is dedup_contamination_bloom (dedup registry, gate block).
     "op_hll_grouped_incremental", "op_quantile_grouped_incremental",
+    "dedup_contamination_bloom",
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated

@@ -854,6 +854,142 @@ ORDER BY train_doc_id
 """
 
 
+# --- Bloom-filter contamination screen (Bloom 1970, CACM 13(7)) -------------
+# dedup_contamination broadcasts the EVAL SET'S SHINGLES — fine while the
+# benchmark suite is small, but the broadcast grows with the eval corpus.
+# The Bloom screen broadcasts a fixed-size BIT SET instead: k md5-seeded
+# probe positions per shingle folded into m bits, so the executor-side
+# state is bounded at m bits NO MATTER how many eval shingles exist, and
+# bit sets OR-merge (idempotent/commutative — new eval docs just add
+# bits).  Bloom guarantees no false negatives, so the screen is a safe
+# pre-filter: every exact hit is a Bloom hit; the false-positive columns
+# measure the (tunable) overcount.  Everything is integer / membership
+# logic on the shared hash60, so the whole report value-hashes
+# cross-engine.
+BLOOM_M = 1 << 16   # bits
+BLOOM_K = 4         # probe hashes per shingle
+
+
+def _bloom_idx_spark() -> str:
+    h = hash60_spark_sql("concat(CAST(j AS STRING), '|', shingle)")
+    return f"({h} % {BLOOM_M})"
+
+
+def _bloom_idx_duck() -> str:
+    h = hash60_sql("'' || j || '|' || shingle")
+    return f"({h} % {BLOOM_M})"
+
+
+def dedup_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination screen through an m={BLOOM_M}, k={BLOOM_K} Bloom
+    filter of the eval set's shingles, with the exact overlap ride-along
+    (the gate shape) proving no-false-negatives row by row.
+
+    Plan shape: the eval pass folds its shingles into <= m distinct bit
+    indexes (ONE tiny aggregate, broadcast); the training corpus streams
+    past in one narrow pass — each (doc, shingle) is Bloom-positive when
+    ALL k of its probe bits are set.  The only corpus-side shuffle is the
+    per-doc aggregate, as in dedup_contamination — but the broadcast is
+    O(m) bits instead of O(|eval shingles|)."""
+    seeds = ", ".join(str(j) for j in range(BLOOM_K))
+    docsh = _doc_shingles(spark, sf_dir)
+    ev = (
+        docsh.filter(F.col("doc_id") < EVAL_SET_MAX_DOC)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    bits = (
+        ev.select("shingle",
+                  F.explode(F.expr(f"array({seeds})")).alias("j"))
+        .select(F.expr(_bloom_idx_spark()).alias("idx"))
+        .distinct()
+    )
+    tr = docsh.filter(F.col("doc_id") >= EVAL_SET_MAX_DOC).select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.explode("shingles").alias("shingle"),
+    )
+    probes = tr.select(
+        "train_doc_id", "shingle",
+        F.explode(F.expr(f"array({seeds})")).alias("j"),
+    ).withColumn("idx", F.expr(_bloom_idx_spark()))
+    bloom_hits = (
+        probes.join(F.broadcast(bits), "idx")
+        .groupBy("train_doc_id", "shingle")
+        .agg(F.count("*").alias("k_set"))
+        .filter(F.col("k_set") == BLOOM_K)
+        .groupBy("train_doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_bloom_hits"))
+    )
+    exact_hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_doc_id")
+        .agg(F.countDistinct("shingle").alias("n_exact_hits"))
+    )
+    return (
+        bloom_hits.join(exact_hits, "train_doc_id", "left")
+        .select(
+            "train_doc_id",
+            "n_bloom_hits",
+            F.coalesce("n_exact_hits", F.lit(0)).cast("bigint")
+            .alias("n_exact_hits"),
+            (F.col("n_bloom_hits")
+             - F.coalesce("n_exact_hits", F.lit(0)))
+            .cast("bigint").alias("n_false_positives"),
+        )
+        .orderBy("train_doc_id")
+    )
+
+
+dedup_contamination_bloom.__doc__ = dedup_contamination_bloom.__doc__ \
+    .replace("{BLOOM_M}", str(BLOOM_M)).replace("{BLOOM_K}", str(BLOOM_K))
+
+
+def _contamination_bloom_sql() -> str:
+    seeds = ", ".join(str(j) for j in range(BLOOM_K))
+    return f"""
+WITH docsh AS ({_DOC_SHINGLES_DUCK}),
+ev AS (
+  SELECT DISTINCT unnest(shingles) AS shingle
+  FROM docsh WHERE doc_id < {EVAL_SET_MAX_DOC}
+),
+bits AS (
+  SELECT DISTINCT {_bloom_idx_duck()} AS idx
+  FROM ev, unnest([{seeds}]) AS u(j)
+),
+tr AS (
+  SELECT doc_id AS train_doc_id, unnest(shingles) AS shingle
+  FROM docsh WHERE doc_id >= {EVAL_SET_MAX_DOC}
+),
+probes AS (
+  SELECT train_doc_id, shingle, u.j AS j, {_bloom_idx_duck()} AS idx
+  FROM tr, unnest([{seeds}]) AS u(j)
+),
+bloom_hits AS (
+  SELECT train_doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits FROM (
+    SELECT train_doc_id, shingle
+    FROM probes p JOIN bits b USING (idx)
+    GROUP BY train_doc_id, shingle
+    HAVING COUNT(*) = {BLOOM_K}
+  ) GROUP BY train_doc_id
+),
+exact_hits AS (
+  SELECT train_doc_id,
+         CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_exact_hits
+  FROM tr JOIN ev USING (shingle)
+  GROUP BY train_doc_id
+)
+SELECT b.train_doc_id, b.n_bloom_hits,
+       CAST(COALESCE(e.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+       CAST(b.n_bloom_hits - COALESCE(e.n_exact_hits, 0) AS BIGINT)
+         AS n_false_positives
+FROM bloom_hits b LEFT JOIN exact_hits e USING (train_doc_id)
+ORDER BY b.train_doc_id
+"""
+
+
+DEDUP_CONTAMINATION_BLOOM_SQL = _contamination_bloom_sql()
+
+
 def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-canonicalization dedup — the web-crawl staple: lowercase, drop the
     query string, strip a ``www.`` prefix and any trailing slash, then group.
@@ -1170,6 +1306,7 @@ QUERIES = {
     "dedup_contamination": dedup_contamination,
     "dedup_clusters": dedup_clusters,
     "dedup_substring_winnow": dedup_substring_winnow,
+    "dedup_contamination_bloom": dedup_contamination_bloom,
 }
 
 ORACLE = {
@@ -1183,6 +1320,7 @@ ORACLE = {
     "dedup_contamination": DEDUP_CONTAMINATION_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_substring_winnow": DEDUP_SUBSTRING_WINNOW_SQL,
+    "dedup_contamination_bloom": DEDUP_CONTAMINATION_BLOOM_SQL,
 }
 
 BENCH_QUERIES = {

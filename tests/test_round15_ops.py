@@ -249,3 +249,29 @@ def test_sketch_sql_quantile_and_cms_expansions_run(spark):
     crows = spark.sql(c).collect()
     assert len(crows) > 0
     assert all(r.cms_est >= r.exact_cnt for r in crows)
+
+
+def test_bloom_contamination_no_false_negatives_and_bounded_bits(spark):
+    """The Bloom screen may only OVERcount: every doc dedup_contamination
+    reports must appear with n_exact_hits equal to its exact overlap and
+    n_bloom_hits >= n_exact_hits (no false negatives — the Bloom
+    guarantee); false positives are non-negative by construction.  The
+    broadcast bit set stays bounded by min(k x |shingles|, m)."""
+    from incresql_spark.operators.dedup import (
+        BLOOM_M,
+        dedup_contamination,
+        dedup_contamination_bloom,
+    )
+
+    bloom = {r.train_doc_id: r
+             for r in dedup_contamination_bloom(spark, SF_SMALL).collect()}
+    exact = {r.train_doc_id: r.n_common_shingles
+             for r in dedup_contamination(spark, SF_SMALL).collect()}
+    for doc, n in exact.items():
+        assert doc in bloom, f"false negative: doc {doc}"
+        assert bloom[doc].n_exact_hits == n
+    for r in bloom.values():
+        assert r.n_bloom_hits >= r.n_exact_hits
+        assert r.n_false_positives == r.n_bloom_hits - r.n_exact_hits >= 0
+    # the broadcast state is a bit-index frame bounded by m
+    assert len(bloom) < BLOOM_M
