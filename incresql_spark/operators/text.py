@@ -2498,4 +2498,10 @@ BENCH_QUERIES = {
     # round 14 (VERDICT r13 task 3): the production CMS path — sketch at
     # w=2^20 + fixed-candidate point queries, no exact ride-along
     "text_cms_sketch_only": text_cms_sketch_only,
+    # round 15: the grouped CMS (per-lang heavy hitters) and the
+    # table-driven BM25 gate query — tracks the data-driven search path
+    # per round (disclosed in BASELINE.md; like-for-like totals exclude
+    # both when comparing to pre-r15 rounds)
+    "text_cms_grouped": text_cms_grouped,
+    "text_bm25_table": text_bm25_table,
 }

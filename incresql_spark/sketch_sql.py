@@ -14,6 +14,8 @@ optional geometry overrides):
 
     SELECT * FROM hll_distinct('lineitem', 'l_orderkey', 'l_partkey')
     SELECT * FROM hll_distinct('orders', 'o_custkey', 10)     -- p=10
+    SELECT * FROM hll_grouped('orders', 'o_orderpriority',
+                              'o_custkey')                    -- per-group
     SELECT * FROM quantile_sketch('lineitem', 'l_extendedprice',
                                   'l_orderkey')               -- k=1024
     SELECT * FROM cms_topk('documents', 'text')               -- w=2^20,d=4
@@ -35,7 +37,13 @@ from __future__ import annotations
 import re
 
 from .functions.hashing import hash60_spark_sql
-from .operators.relational import HLL_P, QSK_K, QSK_QS, _hll_spark
+from .operators.relational import (
+    HLL_GROUP_P,
+    HLL_P,
+    QSK_K,
+    QSK_QS,
+    _hll_spark,
+)
 from .operators.text import (
     CMS_BOTTOM,
     CMS_D,
@@ -47,8 +55,8 @@ from .operators.text import (
 )
 
 _SKETCH_CALL = re.compile(
-    r"\b(FROM|JOIN)\s+(hll_distinct|quantile_sketch|cms_topk)\s*"
-    r"\(([^()]*)\)",
+    r"\b(FROM|JOIN)\s+(hll_distinct|hll_grouped|quantile_sketch|cms_topk)"
+    r"\s*\(([^()]*)\)",
     re.IGNORECASE,
 )
 
@@ -81,34 +89,43 @@ def _parse_args(raw: str) -> list[str | int]:
     return args
 
 
-def hll_distinct_sql(table: str, columns: list[str], p: int = HLL_P) -> str:
-    """Production HLL (op_hll_distinct verify=False) as one Spark-SQL
-    subquery: nested selects instead of CTEs so the text embeds anywhere
-    a derived table can.  Columns: name, m, occupied, v_zero, s, raw_est,
-    used_lc, estimate, rse_ppm — the operator's own production schema."""
+def hll_distinct_sql(table: str, columns: list[str], p: int = HLL_P,
+                     group_col: str | None = None) -> str:
+    """Production HLL (op_hll_distinct / op_hll_grouped verify=False) as
+    one Spark-SQL subquery: nested selects instead of CTEs so the text
+    embeds anywhere a derived table can.  Columns: [g,] name, m,
+    occupied, v_zero, s, raw_est, used_lc, estimate, rse_ppm — the
+    operators' own production schema.  ``group_col`` turns the sketch
+    key into (group, column), the op_hll_grouped shape."""
     x = _hll_spark(p)
     m, r = x["m"], 61 - p
+    gsel = f"{group_col} AS g, " if group_col else ""
+    keys = "g, name" if group_col else "name"
     unions = " UNION ALL ".join(
-        f"SELECT '{c}' AS name, CAST({c} AS STRING) AS val FROM {table}"
+        f"SELECT {gsel}'{c}' AS name, CAST({c} AS STRING) AS val "
+        f"FROM {table}"
         for c in columns
     )
     rse = round(1.04 / m ** 0.5 * 1_000_000)
-    q = f"SELECT name, val FROM ({unions}) WHERE val IS NOT NULL"
-    q = (f"SELECT name, (h % {m}) AS j, CASE WHEN (h DIV {m}) = 0 THEN {r} "
+    q = f"SELECT {keys}, val FROM ({unions}) WHERE val IS NOT NULL"
+    q = (f"SELECT {keys}, (h % {m}) AS j, "
+         f"CASE WHEN (h DIV {m}) = 0 THEN {r} "
          f"ELSE CAST({r} - length(bin(h DIV {m})) AS INT) END AS rho "
-         f"FROM (SELECT name, {hash60_spark_sql('val')} AS h FROM ({q}))")
-    q = f"SELECT name, j, MAX(rho) AS mj FROM ({q}) GROUP BY name, j"
-    q = (f"SELECT name, CAST(COUNT(*) AS INT) AS occupied, "
-         f"SUM({x['term']}) AS s_occ FROM ({q}) GROUP BY name")
-    q = (f"SELECT name, occupied, {m} - occupied AS v_zero, "
+         f"FROM (SELECT {keys}, {hash60_spark_sql('val')} AS h "
+         f"FROM ({q}))")
+    q = (f"SELECT {keys}, j, MAX(rho) AS mj FROM ({q}) "
+         f"GROUP BY {keys}, j")
+    q = (f"SELECT {keys}, CAST(COUNT(*) AS INT) AS occupied, "
+         f"SUM({x['term']}) AS s_occ FROM ({q}) GROUP BY {keys}")
+    q = (f"SELECT {keys}, occupied, {m} - occupied AS v_zero, "
          f"CAST(s_occ + CAST({m} - occupied AS BIGINT) * {x['empty_term']} "
          f"AS BIGINT) AS s FROM ({q})")
-    q = (f"SELECT name, occupied, v_zero, s, {x['raw']} AS raw_est, "
+    q = (f"SELECT {keys}, occupied, v_zero, s, {x['raw']} AS raw_est, "
          f"{x['kv']} AS kv FROM ({q})")
     for col in ("z", "t", "ln_v", "used_lc"):
         q = f"SELECT *, {x[col]} AS {col} FROM ({q})"
     return (
-        f"SELECT name, {m} AS m, occupied, v_zero, s, raw_est, used_lc, "
+        f"SELECT {keys}, {m} AS m, occupied, v_zero, s, raw_est, used_lc, "
         f"CASE WHEN used_lc THEN {x['lc']} ELSE raw_est END AS estimate, "
         f"CAST({rse} AS BIGINT) AS rse_ppm FROM ({q})"
     )
@@ -192,6 +209,14 @@ def _expand_one(fn: str, args: list[str | int]) -> str:
             raise ValueError("hll_distinct('table', 'col'[, 'col'...][, p])")
         return hll_distinct_sql(strs[0], strs[1:],
                                 ints[0] if ints else HLL_P)
+    if fn == "hll_grouped":
+        if len(strs) < 3:
+            raise ValueError(
+                "hll_grouped('table', 'group_col', 'col'[, 'col'...][, p])"
+            )
+        return hll_distinct_sql(strs[0], strs[2:],
+                                ints[0] if ints else HLL_GROUP_P,
+                                group_col=strs[1])
     if fn == "quantile_sketch":
         if len(strs) != 3:
             raise ValueError(

@@ -275,3 +275,28 @@ def test_bloom_contamination_no_false_negatives_and_bounded_bits(spark):
         assert r.n_false_positives == r.n_bloom_hits - r.n_exact_hits >= 0
     # the broadcast state is a bit-index frame bounded by m
     assert len(bloom) < BLOOM_M
+
+
+def test_sketch_sql_grouped_surface_is_bit_equal_to_the_operator(spark):
+    """hll_grouped('orders', 'o_orderpriority', ...) must reproduce
+    op_hll_grouped's production rows byte-for-byte at the same
+    geometry."""
+    from incresql_spark import sketch_sql
+    from incresql_spark.operators.relational import (
+        HLL_GROUP_COLUMNS,
+        op_hll_grouped,
+    )
+
+    spark.read.parquet(f"{SF_SMALL}/orders.parquet") \
+        .createOrReplaceTempView("orders")
+    cols = ", ".join(f"'{c}'" for c in HLL_GROUP_COLUMNS)
+    q = sketch_sql.expand_sketch_calls(
+        "SELECT * FROM hll_grouped('orders', 'o_orderpriority', "
+        f"{cols}) ORDER BY g, name"
+    )
+    got = [tuple(r) for r in spark.sql(q).collect()]
+    want = [
+        tuple(r)
+        for r in op_hll_grouped(spark, SF_SMALL, verify=False).collect()
+    ]
+    assert got == want
