@@ -176,10 +176,11 @@ _GATE_DEMOTED = (
     # plan-class uniqueness (a row whose plan class has no currently-gated
     # sibling outranks one that has) and demote the longest-green rows
     # whose class keeps a gated sibling, documented per row as above.
-    # Round-15 candidates by this rule: the four round-14 newcomers
-    # (op_quantile_sketch, op_quantile_incremental, text_cms_incremental,
-    # op_quantile_grouped) have ZERO driver evidence and outrank every
-    # staleness candidate; the staleest tail rows behind them are
+    # Round-16 candidates by this rule: the six round-15 newcomers
+    # (op_hll_grouped, text_bm25_table, op_hll_grouped_incremental,
+    # text_cms_grouped, op_quantile_grouped_incremental,
+    # dedup_contamination_bloom) have ZERO driver evidence and outrank
+    # every staleness candidate; the staleest tail rows behind them are
     # sim_label_centroids (r5), mm_resize (r5), dedup_simhash (r8),
     # mm_frame_sample (r8), sim_kmeans (r8), sim_topk_cosine (r8).
     # Round-14 rotation (VERDICT r13 task 1): the six round-13 newcomers
