@@ -1578,6 +1578,11 @@ def op_hll_grouped(
 ) -> DataFrame:
     """Per-o_orderpriority deterministic HLL distinct counts over two
     orders columns spanning both HLL regimes (see the block comment).
+    The reference's only grouping machinery is HashGroup
+    (executor/src/point_in_time/hash_group.rs:15-107) and its aggregate
+    library stops at count/sum/avg (functions/src/aggregate/) — this is
+    the cardinality analog of that grouping at 100 TB, a north-star
+    addition rather than a parity row.
 
     Plan shape: one narrow explode to (g, name, val), one hash aggregate
     on (g, name, register) — map-side partial max caps what any task
