@@ -14,17 +14,18 @@ queries (mv_q3_incremental inner, mv_q13_incremental left-outer — round
 9), and a rotating head of the text suite.  Slots ROTATE each round so
 long-unverified queries gain driver evidence (the round-6/7 DECIMAL
 lesson: a fetch-path mismatch can be invisible to every local check).
-Round 15 promoted the five round-14 newcomers (op_quantile_sketch,
-op_quantile_grouped, op_kmv_set_ops, op_quantile_incremental,
-text_cms_incremental) — zero driver-fetch evidence outranks every
-staleness candidate under the post-burn-down policy — and demoted
-tpch_q15, text_ccnet_bucket, op_percentiles, op_time_window and
-op_rolling_window, each long driver-green with its mechanism still
+Round 16 promoted the six round-15 newcomers (op_hll_grouped,
+text_bm25_table, op_hll_grouped_incremental, text_cms_grouped,
+op_quantile_grouped_incremental, dedup_contamination_bloom) — zero
+driver-fetch evidence outranks every staleness candidate under the
+post-burn-down policy — and demoted op_cube, op_pivot,
+op_full_outer_join, op_retention_cohorts, op_histogram and
+dedup_contamination, each long driver-green with its mechanism still
 gated by a sibling (per-row rationale in _GATE_DEMOTED and
 _RELATIONAL_CORE).  Everything past the cap is equally
 oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
 registered queries locally value-hash-matched — the exact count is
-asserted against this docstring by tests/test_entry_gate.py: 122
+asserted against this docstring by tests/test_entry_gate.py: 124
 queries total; oracle output types are additionally linted — HUGEINT
 and DECIMAL rejected — after driver-only hash mismatches in rounds 2-4
 and 6-7).
@@ -65,9 +66,17 @@ _RELATIONAL_CORE = (
     # Round 12 (burn-down schedule, VERDICT r11 task 1): the six cheapest
     # never-driver-fetched rows — CUBE/GROUPING SETS/PIVOT rollup shapes,
     # full-outer NULL-padding both sides, cohort retention (self-join over
-    # time buckets) and equi-width histogramming.
-    "op_cube", "op_grouping_sets", "op_pivot", "op_full_outer_join",
-    "op_retention_cohorts", "op_histogram",
+    # time buckets) and equi-width histogramming.  Round 16 rotates five
+    # of the six back to the tail after 4 driver-green rounds each,
+    # keeping op_grouping_sets as the class representative (CUBE and
+    # PIVOT are sugar over the same grouping-sets expansion + conditional
+    # agg, whose CASE-agg leg tpch_q14 also gates; op_full_outer_join's
+    # NULL-pad-both-sides is gated by mv_q13_incremental's left-outer pad
+    # + tpch_q21's multi-join; op_retention_cohorts' time-bucket self-join
+    # by op_asof_join/op_range_join + events_sessionize; op_histogram's
+    # equi-width bucket agg by op_quantile_grouped's distribution report
+    # and text_sample_temperature's integer bucketing).
+    "op_grouping_sets",
     # Round 13 (final burn-down slot, VERDICT r12 task 1): Pearson
     # correlation over integer sums — the last never-driver relational row.
     "op_corr",
@@ -88,6 +97,10 @@ _RELATIONAL_CORE = (
     # 100 TB path), time-bucket aggregation by events_sessionize +
     # op_histogram, rolling frames by op_window_functions.
     "op_quantile_sketch", "op_quantile_grouped", "op_kmv_set_ops",
+    # Round 16 (VERDICT r15 task 1): the grouped HLL sketch — one of the
+    # six round-15 newcomers, all promoted on the zero-driver-evidence
+    # rule (DOUBLE estimate column, the rounds-6/7 fetch-mismatch class).
+    "op_hll_grouped",
 )
 
 
@@ -176,13 +189,14 @@ _GATE_DEMOTED = (
     # plan-class uniqueness (a row whose plan class has no currently-gated
     # sibling outranks one that has) and demote the longest-green rows
     # whose class keeps a gated sibling, documented per row as above.
-    # Round-16 candidates by this rule: the six round-15 newcomers
-    # (op_hll_grouped, text_bm25_table, op_hll_grouped_incremental,
-    # text_cms_grouped, op_quantile_grouped_incremental,
-    # dedup_contamination_bloom) have ZERO driver evidence and outrank
-    # every staleness candidate; the staleest tail rows behind them are
-    # sim_label_centroids (r5), mm_resize (r5), dedup_simhash (r8),
-    # mm_frame_sample (r8), sim_kmeans (r8), sim_topk_cosine (r8).
+    # Round-16 rotation executed (VERDICT r15 task 1): the six round-15
+    # newcomers entered the gate.  Round-17 candidates by this rule: the
+    # two round-16 newcomers (dedup_contamination_bloom_only,
+    # dedup_contamination_bloom_incremental) have ZERO driver evidence
+    # and outrank every staleness candidate; the staleest tail rows
+    # behind them are sim_label_centroids (r5), mm_resize (r5),
+    # dedup_simhash (r8), mm_frame_sample (r8), sim_kmeans (r8),
+    # sim_topk_cosine (r8).
     # Round-14 rotation (VERDICT r13 task 1): the six round-13 newcomers
     # (op_hll_distinct, op_hll_incremental, text_cms_heavyhitters,
     # text_gopher_quality, text_bm25_search, sim_quantize_int8) enter the
@@ -220,14 +234,27 @@ _GATE_DEMOTED = (
     # (5 rounds each; rationale in the _RELATIONAL_CORE note — these
     # rotate out of the whitelist rather than being pinned here).
     "tpch_q15",
-    # Round-15 NEW rows start in the tail like every newcomer (zero
-    # driver evidence -> top promotion candidates for round 16):
-    # op_hll_grouped and text_bm25_table flow to the tail via their
-    # registries; op_hll_grouped_incremental is registry-listed in
-    # pipeline.py, so they are pinned here until their promotion —
-    # as is dedup_contamination_bloom (dedup registry, gate block).
-    "op_hll_grouped_incremental", "op_quantile_grouped_incremental",
-    "dedup_contamination_bloom",
+    # Round-16 rotation (VERDICT r15 task 1): the six round-15 newcomers
+    # enter the gate (their round-15 tail pins are removed — the grouped
+    # maintainers and dedup_contamination_bloom now flow into the gate
+    # via the pipeline/dedup registries; op_hll_grouped enters via
+    # _RELATIONAL_CORE, text_bm25_table / text_cms_grouped via
+    # _GATE_TEXT).  Demoted to make room: five of the six round-12
+    # burn-down relational rows rotate out of the _RELATIONAL_CORE
+    # whitelist (rationale there), and dedup_contamination (15 rounds
+    # driver-green) rotates here — the incoming dedup_contamination_bloom
+    # gate shape carries the SAME broadcast-screen pipeline with the
+    # exact-overlap ride-along as verification, so the mechanism stays
+    # gated with strictly more coverage (bloom + exact in one row).
+    "dedup_contamination",
+    # Round-16 NEW rows start in the tail like every newcomer (zero
+    # driver evidence -> top promotion candidates for round 17):
+    # dedup_contamination_bloom_only (the production O(m)-broadcast
+    # screen, bench row) and dedup_contamination_bloom_incremental (the
+    # OR-merge eval-set maintainer) are registry-listed in dedup.py /
+    # pipeline.py gate blocks, so they are pinned here until promotion.
+    "dedup_contamination_bloom_only",
+    "dedup_contamination_bloom_incremental",
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated
@@ -255,6 +282,10 @@ _GATE_TEXT = (
     # Count-Min heavy-hitter sketch — all zero-driver-evidence promotions
     # (text_lm_score and text_oov rotate to the tail, see _GATE_DEMOTED).
     "text_gopher_quality", "text_bm25_search", "text_cms_heavyhitters",
+    # Round 16 (VERDICT r15 task 1): the two round-15 text newcomers —
+    # the table-driven BM25 gate query (workload-as-data through the
+    # production search path) and the per-group CMS heavy-hitter report.
+    "text_bm25_table", "text_cms_grouped",
 )
 
 

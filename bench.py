@@ -133,8 +133,12 @@ def main() -> None:
                 continue
             try:
                 con.sql(sql).fetchall()  # warm-up: footers + plan cache
-            except duckdb.Error:
-                continue  # table absent from a custom SF_DIR — skip
+            except duckdb.CatalogException as exc:
+                # table absent from a custom SF_DIR — skip, attributably
+                # (r15 advice: a blanket duckdb.Error here made a genuinely
+                # broken oracle silently vanish from the duck/ratio rows)
+                print(f"# bench: duck skip {name}: {exc}", file=sys.stderr)
+                continue
             t0 = time.time()
             con.sql(sql).fetchall()
             duck[name] = round(time.time() - t0, 4)

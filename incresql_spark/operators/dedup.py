@@ -880,39 +880,33 @@ def _bloom_idx_duck() -> str:
     return f"({h} % {BLOOM_M})"
 
 
-def dedup_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contamination screen through an m={BLOOM_M}, k={BLOOM_K} Bloom
-    filter of the eval set's shingles, with the exact overlap ride-along
-    (the gate shape) proving no-false-negatives row by row.
-
-    Plan shape: the eval pass folds its shingles into <= m distinct bit
-    indexes (ONE tiny aggregate, broadcast); the training corpus streams
-    past in one narrow pass — each (doc, shingle) is Bloom-positive when
-    ALL k of its probe bits are set.  The only corpus-side shuffle is the
-    per-doc aggregate, as in dedup_contamination — but the broadcast is
-    O(m) bits instead of O(|eval shingles|)."""
+def bloom_bits(ev: DataFrame) -> DataFrame:
+    """Eval-shingle frame (column ``shingle``, need not be distinct) ->
+    the m={BLOOM_M}-bit set as a distinct ``idx`` frame (<= m rows).
+    Shared by the batch screen and the incremental maintainer
+    (streaming/bloom_incremental.py) so maintained bits come from the
+    exact code path the batch operator uses; bit sets OR-merge, which on
+    this representation is just union + distinct."""
     seeds = ", ".join(str(j) for j in range(BLOOM_K))
-    docsh = _doc_shingles(spark, sf_dir)
-    ev = (
-        docsh.filter(F.col("doc_id") < EVAL_SET_MAX_DOC)
-        .select(F.explode("shingles").alias("shingle"))
-        .distinct()
-    )
-    bits = (
+    return (
         ev.select("shingle",
                   F.explode(F.expr(f"array({seeds})")).alias("j"))
         .select(F.expr(_bloom_idx_spark()).alias("idx"))
         .distinct()
     )
-    tr = docsh.filter(F.col("doc_id") >= EVAL_SET_MAX_DOC).select(
-        F.col("doc_id").alias("train_doc_id"),
-        F.explode("shingles").alias("shingle"),
-    )
+
+
+def bloom_screen(tr: DataFrame, bits: DataFrame) -> DataFrame:
+    """Training (train_doc_id, shingle) frame x bit set -> per-doc Bloom
+    hit counts (train_doc_id, n_bloom_hits).  The bits frame broadcasts
+    (<= m rows); a (doc, shingle) is Bloom-positive when ALL k of its
+    probe positions are set."""
+    seeds = ", ".join(str(j) for j in range(BLOOM_K))
     probes = tr.select(
         "train_doc_id", "shingle",
         F.explode(F.expr(f"array({seeds})")).alias("j"),
     ).withColumn("idx", F.expr(_bloom_idx_spark()))
-    bloom_hits = (
+    return (
         probes.join(F.broadcast(bits), "idx")
         .groupBy("train_doc_id", "shingle")
         .agg(F.count("*").alias("k_set"))
@@ -920,6 +914,46 @@ def dedup_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc_id")
         .agg(F.count("*").cast("bigint").alias("n_bloom_hits"))
     )
+
+
+bloom_bits.__doc__ = bloom_bits.__doc__.replace("{BLOOM_M}", str(BLOOM_M))
+
+
+def dedup_contamination_bloom(
+    spark: SparkSession, sf_dir: str, verify: bool = True,
+    bits: DataFrame | None = None,
+) -> DataFrame:
+    """Contamination screen through an m={BLOOM_M}, k={BLOOM_K} Bloom
+    filter of the eval set's shingles, with the exact overlap ride-along
+    (the gate shape) proving no-false-negatives row by row.
+    ``verify=False`` (dedup_contamination_bloom_only, the bench row) is
+    the production path: ONLY the O(m)-bit broadcast screen — the exact
+    O(|eval shingles|) broadcast the screen exists to replace never
+    appears in its plan.  ``bits`` injects an externally maintained bit
+    set (the incremental maintainer's gate query); None computes it from
+    the eval docs via ``bloom_bits``, the same code path.
+
+    Plan shape: the eval pass folds its shingles into <= m distinct bit
+    indexes (ONE tiny aggregate, broadcast); the training corpus streams
+    past in one narrow pass — each (doc, shingle) is Bloom-positive when
+    ALL k of its probe bits are set.  The only corpus-side shuffle is the
+    per-doc aggregate, as in dedup_contamination — but the broadcast is
+    O(m) bits instead of O(|eval shingles|)."""
+    docsh = _doc_shingles(spark, sf_dir)
+    ev = (
+        docsh.filter(F.col("doc_id") < EVAL_SET_MAX_DOC)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    if bits is None:
+        bits = bloom_bits(ev)
+    tr = docsh.filter(F.col("doc_id") >= EVAL_SET_MAX_DOC).select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.explode("shingles").alias("shingle"),
+    )
+    bloom_hits = bloom_screen(tr, bits)
+    if not verify:
+        return bloom_hits.orderBy("train_doc_id")
     exact_hits = (
         tr.join(F.broadcast(ev), "shingle")
         .groupBy("train_doc_id")
@@ -988,6 +1022,49 @@ ORDER BY b.train_doc_id
 
 
 DEDUP_CONTAMINATION_BLOOM_SQL = _contamination_bloom_sql()
+
+
+def dedup_contamination_bloom_only(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION Bloom screen (r15 verdict task 4): verify=False — the
+    O(m)-bit broadcast path alone, no exact-overlap ride-along, so the
+    bench tracks the shape a 100 TB decontamination job actually runs.
+    Columns: train_doc_id, n_bloom_hits."""
+    return dedup_contamination_bloom(spark, sf_dir, verify=False)
+
+
+def _contamination_bloom_only_sql() -> str:
+    seeds = ", ".join(str(j) for j in range(BLOOM_K))
+    return f"""
+WITH docsh AS ({_DOC_SHINGLES_DUCK}),
+ev AS (
+  SELECT DISTINCT unnest(shingles) AS shingle
+  FROM docsh WHERE doc_id < {EVAL_SET_MAX_DOC}
+),
+bits AS (
+  SELECT DISTINCT {_bloom_idx_duck()} AS idx
+  FROM ev, unnest([{seeds}]) AS u(j)
+),
+tr AS (
+  SELECT doc_id AS train_doc_id, unnest(shingles) AS shingle
+  FROM docsh WHERE doc_id >= {EVAL_SET_MAX_DOC}
+),
+probes AS (
+  SELECT train_doc_id, shingle, u.j AS j, {_bloom_idx_duck()} AS idx
+  FROM tr, unnest([{seeds}]) AS u(j)
+)
+SELECT train_doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits FROM (
+  SELECT train_doc_id, shingle
+  FROM probes p JOIN bits b USING (idx)
+  GROUP BY train_doc_id, shingle
+  HAVING COUNT(*) = {BLOOM_K}
+) GROUP BY train_doc_id
+ORDER BY train_doc_id
+"""
+
+
+DEDUP_CONTAMINATION_BLOOM_ONLY_SQL = _contamination_bloom_only_sql()
 
 
 def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1307,6 +1384,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_substring_winnow": dedup_substring_winnow,
     "dedup_contamination_bloom": dedup_contamination_bloom,
+    "dedup_contamination_bloom_only": dedup_contamination_bloom_only,
 }
 
 ORACLE = {
@@ -1321,10 +1399,12 @@ ORACLE = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_substring_winnow": DEDUP_SUBSTRING_WINNOW_SQL,
     "dedup_contamination_bloom": DEDUP_CONTAMINATION_BLOOM_SQL,
+    "dedup_contamination_bloom_only": DEDUP_CONTAMINATION_BLOOM_ONLY_SQL,
 }
 
 BENCH_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_exact": dedup_exact,
     "dedup_passages": dedup_passages,
+    "dedup_contamination_bloom_only": dedup_contamination_bloom_only,
 }

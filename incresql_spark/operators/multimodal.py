@@ -109,7 +109,14 @@ def decode_image(payload: bytes, fmt: str, fake: bool = False) -> np.ndarray:
     code change."""
     if not fake:
         if payload[:2] == b"P6":
-            return _decode_ppm_p6(payload)
+            try:
+                return _decode_ppm_p6(payload)
+            except ValueError:
+                # a P6 variant the native decoder rejects (e.g. 16-bit
+                # maxval 65535) falls through to Pillow, which handles
+                # them — raising here would regress Pillow-equipped
+                # deployments that decoded them before (r15 advice #4)
+                pass
         try:
             import io
 

@@ -31,6 +31,7 @@ from ..catalog import load_table
 from .dedup import (
     _DOC_SHINGLES_DUCK,
     _doc_shingles,
+    DEDUP_CONTAMINATION_BLOOM_SQL,
     DEDUP_EMBEDDING_SQL,
     DEDUP_MINHASH_LSH_SQL,
     DEDUP_PASSAGES_SQL,
@@ -888,6 +889,50 @@ def op_hll_grouped_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def dedup_contamination_bloom_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Bloom contamination-screen maintainer driven end-to-end as a
+    gate query (round 16, completing the maintainer matrix): the EVAL
+    corpus arrives in THREE waves (split on doc_id % 3) through
+    ``IncrementalBloom`` — per wave the delta's bits OR-merge into the
+    m-bit AggState (union + distinct on <= m idx rows; bits only ever
+    get ADDED, so no-false-negatives holds wave by wave).  Because the
+    merge is exact, the maintained bit set after the waves EQUALS the
+    batch ``bloom_bits`` over the full eval set, so screening the
+    training corpus with it reproduces ``dedup_contamination_bloom``
+    (the gate shape, exact ride-along included) row for row — which is
+    what the DuckDB oracle recomputes from scratch."""
+    import shutil
+    import tempfile
+
+    from .dedup import (
+        EVAL_SET_MAX_DOC,
+        _doc_shingles,
+        dedup_contamination_bloom,
+    )
+    from ..streaming.bloom_incremental import IncrementalBloom
+
+    root = tempfile.mkdtemp(prefix="incr_bloom_")
+    try:
+        ev_docs = _doc_shingles(spark, sf_dir).filter(
+            F.col("doc_id") < EVAL_SET_MAX_DOC
+        )
+        bloom = IncrementalBloom(spark, f"{root}/state")
+        for w in range(3):
+            bloom.add_eval_batch(
+                ev_docs.filter(f"doc_id % 3 = {w}")
+                .select(F.explode("shingles").alias("shingle"))
+            )
+        out = dedup_contamination_bloom(spark, sf_dir, verify=True,
+                                        bits=bloom.bits())
+        # materialize before the state dir is deleted (the plan reads the
+        # AggState parquet lazily)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 QUERIES = {
     "pipeline_curate": pipeline_curate,
     "pipeline_pretrain": pipeline_pretrain,
@@ -902,6 +947,8 @@ QUERIES = {
     "op_quantile_incremental": op_quantile_incremental,
     "op_hll_grouped_incremental": op_hll_grouped_incremental,
     "op_quantile_grouped_incremental": op_quantile_grouped_incremental,
+    "dedup_contamination_bloom_incremental":
+        dedup_contamination_bloom_incremental,
 }
 ORACLE = {
     "pipeline_curate": PIPELINE_CURATE_SQL,
@@ -930,6 +977,10 @@ ORACLE = {
     # per-group min-k-merge is exact, so the maintained grouped sample
     # equals the batch op_quantile_grouped — batch oracle = incremental
     "op_quantile_grouped_incremental": OP_QUANTILE_GROUPED_SQL,
+    # bit sets OR-merge exactly (union + distinct on idx), so the
+    # maintained screen after the eval waves equals the batch Bloom
+    # screen over the full eval set — batch oracle = incremental
+    "dedup_contamination_bloom_incremental": DEDUP_CONTAMINATION_BLOOM_SQL,
 }
 
 # Round 11 (VERDICT r10 task 7): the incremental-maintainer hot path gets

@@ -18,7 +18,11 @@ optional geometry overrides):
                               'o_custkey')                    -- per-group
     SELECT * FROM quantile_sketch('lineitem', 'l_extendedprice',
                                   'l_orderkey')               -- k=1024
+    SELECT * FROM quantile_grouped('orders', 'o_orderpriority',
+                                   'o_totalprice', 'o_orderkey')
     SELECT * FROM cms_topk('documents', 'text')               -- w=2^20,d=4
+    SELECT * FROM cms_grouped('documents', 'lang', 'text')    -- per-group
+    SELECT * FROM bloom_screen('documents', 'doc_id', 'text', 20)
 
 Each expansion is the PRODUCTION sketch path — no exact ride-along
 columns (the full-key shuffle the sketch exists to avoid never appears
@@ -36,10 +40,19 @@ from __future__ import annotations
 
 import re
 
+from .dialect import mask_literals, unmask_literals
 from .functions.hashing import hash60_spark_sql
+from .operators.dedup import (
+    BLOOM_K,
+    BLOOM_M,
+    SHINGLES_SPARK,
+    _bloom_idx_spark,
+)
 from .operators.relational import (
     HLL_GROUP_P,
     HLL_P,
+    QSK_GROUP_K,
+    QSK_GROUP_QS,
     QSK_K,
     QSK_QS,
     _hll_spark,
@@ -47,16 +60,39 @@ from .operators.relational import (
 from .operators.text import (
     CMS_BOTTOM,
     CMS_D,
+    CMS_GROUP_TOP,
     CMS_PROD_W,
     CMS_TOP,
+    CMS_W,
     TOKENS_SPARK,
     _cms_bucket_spark,
     _cms_seeds,
 )
 
+_SKETCH_FNS = (
+    "hll_distinct", "hll_grouped", "quantile_sketch", "cms_topk",
+    "cms_grouped", "quantile_grouped", "bloom_screen",
+)
+#: cheap pre-check so the hot statement path pays one scan, no masking
+_SKETCH_NAME = re.compile(
+    r"\b(" + "|".join(_SKETCH_FNS) + r")\s*\(", re.IGNORECASE
+)
+#: words that may follow a derived table WITHOUT being its alias — the
+#: optional alias capture below must not swallow them
+_NOT_ALIAS = (
+    "WHERE|GROUP|ORDER|LIMIT|HAVING|UNION|JOIN|LEFT|RIGHT|FULL|INNER|"
+    "CROSS|ON|USING|NATURAL|SEMI|ANTI|EXCEPT|INTERSECT|WINDOW|QUALIFY"
+)
+#: matched against literal-MASKED text (dialect.mask_literals), so a
+#: sketch-call-shaped fragment inside a string literal can never match —
+#: the same false-positive class _qualify masks against (r15 advice #1).
+#: Group 4 captures a user-written alias (``FROM hll_distinct(...) a``,
+#: possibly a masked backtick identifier) so the expansion reuses it
+#: instead of stacking a second generated alias after it.
 _SKETCH_CALL = re.compile(
-    r"\b(FROM|JOIN)\s+(hll_distinct|hll_grouped|quantile_sketch|cms_topk)"
-    r"\s*\(([^()]*)\)",
+    r"\b(FROM|JOIN)\s+(" + "|".join(_SKETCH_FNS) + r")\s*\(([^()]*)\)"
+    r"(?:\s+(?:AS\s+)?(?!(?:" + _NOT_ALIAS + r")\b)"
+    r"(\x00\d+\x00|[A-Za-z_][A-Za-z0-9_]*))?",
     re.IGNORECASE,
 )
 
@@ -136,28 +172,157 @@ def quantile_sketch_sql(table: str, value_col: str, key_col: str,
     """Production bottom-k quantile sketch (op_quantile_sketch
     verify=False) as one Spark-SQL subquery.  Columns: q_pct, n,
     sample_n, est_value (raw data values — the operator's no-arithmetic
-    estimate).  The sample subquery appears twice, so the generated plan
-    scans the table three times (sample x2 + count) — the DataFrame
-    operator remains the single-pass production path; this surface
-    trades a rescan for pure-SQL embeddability."""
+    estimate).  The sample subquery appears exactly ONCE (r15 verdict
+    task 3: the old expansion embedded it twice and rescanned the table):
+    sample_n and the selection rank both come from windows over the
+    already-limited <=k-row sample, so the generated plan scans the
+    table twice total — once for the sample's TakeOrderedAndProject,
+    once for the exact row count (which no sample can supply)."""
     base = (f"SELECT {value_col} AS v, "
             f"{hash60_spark_sql(f'CAST({key_col} AS STRING)')} AS h "
             f"FROM {table} WHERE {value_col} IS NOT NULL")
     samp = f"SELECT v, h FROM ({base}) ORDER BY h ASC, v ASC LIMIT {k}"
+    ranked = (
+        "SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC, h ASC) AS rs, "
+        f"CAST(COUNT(*) OVER () AS BIGINT) AS sample_n FROM ({samp})"
+    )
     qs = ", ".join(str(q) for q in QSK_QS)
     return (
-        "SELECT qf.q_pct, qf.n, qf.sample_n, sr.v AS est_value FROM ("
-        "SELECT t.n, s.sample_n, q.q_pct, "
-        "(q.q_pct * s.sample_n + 99) DIV 100 AS r_s "
-        f"FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ({base})) t "
-        f"CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS sample_n "
-        f"FROM ({samp})) s "
-        f"CROSS JOIN (SELECT explode(array({qs})) AS q_pct) q"
-        ") qf JOIN ("
-        "SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC, h ASC) AS rs "
-        f"FROM ({samp})"
-        ") sr ON sr.rs = qf.r_s ORDER BY qf.q_pct"
+        "SELECT q.q_pct, t.n, sr.sample_n, sr.v AS est_value "
+        f"FROM ({ranked}) sr "
+        f"JOIN (SELECT explode(array({qs})) AS q_pct) q "
+        "ON sr.rs = (q.q_pct * sr.sample_n + 99) DIV 100 "
+        f"CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ({base})) t "
+        "ORDER BY q.q_pct"
     )
+
+
+def quantile_grouped_sql(table: str, group_col: str, value_col: str,
+                         key_col: str, k: int = QSK_GROUP_K) -> str:
+    """Production GROUPED bottom-k quantile sketch (op_quantile_grouped
+    verify=False, relational.py:1988) as one Spark-SQL subquery.
+    Columns: g, q_pct, n, sample_n, est_value.  The per-group sample is
+    a row_number-over-(g; h) filter — Spark rewrites it through
+    WindowGroupLimit, the operator's own bounded-forwarding shape — and
+    appears ONCE; per-group n comes from a separate grouped count (the
+    one thing the sample cannot supply)."""
+    base = (f"SELECT {group_col} AS g, {value_col} AS v, "
+            f"{hash60_spark_sql(f'CAST({key_col} AS STRING)')} AS h "
+            f"FROM {table} WHERE {value_col} IS NOT NULL")
+    samp = (
+        "SELECT g, v, h FROM (SELECT g, v, h, ROW_NUMBER() OVER "
+        "(PARTITION BY g ORDER BY h ASC, v ASC) AS rh "
+        f"FROM ({base})) WHERE rh <= {k}"
+    )
+    ranked = (
+        "SELECT g, v, ROW_NUMBER() OVER "
+        "(PARTITION BY g ORDER BY v ASC, h ASC) AS rs, "
+        "CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS sample_n "
+        f"FROM ({samp})"
+    )
+    qs = ", ".join(str(q) for q in QSK_GROUP_QS)
+    return (
+        "SELECT sr.g, q.q_pct, t.n, sr.sample_n, sr.v AS est_value "
+        f"FROM ({ranked}) sr "
+        f"JOIN (SELECT explode(array({qs})) AS q_pct) q "
+        "ON sr.rs = (q.q_pct * sr.sample_n + 99) DIV 100 "
+        f"JOIN (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM ({base}) "
+        "GROUP BY g) t ON t.g = sr.g "
+        "ORDER BY sr.g, q.q_pct"
+    )
+
+
+def cms_grouped_sql(table: str, group_col: str, text_col: str,
+                    width: int = CMS_W, depth: int = CMS_D) -> str:
+    """Per-group CMS heavy-hitter report (text_cms_grouped's shape,
+    text.py:2344) as one Spark-SQL subquery.  Columns: g, tok,
+    exact_cnt, cms_est, overestimate.  Candidate selection is a
+    row_number window per group (WindowGroupLimit — at most
+    {CMS_GROUP_TOP} x |groups| rows forwarded per partition), probed
+    against the per-group d x w counter sketch."""
+    toks_expr = TOKENS_SPARK.replace("(text)", f"({text_col})") \
+        if text_col != "text" else TOKENS_SPARK
+    toks = (f"SELECT {group_col} AS g, explode({toks_expr}) AS tok "
+            f"FROM {table}")
+    seeds = _cms_seeds(depth)
+    bucket = _cms_bucket_spark(width)
+    sketch = (
+        f"SELECT g, i, b, CAST(COUNT(*) AS BIGINT) AS c FROM ("
+        f"SELECT g, i, {bucket} AS b FROM ("
+        f"SELECT g, tok, explode(array({seeds})) AS i FROM ({toks})"
+        f")) GROUP BY g, i, b"
+    )
+    exact = (f"SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt "
+             f"FROM ({toks}) GROUP BY g, tok")
+    cands = (
+        "SELECT g, tok, exact_cnt FROM (SELECT g, tok, exact_cnt, "
+        "ROW_NUMBER() OVER (PARTITION BY g "
+        "ORDER BY exact_cnt DESC, tok ASC) AS rk "
+        f"FROM ({exact})) WHERE rk <= {CMS_GROUP_TOP}"
+    )
+    probes = (
+        f"SELECT g, tok, exact_cnt, i, {bucket} AS b FROM ("
+        f"SELECT g, tok, exact_cnt, explode(array({seeds})) AS i "
+        f"FROM ({cands}))"
+    )
+    return (
+        "SELECT g, tok, exact_cnt, cms_est, "
+        "cms_est - exact_cnt AS overestimate FROM ("
+        "SELECT p.g, p.tok, p.exact_cnt, MIN(s.c) AS cms_est "
+        f"FROM ({probes}) p JOIN ({sketch}) s "
+        "ON p.g = s.g AND p.i = s.i AND p.b = s.b "
+        "GROUP BY p.g, p.tok, p.exact_cnt"
+        ") ORDER BY g, exact_cnt DESC, tok ASC"
+    )
+
+
+cms_grouped_sql.__doc__ = cms_grouped_sql.__doc__.replace(
+    "{CMS_GROUP_TOP}", str(CMS_GROUP_TOP)
+)
+
+
+def bloom_screen_sql(table: str, id_col: str, text_col: str,
+                     split: int) -> str:
+    """Production Bloom contamination screen (dedup_contamination_bloom's
+    verify=False path, dedup.py:883) as one Spark-SQL subquery.
+    Columns: train_doc_id, n_bloom_hits.  Docs with ``id < split`` play
+    the eval set; their shingles fold into the m={BLOOM_M}-bit / k=
+    {BLOOM_K}-probe bit set (<= m distinct idx rows — AQE broadcasts
+    it); the training corpus streams past in one narrow pass.  No exact
+    ride-along — the O(|eval shingles|) broadcast the screen exists to
+    avoid never appears in the generated plan."""
+    toks_expr = TOKENS_SPARK.replace("(text)", f"({text_col})") \
+        if text_col != "text" else TOKENS_SPARK
+    shingles = SHINGLES_SPARK
+    docsh = (
+        f"SELECT doc_id, shingles FROM ("
+        f"SELECT doc_id, array_distinct({shingles}) AS shingles FROM ("
+        f"SELECT {id_col} AS doc_id, {toks_expr} AS tokens FROM {table} "
+        f"WHERE size({toks_expr}) >= 3))"
+    )
+    seeds = ", ".join(str(j) for j in range(BLOOM_K))
+    idx = _bloom_idx_spark()  # the operator's own probe expression
+    ev = (f"SELECT DISTINCT shingle FROM (SELECT explode(shingles) AS "
+          f"shingle FROM ({docsh}) WHERE doc_id < {split})")
+    bits = (f"SELECT DISTINCT {idx} AS idx FROM ("
+            f"SELECT shingle, explode(array({seeds})) AS j FROM ({ev}))")
+    tr = (f"SELECT doc_id AS train_doc_id, explode(shingles) AS shingle "
+          f"FROM ({docsh}) WHERE doc_id >= {split}")
+    probes = (f"SELECT train_doc_id, shingle, {idx} AS idx FROM ("
+              f"SELECT train_doc_id, shingle, "
+              f"explode(array({seeds})) AS j FROM ({tr}))")
+    return (
+        "SELECT train_doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits "
+        "FROM ("
+        "SELECT train_doc_id, shingle "
+        f"FROM ({probes}) p JOIN ({bits}) b ON p.idx = b.idx "
+        f"GROUP BY train_doc_id, shingle HAVING COUNT(*) = {BLOOM_K}"
+        ") GROUP BY train_doc_id ORDER BY train_doc_id"
+    )
+
+
+bloom_screen_sql.__doc__ = bloom_screen_sql.__doc__ \
+    .replace("{BLOOM_M}", str(BLOOM_M)).replace("{BLOOM_K}", str(BLOOM_K))
 
 
 def cms_topk_sql(table: str, text_col: str, width: int = CMS_PROD_W,
@@ -229,6 +394,28 @@ def _expand_one(fn: str, args: list[str | int]) -> str:
         w = ints[0] if ints else CMS_PROD_W
         d = ints[1] if len(ints) > 1 else CMS_D
         return cms_topk_sql(strs[0], strs[1], w, d)
+    if fn == "cms_grouped":
+        if len(strs) != 3:
+            raise ValueError(
+                "cms_grouped('table', 'group_col', 'text_col'[, w[, d]])"
+            )
+        w = ints[0] if ints else CMS_W
+        d = ints[1] if len(ints) > 1 else CMS_D
+        return cms_grouped_sql(strs[0], strs[1], strs[2], w, d)
+    if fn == "quantile_grouped":
+        if len(strs) != 4:
+            raise ValueError(
+                "quantile_grouped('table', 'group_col', 'value_col', "
+                "'key_col'[, k])"
+            )
+        return quantile_grouped_sql(*strs,
+                                    ints[0] if ints else QSK_GROUP_K)
+    if fn == "bloom_screen":
+        if len(strs) != 3 or not ints:
+            raise ValueError(
+                "bloom_screen('table', 'id_col', 'text_col', split)"
+            )
+        return bloom_screen_sql(strs[0], strs[1], strs[2], ints[0])
     raise ValueError(f"unknown sketch table function {fn!r}")
 
 
@@ -237,11 +424,29 @@ def expand_sketch_calls(sql: str) -> str:
     derived table.  Runs before the engine qualifies table names, so the
     emitted ``FROM <table>`` resolves through the catalog normally.  A
     no-op (same object) when no sketch call is present, which keeps the
-    hot statement path regex-cheap."""
+    hot statement path regex-cheap.
+
+    Matching runs on literal-MASKED text (the _qualify discipline), so a
+    sketch-call-shaped fragment inside a string literal — e.g. ``WHERE c
+    = '... FROM hll_distinct(''a'')'`` — passes through untouched, and
+    each substitution gets a unique derived-table alias (``hll_distinct_t1``,
+    ``hll_distinct_t2``...) so the same function can appear twice in one
+    FROM clause (r15 advice #1/#2)."""
+    if not _SKETCH_NAME.search(sql):
+        return sql
+    masked, stash = mask_literals(sql)
+    n_subs = 0
 
     def sub(m: re.Match) -> str:
+        nonlocal n_subs
         fn = m.group(2).lower()
-        body = _expand_one(fn, _parse_args(m.group(3)))
-        return f"{m.group(1)} ({body}) {fn}_t"
+        body = _expand_one(fn, _parse_args(unmask_literals(m.group(3),
+                                                           stash)))
+        n_subs += 1
+        alias = m.group(4) or f"{fn}_t{n_subs}"
+        return f"{m.group(1)} ({body}) {alias}"
 
-    return _SKETCH_CALL.sub(sub, sql)
+    out = _SKETCH_CALL.sub(sub, masked)
+    if not n_subs:
+        return sql
+    return unmask_literals(out, stash)

@@ -2,9 +2,9 @@
 ``__spark_entry__.queries()`` — registration order IS the gate.  Pin the
 composition so a refactor cannot silently rotate queries in or out of
 driver evidence; a deliberate rotation updates this list in the same
-commit (round-15 composition — the five round-14 sketch newcomers
-promoted on the zero-driver-evidence rule; demotion rationale per row
-in __spark_entry__._GATE_DEMOTED and _RELATIONAL_CORE)."""
+commit (round-16 composition — the six round-15 newcomers promoted on
+the zero-driver-evidence rule; demotion rationale per row in
+__spark_entry__._GATE_DEMOTED and _RELATIONAL_CORE)."""
 
 from __future__ import annotations
 
@@ -12,13 +12,13 @@ GATE_50 = [
     "tpch_q7", "tpch_q14", "tpch_q18", "tpch_q21",
     "op_asof_join", "op_range_join", "op_window_functions",
     "op_salted_join",
-    "op_cube", "op_grouping_sets", "op_pivot", "op_full_outer_join",
-    "op_retention_cohorts", "op_histogram", "op_corr",
+    "op_grouping_sets", "op_corr",
     "op_hll_distinct",
     "op_quantile_sketch", "op_quantile_grouped", "op_kmv_set_ops",
+    "op_hll_grouped",
     "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_embedding",
-    "dedup_contamination", "dedup_clusters",
+    "dedup_clusters", "dedup_contamination_bloom",
     "sim_ann_ivf", "sim_quantize_int8",
     "mm_image_phash",
     "events_sessionize", "pipeline_curate",
@@ -26,11 +26,13 @@ GATE_50 = [
     "dedup_passages_incremental", "dedup_embedding_incremental",
     "dedup_canonical", "op_hll_incremental",
     "text_cms_incremental", "op_quantile_incremental",
+    "op_hll_grouped_incremental", "op_quantile_grouped_incremental",
     "text_stats", "text_repetition",
     "text_sample_temperature",
     "text_pack_sequences", "text_chunk_overlap", "text_mix_sources",
     "text_bpe_tokenize", "text_boilerplate",
     "text_gopher_quality", "text_bm25_search", "text_cms_heavyhitters",
+    "text_bm25_table", "text_cms_grouped",
 ]
 
 
@@ -46,7 +48,7 @@ def test_gate_composition_is_pinned():
     # conscious omission, currently none)
     osql = m.oracle_sql()
     assert [k for k in qs if k not in osql] == []
-    assert len(qs) == len(set(qs)) == 122
+    assert len(qs) == len(set(qs)) == 124
 
 
 def test_docstring_query_count_matches_registry():
