@@ -2144,6 +2144,21 @@ CMS_PROD_W = 1 << 20   # production default width (see cms_sketch)
 CMS_TOP, CMS_BOTTOM = 15, 5
 
 
+def cms_bounds(width: int, depth: int) -> tuple[int, int]:
+    """Textbook CMS guarantee (Cormode & Muthukrishnan 2005, Thm 1):
+    with probability >= 1 - delta, cms_est <= exact_cnt + eps * N where
+    eps = e/w and delta = e^-d.  Returned as integer parts-per-million /
+    parts-per-billion literals — Python-computed and embedded identically
+    in the Spark plan and the DuckDB oracle, the HLL/KMV rse_ppm
+    treatment (relational.py:1486) applied to the last estimator family
+    (r15 verdict task 5), so every CMS row is self-describing about its
+    error envelope."""
+    import math
+
+    return (round(math.e / width * 1_000_000),
+            round(math.exp(-depth) * 1_000_000_000))
+
+
 def _cms_seeds(depth: int) -> str:
     return ", ".join(str(i) for i in range(depth))
 
@@ -2252,10 +2267,13 @@ def cms_heavyhitter_report(sketch: DataFrame, toks: DataFrame,
     ).limit(CMS_BOTTOM)
     cands = cands_top.unionByName(cands_bot).distinct()
     est = cms_probe(sketch, cands, width, depth)
+    eps_ppm, delta_ppb = cms_bounds(width, depth)
     return (
         est.select(
             "tok", "exact_cnt", "cms_est",
             (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+            F.lit(eps_ppm).cast("bigint").alias("eps_ppm"),
+            F.lit(delta_ppb).cast("bigint").alias("delta_ppb"),
         )
         .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
     )
@@ -2282,11 +2300,21 @@ def text_cms_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = spark.createDataFrame(
         [(t,) for t in _BM25_TERMS], ["tok"]
     )
-    return cms_probe(sketch, cands, CMS_PROD_W, CMS_D).orderBy("tok")
+    eps_ppm, delta_ppb = cms_bounds(CMS_PROD_W, CMS_D)
+    return (
+        cms_probe(sketch, cands, CMS_PROD_W, CMS_D)
+        .select(
+            "*",
+            F.lit(eps_ppm).cast("bigint").alias("eps_ppm"),
+            F.lit(delta_ppb).cast("bigint").alias("delta_ppb"),
+        )
+        .orderBy("tok")
+    )
 
 
 def _cms_sql() -> str:
     seeds, bucket = _cms_seeds(CMS_D), _cms_bucket_duck(CMS_W)
+    eps_ppm, delta_ppb = cms_bounds(CMS_W, CMS_D)
     return f"""
 WITH toks AS (
   SELECT unnest(tokens) AS tok
@@ -2320,7 +2348,9 @@ est AS (
   FROM probes p JOIN sketch s ON s.i = p.i AND s.b = p.b
   GROUP BY p.tok, p.exact_cnt
 )
-SELECT tok, exact_cnt, cms_est, cms_est - exact_cnt AS overestimate
+SELECT tok, exact_cnt, cms_est, cms_est - exact_cnt AS overestimate,
+       CAST({eps_ppm} AS BIGINT) AS eps_ppm,
+       CAST({delta_ppb} AS BIGINT) AS delta_ppb
 FROM est
 ORDER BY exact_cnt DESC, tok ASC
 """
@@ -2381,9 +2411,12 @@ def text_cms_grouped(
     est = probes.join(sketch, ["g", "i", "b"]).groupBy(
         "g", "tok", "exact_cnt"
     ).agg(F.min("c").alias("cms_est"))
+    eps_ppm, delta_ppb = cms_bounds(width, depth)
     return est.select(
         "g", "tok", "exact_cnt", "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        F.lit(eps_ppm).cast("bigint").alias("eps_ppm"),
+        F.lit(delta_ppb).cast("bigint").alias("delta_ppb"),
     ).orderBy("g", F.col("exact_cnt").desc(), F.col("tok").asc())
 
 
@@ -2394,6 +2427,7 @@ text_cms_grouped.__doc__ = text_cms_grouped.__doc__.replace(
 
 def _cms_grouped_sql() -> str:
     seeds, bucket = _cms_seeds(CMS_D), _cms_bucket_duck(CMS_W)
+    eps_ppm, delta_ppb = cms_bounds(CMS_W, CMS_D)
     return f"""
 WITH toks AS (
   SELECT g, unnest(tokens) AS tok
@@ -2428,7 +2462,9 @@ est AS (
   GROUP BY p.g, p.tok, p.exact_cnt
 )
 SELECT g, tok, exact_cnt, cms_est,
-       cms_est - exact_cnt AS overestimate
+       cms_est - exact_cnt AS overestimate,
+       CAST({eps_ppm} AS BIGINT) AS eps_ppm,
+       CAST({delta_ppb} AS BIGINT) AS delta_ppb
 FROM est
 ORDER BY g, exact_cnt DESC, tok ASC
 """

@@ -67,6 +67,7 @@ from .operators.text import (
     TOKENS_SPARK,
     _cms_bucket_spark,
     _cms_seeds,
+    cms_bounds,
 )
 
 _SKETCH_FNS = (
@@ -265,9 +266,12 @@ def cms_grouped_sql(table: str, group_col: str, text_col: str,
         f"SELECT g, tok, exact_cnt, explode(array({seeds})) AS i "
         f"FROM ({cands}))"
     )
+    eps_ppm, delta_ppb = cms_bounds(width, depth)
     return (
         "SELECT g, tok, exact_cnt, cms_est, "
-        "cms_est - exact_cnt AS overestimate FROM ("
+        "cms_est - exact_cnt AS overestimate, "
+        f"CAST({eps_ppm} AS BIGINT) AS eps_ppm, "
+        f"CAST({delta_ppb} AS BIGINT) AS delta_ppb FROM ("
         "SELECT p.g, p.tok, p.exact_cnt, MIN(s.c) AS cms_est "
         f"FROM ({probes}) p JOIN ({sketch}) s "
         "ON p.g = s.g AND p.i = s.i AND p.b = s.b "
@@ -356,9 +360,11 @@ def cms_topk_sql(table: str, text_col: str, width: int = CMS_PROD_W,
         f"SELECT tok, exact_cnt, i, {bucket} AS b FROM ({cands}) "
         f"CROSS JOIN (SELECT explode(array({seeds})) AS i)"
     )
+    eps_ppm, delta_ppb = cms_bounds(width, depth)
     return (
         f"SELECT tok, exact_cnt, cms_est, cms_est - exact_cnt AS "
-        f"overestimate FROM ("
+        f"overestimate, CAST({eps_ppm} AS BIGINT) AS eps_ppm, "
+        f"CAST({delta_ppb} AS BIGINT) AS delta_ppb FROM ("
         f"SELECT p.tok, p.exact_cnt, MIN(COALESCE(s.c, 0)) AS cms_est "
         f"FROM ({probes}) p LEFT JOIN ({sketch}) s "
         f"ON p.i = s.i AND p.b = s.b GROUP BY p.tok, p.exact_cnt"

@@ -369,4 +369,16 @@ def test_sketch_table_function_over_the_wire(server):
     by_q = {r[0]: r for r in rows2}
     assert by_q["50"][1] == "40" and by_q["50"][2] == "19"
     assert by_q["99"][2] == "39"
+    # round-16 grouped surface: per-group quantile sketch over the wire
+    cols3, rows3 = c.query(
+        "SELECT g, q_pct, n, est_value "
+        "FROM quantile_grouped('sk', 'a', 'v', 'v') ORDER BY g, q_pct"
+    )
+    assert cols3 == ["g", "q_pct", "n", "est_value"]
+    # 7 groups x 3 percentiles; every group's sample is its exact data
+    # (6 rows/group < k=256), so the p50 estimate is the group's
+    # nearest-rank value — group 0 holds {0,7,14,21,28,35}, p50 -> 14
+    assert len(rows3) == 21
+    by_gq = {(r[0], r[1]): r for r in rows3}
+    assert by_gq[("0", "50")][3] == "14"
     c.close()
