@@ -480,12 +480,22 @@ class MaterializedView:
         exprs = [F.expr(arg).alias(alias) for _, arg, alias in self.items]
         return df.select(*exprs, F.col(FREQ))
 
-    def _delta_agg(self, df: DataFrame) -> DataFrame:
-        """Aggregate a signed-freq delta into per-group state deltas."""
+    def _delta_agg(self, df: DataFrame, with_rows: bool = False) -> DataFrame:
+        """Aggregate a signed-freq delta into per-group state deltas.
+
+        ``with_rows=True`` rides a ``__nrows`` = count(*) column along so
+        the refresh can learn the delta's physical row count from the SAME
+        job that aggregates it — the old shape persisted the raw delta and
+        spent a full count() pass on it first (r15 verdict task 7: that
+        extra pass was ~1.2s of the ~3.5s steady-state join-MV wave at
+        sf0.1).  ``__nrows`` is refresh-local — callers drop it before the
+        state merge, so on-disk state schema is unchanged."""
         if self.where:
             df = df.filter(self.where)
         keys = [k.strip() for k in (self.group_by or "").split(",") if k.strip()]
         aggs = [F.sum(F.col(FREQ)).alias("__cnt")]
+        if with_rows:
+            aggs.append(F.count(F.lit(1)).alias("__nrows"))
         for kind, arg, alias in self.items:
             if kind == "key":
                 continue
@@ -534,11 +544,23 @@ class MaterializedView:
         if now <= since:
             return 0
         delta = self.base.delta(since, now)
-        n = delta.count()
-        if n:
-            if self.is_aggregate:
-                self._merge_agg(self._delta_agg(delta), cursor={"cursor": now})
-            else:
+        if self.is_aggregate:
+            # fused materialization (r15 verdict task 7): the delta scan
+            # and the per-group aggregation run in ONE job — the row count
+            # rides along as __nrows instead of costing a separate full
+            # count() pass over the raw delta
+            delta_state = self._delta_agg(delta, with_rows=True).persist()
+            try:
+                n = (delta_state.agg(F.sum("__nrows")).collect()[0][0]
+                     or 0)
+                if n:
+                    self._merge_agg(delta_state.drop("__nrows"),
+                                    cursor={"cursor": now})
+            finally:
+                delta_state.unpersist()
+        else:
+            n = delta.count()
+            if n:
                 self.state.create(
                     self._apply_linear(delta).drop(FREQ).schema
                 ) if not self.state.exists() else None
@@ -1076,18 +1098,24 @@ class AggregateJoinMaterializedView(MaterializedView):
                 self._save_meta({"seqs": news})
                 return 0
             delta_join = delta.withColumnRenamed("__f", FREQ)
-            # cached across the count and the aggregate merge — the join
-            # terms are the expensive part of a refresh and must run
-            # exactly once
-            delta_join = delta_join.persist()
+            # fused materialization (r15 verdict task 7): the N-way join
+            # delta — the expensive part of a refresh — and the per-group
+            # aggregation run in ONE job, with the row count riding along
+            # as __nrows.  The old shape persisted the raw join and spent
+            # a full count() pass on it before aggregating: measured
+            # ~1.2s of the ~3.5s steady-state wave at sf0.1, i.e. the
+            # join ran once for the count and the agg then re-read the
+            # cache; now only the (tiny, per-group) aggregate is cached.
+            delta_state = self._delta_agg(delta_join,
+                                          with_rows=True).persist()
             try:
-                n = delta_join.count()
+                n = (delta_state.agg(F.sum("__nrows")).collect()[0][0]
+                     or 0)
                 if n:
-                    self._merge_agg(
-                        self._delta_agg(delta_join), cursor={"cursor": news}
-                    )
+                    self._merge_agg(delta_state.drop("__nrows"),
+                                    cursor={"cursor": news})
             finally:
-                delta_join.unpersist()
+                delta_state.unpersist()
         finally:
             for p in pinned:
                 p.unpersist()
