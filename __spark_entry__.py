@@ -25,7 +25,7 @@ gated by a sibling (per-row rationale in _GATE_DEMOTED and
 _RELATIONAL_CORE).  Everything past the cap is equally
 oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
 registered queries locally value-hash-matched — the exact count is
-asserted against this docstring by tests/test_entry_gate.py: 124
+asserted against this docstring by tests/test_entry_gate.py: 125
 queries total; oracle output types are additionally linted — HUGEINT
 and DECIMAL rejected — after driver-only hash mismatches in rounds 2-4
 and 6-7).
@@ -191,12 +191,12 @@ _GATE_DEMOTED = (
     # whose class keeps a gated sibling, documented per row as above.
     # Round-16 rotation executed (VERDICT r15 task 1): the six round-15
     # newcomers entered the gate.  Round-17 candidates by this rule: the
-    # two round-16 newcomers (dedup_contamination_bloom_only,
-    # dedup_contamination_bloom_incremental) have ZERO driver evidence
-    # and outrank every staleness candidate; the staleest tail rows
-    # behind them are sim_label_centroids (r5), mm_resize (r5),
-    # dedup_simhash (r8), mm_frame_sample (r8), sim_kmeans (r8),
-    # sim_topk_cosine (r8).
+    # three round-16 newcomers (dedup_contamination_bloom_only,
+    # dedup_contamination_bloom_incremental,
+    # text_cms_grouped_incremental) have ZERO driver evidence and
+    # outrank every staleness candidate; the staleest tail rows behind
+    # them are sim_label_centroids (r5), mm_resize (r5), dedup_simhash
+    # (r8), mm_frame_sample (r8), sim_kmeans (r8), sim_topk_cosine (r8).
     # Round-14 rotation (VERDICT r13 task 1): the six round-13 newcomers
     # (op_hll_distinct, op_hll_incremental, text_cms_heavyhitters,
     # text_gopher_quality, text_bm25_search, sim_quantize_int8) enter the
@@ -250,11 +250,14 @@ _GATE_DEMOTED = (
     # Round-16 NEW rows start in the tail like every newcomer (zero
     # driver evidence -> top promotion candidates for round 17):
     # dedup_contamination_bloom_only (the production O(m)-broadcast
-    # screen, bench row) and dedup_contamination_bloom_incremental (the
-    # OR-merge eval-set maintainer) are registry-listed in dedup.py /
-    # pipeline.py gate blocks, so they are pinned here until promotion.
+    # screen, bench row), dedup_contamination_bloom_incremental (the
+    # OR-merge eval-set maintainer) and text_cms_grouped_incremental
+    # (the grouped CMS sum-merge maintainer) are registry-listed in
+    # dedup.py / pipeline.py gate blocks, so they are pinned here until
+    # promotion.
     "dedup_contamination_bloom_only",
     "dedup_contamination_bloom_incremental",
+    "text_cms_grouped_incremental",
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated

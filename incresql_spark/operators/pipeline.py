@@ -43,7 +43,8 @@ from .relational import (
     OP_QUANTILE_GROUPED_SQL,
     OP_QUANTILE_SKETCH_SQL,
 )
-from .text import (STOPWORDS, TEXT_CMS_HEAVYHITTERS_SQL, TOKENS_DUCK,
+from .text import (STOPWORDS, TEXT_CMS_GROUPED_SQL,
+                   TEXT_CMS_HEAVYHITTERS_SQL, TOKENS_DUCK,
                    TOKENS_SPARK, _sql_list)
 
 #: quality gate: floor on token count and on the stopword (fluency) ratio
@@ -889,6 +890,54 @@ def op_hll_grouped_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def text_cms_grouped_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GROUPED CMS maintainer driven end-to-end as a gate query
+    (round 16, filling the grouped-incremental matrix's last open cell):
+    documents arrive in THREE waves (split on doc_id % 3) through
+    ``IncrementalCms`` with keys=("g",) — per wave the delta's (g, i, b)
+    counters (computed by the batch operator's own cms_grouped_sketch)
+    sum-merge into the AggState, state bounded at |groups| x d x
+    min(w, |vocab|) counter rows, each wave O(|delta| + state).  Because
+    counters sum-merge exactly over disjoint deltas, the maintained
+    sketch after the waves EQUALS the batch sketch over the full corpus,
+    so the verification report is byte-identical to ``text_cms_grouped``
+    — whose DuckDB oracle recomputes everything from scratch.  Gate
+    geometry (w=16 collision stress) to match that oracle; sum-merge is
+    NOT idempotent, so the maintainer relies on AggState's exactly-once
+    manifest (the flat text_cms_incremental's documented contract)."""
+    import shutil
+    import tempfile
+
+    from .text import (
+        CMS_D,
+        CMS_W,
+        cms_grouped_report,
+        cms_grouped_sketch,
+        cms_grouped_tokens,
+    )
+    from ..streaming.cms_incremental import IncrementalCms
+
+    root = tempfile.mkdtemp(prefix="incr_cmsg_")
+    try:
+        d = load_table(spark, sf_dir, "documents")
+        cms = IncrementalCms(spark, f"{root}/state", width=CMS_W,
+                             depth=CMS_D, keys=("g",))
+        for w in range(3):
+            cms.add_batch_counters(cms_grouped_sketch(
+                cms_grouped_tokens(d.filter(f"doc_id % 3 = {w}")),
+                CMS_W, CMS_D,
+            ))
+        out = cms_grouped_report(cms.sketch(), cms_grouped_tokens(d),
+                                 CMS_W, CMS_D)
+        # materialize before the state dir is deleted (the plan reads the
+        # AggState parquet lazily)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def dedup_contamination_bloom_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -949,6 +998,7 @@ QUERIES = {
     "op_quantile_grouped_incremental": op_quantile_grouped_incremental,
     "dedup_contamination_bloom_incremental":
         dedup_contamination_bloom_incremental,
+    "text_cms_grouped_incremental": text_cms_grouped_incremental,
 }
 ORACLE = {
     "pipeline_curate": PIPELINE_CURATE_SQL,
@@ -981,6 +1031,10 @@ ORACLE = {
     # maintained screen after the eval waves equals the batch Bloom
     # screen over the full eval set — batch oracle = incremental
     "dedup_contamination_bloom_incremental": DEDUP_CONTAMINATION_BLOOM_SQL,
+    # per-(g, i, b) counters sum-merge exactly over disjoint deltas, so
+    # the maintained grouped sketch equals the batch text_cms_grouped —
+    # batch oracle = incremental (the family pattern)
+    "text_cms_grouped_incremental": TEXT_CMS_GROUPED_SQL,
 }
 
 # Round 11 (VERDICT r10 task 7): the incremental-maintainer hot path gets

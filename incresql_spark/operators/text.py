@@ -2371,28 +2371,41 @@ TEXT_CMS_HEAVYHITTERS_SQL = _cms_sql()
 CMS_GROUP_TOP = 5
 
 
-def text_cms_grouped(
-    spark: SparkSession, sf_dir: str,
-    width: int = CMS_W, depth: int = CMS_D,
-) -> DataFrame:
-    """Per-lang CMS frequency estimates for each language's top-
-    {CMS_GROUP_TOP} tokens.  Candidate selection is a row_number window
-    per group — Spark rewrites it through WindowGroupLimit, so every
-    partition forwards at most {CMS_GROUP_TOP} x |groups| candidate rows
-    (the op_quantile_grouped shape); gate geometry w=16 keeps the
-    collision-stress property of the flat operator."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+def cms_grouped_tokens(docs: DataFrame) -> DataFrame:
+    """The shared (g, tok) stream the grouped sketch and its verification
+    both consume — shared with the incremental maintainer so maintained
+    counters come from the exact same code path."""
+    return docs.select(
         F.col("lang").alias("g"),
         F.explode(F.expr(TOKENS_SPARK)).alias("tok"),
     )
+
+
+def cms_grouped_sketch(toks: DataFrame, width: int = CMS_W,
+                       depth: int = CMS_D) -> DataFrame:
+    """The per-group d x w counter frame (g, i, b, c) — counters are
+    ADDITIVE per (g, i, b) key, so sketches of disjoint batches sum-merge
+    exactly (the grouped maintainer's basis); the exchange is bounded at
+    |groups| x d x w counter rows per task via map-side partials."""
     seeds = _cms_seeds(depth)
     pairs = toks.select(
         "g", "tok", F.explode(F.expr(f"array({seeds})")).alias("i")
     ).withColumn("b", F.expr(_cms_bucket_spark(width)))
-    sketch = pairs.groupBy("g", "i", "b").agg(
+    return pairs.groupBy("g", "i", "b").agg(
         F.count("*").cast("bigint").alias("c")
     )
+
+
+def cms_grouped_report(sketch: DataFrame, toks: DataFrame,
+                       width: int = CMS_W,
+                       depth: int = CMS_D) -> DataFrame:
+    """Verification shaping shared by the batch operator and the
+    incremental maintainer's gate query: exact per-(g, tok) counts pick
+    each group's top-{CMS_GROUP_TOP} candidates through a row_number
+    window Spark rewrites to WindowGroupLimit (at most
+    {CMS_GROUP_TOP} x |groups| rows forwarded per partition), each
+    probed against the per-group ``sketch``."""
+    seeds = _cms_seeds(depth)
     exact = toks.groupBy("g", "tok").agg(
         F.count("*").cast("bigint").alias("exact_cnt")
     )
@@ -2420,7 +2433,25 @@ def text_cms_grouped(
     ).orderBy("g", F.col("exact_cnt").desc(), F.col("tok").asc())
 
 
+def text_cms_grouped(
+    spark: SparkSession, sf_dir: str,
+    width: int = CMS_W, depth: int = CMS_D,
+) -> DataFrame:
+    """Per-lang CMS frequency estimates for each language's top-
+    {CMS_GROUP_TOP} tokens.  Candidate selection is a row_number window
+    per group — Spark rewrites it through WindowGroupLimit, so every
+    partition forwards at most {CMS_GROUP_TOP} x |groups| candidate rows
+    (the op_quantile_grouped shape); gate geometry w=16 keeps the
+    collision-stress property of the flat operator."""
+    toks = cms_grouped_tokens(load_table(spark, sf_dir, "documents"))
+    return cms_grouped_report(cms_grouped_sketch(toks, width, depth),
+                              toks, width, depth)
+
+
 text_cms_grouped.__doc__ = text_cms_grouped.__doc__.replace(
+    "{CMS_GROUP_TOP}", str(CMS_GROUP_TOP)
+)
+cms_grouped_report.__doc__ = cms_grouped_report.__doc__.replace(
     "{CMS_GROUP_TOP}", str(CMS_GROUP_TOP)
 )
 

@@ -47,35 +47,44 @@ from ..operators.text import CMS_D, CMS_PROD_W, cms_probe, cms_sketch
 class IncrementalCms:
     """Materialized CMS counter state + per-batch sum-merge.
 
-    ``state_dir`` holds one AggState keyed (i, b).  ``add_batch(toks)``
-    sum-merges the batch's counters; ``estimate(cands)`` probes the
-    current state for a candidate frame (a ``tok`` column, extra columns
-    ride through).  Geometry is fixed at construction — merging sketches
-    of different geometries is meaningless."""
+    ``state_dir`` holds one AggState keyed (*keys, i, b).
+    ``add_batch(toks)`` sum-merges a flat token batch's counters;
+    ``add_batch_counters(delta)`` takes any pre-sketched (*keys, i, b, c)
+    frame — the GROUPED maintainer's entrypoint (keys=("g",), round 16:
+    the delta comes from text.cms_grouped_sketch, the batch operator's
+    own code path).  ``estimate(cands)`` probes the current state for a
+    candidate frame (a ``tok`` column, extra columns ride through).
+    Geometry and keys are fixed at construction — merging sketches of
+    different shapes is meaningless."""
 
     NUM_BUCKETS = 4
 
     def __init__(self, spark: SparkSession, state_dir: str,
                  width: int = CMS_PROD_W, depth: int = CMS_D,
-                 fence: bool = False):
+                 fence: bool = False, keys: tuple[str, ...] = ()):
         self.spark = spark
         self.width = width
         self.depth = depth
+        self.keys = list(keys)
         self.state = AggState(spark, state_dir, num_buckets=self.NUM_BUCKETS)
         if fence:
             self.state.acquire_writer_fence()
 
     def add_batch(self, toks: DataFrame) -> None:
-        """Sum-merge the batch's counters into the maintained state."""
-        delta = cms_sketch(toks, self.width, self.depth)
+        """Sum-merge a flat token batch's counters into the state."""
+        self.add_batch_counters(cms_sketch(toks, self.width, self.depth))
+
+    def add_batch_counters(self, delta: DataFrame) -> None:
+        """Sum-merge any (*keys, i, b, c) counter frame into the state."""
+        key_cols = self.keys + ["i", "b"]
         old = self.state.read()
         merged = delta if old is None else (
             old.unionByName(delta)
-            .groupBy("i", "b")
+            .groupBy(*key_cols)
             .agg(F.sum("c").cast("bigint").alias("c"))
         )
         self.state.write_buckets(
-            merged, ["i", "b"], list(range(self.NUM_BUCKETS))
+            merged, key_cols, list(range(self.NUM_BUCKETS))
         )
 
     def sketch(self) -> DataFrame | None:

@@ -127,6 +127,39 @@ def test_cms_error_bound_columns(spark):
                for r in prod)
 
 
+def test_cms_grouped_incremental_equals_batch_and_state_bounded(
+    spark, tmp_path
+):
+    """Three waves through IncrementalCms(keys=("g",)) == the batch
+    grouped sketch over the union (per-(g, i, b) counter sum-merge is
+    exact over disjoint deltas); the state never exceeds
+    |groups| x d x w counter rows."""
+    from incresql_spark.operators.text import (
+        CMS_D,
+        CMS_W,
+        cms_grouped_report,
+        cms_grouped_sketch,
+        cms_grouped_tokens,
+        text_cms_grouped,
+    )
+    from incresql_spark.streaming.cms_incremental import IncrementalCms
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    cms = IncrementalCms(spark, str(tmp_path / "state"), width=CMS_W,
+                         depth=CMS_D, keys=("g",))
+    for w in range(3):
+        cms.add_batch_counters(cms_grouped_sketch(
+            cms_grouped_tokens(docs.filter(f"doc_id % 3 = {w}")),
+            CMS_W, CMS_D,
+        ))
+    got = cms_grouped_report(cms.sketch(), cms_grouped_tokens(docs),
+                             CMS_W, CMS_D).collect()
+    want = text_cms_grouped(spark, SF_SMALL).collect()
+    assert got == want
+    n_groups = docs.select("lang").distinct().count()
+    assert cms.sketch().count() <= n_groups * CMS_D * CMS_W
+
+
 def test_sketch_sql_masked_literals_and_aliases(spark):
     """A sketch-call-shaped fragment inside a STRING LITERAL passes
     through untouched (expansion runs on literal-masked text); the same
