@@ -277,11 +277,18 @@ class AggState:
         ]
 
     # -- read -----------------------------------------------------------------
-    def read(self) -> DataFrame | None:
+    def read(self, schema=None) -> DataFrame | None:
+        """All live state rows (None if empty).  ``schema``: callers that
+        KNOW the state schema (the sketch maintainers — their delta frame
+        is written by the same code path) pass it to skip parquet footer
+        inference, the read_buckets treatment (r15 verdict task 7)."""
         m = self._load_manifest()
         if m is None or not m["buckets"]:
             return None
-        return self.spark.read.parquet(*self._bucket_paths(m))
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*self._bucket_paths(m))
 
     def read_buckets(self, buckets: list[int],
                      schema=None) -> DataFrame | None:

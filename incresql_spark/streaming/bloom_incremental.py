@@ -68,7 +68,9 @@ class IncrementalBloom:
         """OR-merge an eval batch's bits into the state.  ``ev`` is any
         frame with a ``shingle`` column (need not be distinct)."""
         delta = bloom_bits(ev)
-        old = self.state.read()
+        # the state was written from this very frame shape — skip footer
+        # schema inference on the read-back (read_buckets treatment)
+        old = self.state.read(schema=delta.schema)
         merged = delta if old is None else (
             old.unionByName(delta).distinct()
         )

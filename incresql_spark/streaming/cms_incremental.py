@@ -77,7 +77,9 @@ class IncrementalCms:
     def add_batch_counters(self, delta: DataFrame) -> None:
         """Sum-merge any (*keys, i, b, c) counter frame into the state."""
         key_cols = self.keys + ["i", "b"]
-        old = self.state.read()
+        # the state was written from this very frame shape — skip footer
+        # schema inference on the read-back (read_buckets treatment)
+        old = self.state.read(schema=delta.schema)
         merged = delta if old is None else (
             old.unionByName(delta)
             .groupBy(*key_cols)

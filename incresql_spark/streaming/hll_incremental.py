@@ -74,7 +74,9 @@ class IncrementalHll:
     def add_batch_values(self, vals: DataFrame) -> None:
         """Max-merge the registers of any (*keys, val) frame."""
         delta = hll_registers(vals, self.p, tuple(self.keys))
-        old = self.state.read()
+        # the state was written from this very frame shape — skip footer
+        # schema inference on the read-back (read_buckets treatment)
+        old = self.state.read(schema=delta.schema)
         merged = delta if old is None else (
             old.unionByName(delta)
             .groupBy(*self.keys, "j")

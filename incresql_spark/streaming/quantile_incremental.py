@@ -70,7 +70,9 @@ class IncrementalQuantile:
         # slots and evict a legitimate one.  The frames are <= 2k rows.
         delta = (base.orderBy("h", "v").limit(self.k)
                  .dropDuplicates(["h", "v"]))
-        old = self.state.read()
+        # the state was written from this very frame shape — skip footer
+        # schema inference on the read-back (read_buckets treatment)
+        old = self.state.read(schema=delta.schema)
         merged = delta if old is None else (
             old.unionByName(delta)
             .dropDuplicates(["h", "v"])
@@ -121,7 +123,9 @@ class IncrementalQuantileGrouped:
         # hash collisions, as in the global maintainer
         delta = quantile_grouped_sample(base, self.k) \
             .dropDuplicates(["g", "h", "v"])
-        old = self.state.read()
+        # the state was written from this very frame shape — skip footer
+        # schema inference on the read-back (read_buckets treatment)
+        old = self.state.read(schema=delta.schema)
         merged = delta if old is None else quantile_grouped_sample(
             old.unionByName(delta).dropDuplicates(["g", "h", "v"]), self.k
         )

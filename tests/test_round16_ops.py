@@ -218,6 +218,13 @@ def test_sketch_sql_grouped_expansions_match_operators(spark):
         tuple(r)
         for r in dedup_contamination_bloom_only(spark, SF_SMALL).collect()
     ]
+    # the SQL-generated grouped row_number filters must keep the bounded
+    # WindowGroupLimit rewrite the DataFrame operators are pinned to —
+    # the wire surface may not silently regress to a full-group window
+    for text in (qc, qq):
+        plan = spark.sql(text)._jdf.queryExecution().executedPlan() \
+            .toString()
+        assert "WindowGroupLimit" in plan, plan[:2000]
 
 
 def test_sketch_sql_quantile_expansion_is_single_sample_scan(spark):
