@@ -139,6 +139,14 @@ def main() -> None:
                 # broken oracle silently vanish from the duck/ratio rows)
                 print(f"# bench: duck skip {name}: {exc}", file=sys.stderr)
                 continue
+            except duckdb.Error as exc:
+                # any OTHER DuckDB error means the oracle SQL itself is
+                # broken — shout, but do NOT abort the run: the Spark
+                # timing pass already measured is in `timings` and must
+                # still reach the artifact (round-16 self-review: a
+                # BinderException here used to discard the whole run)
+                print(f"# bench: duck ERROR {name}: {exc}", file=sys.stderr)
+                continue
             t0 = time.time()
             con.sql(sql).fetchall()
             duck[name] = round(time.time() - t0, 4)

@@ -553,7 +553,11 @@ class MaterializedView:
 
     def refresh(self) -> int:
         """Incremental refresh: pull base-table deltas since the last
-        refresh, propagate, merge.  Returns number of delta rows consumed."""
+        refresh, propagate, merge.  Returns the number of delta rows
+        consumed — for AGGREGATE views this is the post-WHERE count (the
+        fused delta job counts what it aggregates; a delta whose rows all
+        miss the view's filter reports 0), for linear views the raw
+        delta count."""
         meta = self._load_meta()
         # the cursor is the base table's monotonic segment seq (NOT wall
         # clock — same-ms segments must not be skipped); old metas carrying
@@ -621,9 +625,23 @@ class MaterializedView:
                 for r in delta_state.select("__bkt").distinct().collect()
             )
             merged = delta_state.drop("__bkt")
-            # the state files are written from this very frame shape, so
-            # its schema IS the on-disk schema — skip footer inference
-            old = st.read_buckets(touched, schema=merged.schema)
+            # The state files are written from this frame shape, so its
+            # schema is the on-disk schema — skip footer inference.
+            # EXCEPT for decimal state columns: Spark widens decimal
+            # precision on every re-aggregation (sum over already-summed
+            # decimals), so after two refreshes the on-disk type is wider
+            # than the delta's and an explicit narrower schema makes the
+            # parquet read throw PARQUET_COLUMN_DATA_TYPE_MISMATCH —
+            # decimal states keep the inferred-schema read.  Every other
+            # state type (bigint counts/sums, double, string keys) is
+            # re-aggregation-stable.
+            from pyspark.sql.types import DecimalType
+
+            stable = not any(isinstance(f.dataType, DecimalType)
+                             for f in merged.schema.fields)
+            old = st.read_buckets(
+                touched, schema=merged.schema if stable else None
+            )
             if old is not None:
                 merged = (
                     old.select(*merged.columns)
@@ -1103,7 +1121,8 @@ class AggregateJoinMaterializedView(MaterializedView):
 
     def refresh(self) -> int:
         """One incremental refresh over ALL tables' outstanding deltas.
-        Returns the number of signed join-delta rows aggregated."""
+        Returns the number of signed join-delta rows aggregated (post
+        table-filters — the fused delta job counts what it aggregates)."""
         meta = self._load_meta()
         olds = meta.get("seqs", [-1] * len(self.tables))
         # the manifest's atomically-committed cursor wins over a stale

@@ -108,20 +108,27 @@ def decode_image(payload: bytes, fmt: str, fake: bool = False) -> np.ndarray:
     deployment with Pillow on the executors gets real decodes with no
     code change."""
     if not fake:
+        ppm_err: ValueError | None = None
         if payload[:2] == b"P6":
             try:
                 return _decode_ppm_p6(payload)
-            except ValueError:
+            except ValueError as exc:
                 # a P6 variant the native decoder rejects (e.g. 16-bit
                 # maxval 65535) falls through to Pillow, which handles
                 # them — raising here would regress Pillow-equipped
                 # deployments that decoded them before (r15 advice #4)
-                pass
+                ppm_err = exc
         try:
             import io
 
             from PIL import Image  # gated: not in this container
         except ImportError as exc:
+            if ppm_err is not None:
+                # without Pillow the PPM decoder's verdict IS the
+                # diagnosis — surfacing NotImplementedError here would
+                # misattribute corrupt data (e.g. a truncated raster) as
+                # a missing dependency (round-16 self-review)
+                raise ppm_err from exc
             raise NotImplementedError(
                 "image decoding requires PIL/cv2 which are not installed; "
                 "run with fake=True for the deterministic test tensor"

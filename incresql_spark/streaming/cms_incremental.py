@@ -93,6 +93,18 @@ class IncrementalCms:
         return self.state.read()
 
     def estimate(self, cands: DataFrame) -> DataFrame:
+        """Probe the maintained FLAT sketch.  Grouped instances must go
+        through ``sketch()`` + text.cms_grouped_report instead:
+        cms_probe joins only on (i, b), so probing a keyed state here
+        would blend every group's counters and could return estimates
+        BELOW a group's true count — a silent violation of the CMS
+        no-underestimate guarantee (round-16 self-review)."""
+        if self.keys:
+            raise ValueError(
+                "estimate() probes a flat sketch; this maintainer is "
+                f"grouped (keys={self.keys}) — probe via sketch() + "
+                "text.cms_grouped_report"
+            )
         sk = self.state.read()
         if sk is None:
             raise ValueError("no batches ingested yet")

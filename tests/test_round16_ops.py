@@ -245,6 +245,101 @@ def test_sketch_sql_quantile_expansion_is_single_sample_scan(spark):
     assert all(r.sample_n == 1024 for r in rows)
 
 
+def test_mv_decimal_state_survives_repeated_refresh(spark, tmp_path):
+    """Round-16 self-review regression: Spark widens decimal precision on
+    every state re-aggregation (sum over already-summed decimals), so a
+    pinned read schema wedges the MV on its third refresh with a parquet
+    type mismatch.  Three refreshes over a low-precision decimal sum must
+    keep working and keep matching the batch recompute."""
+    from incresql_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.execute_statement("CREATE TABLE dml (k INT, v TEXT)")
+    eng.execute_statement(
+        "CREATE MATERIALIZED VIEW mv_dec AS "
+        "SELECT k, sum(CAST(v AS DECIMAL(4,2))) AS s FROM dml GROUP BY k"
+    )
+    for wave in range(3):
+        vals = ", ".join(
+            f"({i % 2}, '{(wave * 3 + i) + 0.25}')" for i in range(3)
+        )
+        eng.execute_statement(f"INSERT INTO dml VALUES {vals}")
+        eng.execute_statement("REFRESH MATERIALIZED VIEW mv_dec")
+    got = eng.execute_statement(
+        "SELECT k, CAST(s * 100 AS BIGINT) AS s_e2 FROM mv_dec ORDER BY k"
+    ).rows
+    want = eng.execute_statement(
+        "SELECT k, CAST(sum(CAST(v AS DECIMAL(4,2))) * 100 AS BIGINT) "
+        "AS s_e2 FROM dml GROUP BY k ORDER BY k"
+    ).rows
+    assert got == want
+
+
+def test_grouped_cms_estimate_guard(spark, tmp_path):
+    """A grouped IncrementalCms must refuse flat estimate() probes —
+    cms_probe joins only (i, b), so probing a keyed state would blend
+    every group's counters (round-16 self-review)."""
+    import pytest as _pytest
+
+    from incresql_spark.streaming.cms_incremental import IncrementalCms
+
+    cms = IncrementalCms(spark, str(tmp_path / "state"), keys=("g",))
+    with _pytest.raises(ValueError, match="grouped"):
+        cms.estimate(spark.createDataFrame([("x",)], ["tok"]))
+
+
+def test_decode_image_corrupt_ppm_stays_a_value_error():
+    """Without Pillow, a corrupt P6 payload must surface the PPM
+    decoder's precise ValueError, not a misattributed
+    NotImplementedError about missing dependencies (round-16
+    self-review)."""
+    import pytest as _pytest
+
+    from incresql_spark.operators.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("Pillow present — the fallback path handles P6")
+    except ImportError:
+        pass
+    with _pytest.raises(ValueError):
+        decode_image(b"P6\n2 2\n255\n\x00\x01\x02", "ppm", fake=False)
+
+
+def test_sketch_expansion_literal_safety_property():
+    """PROPERTY (hypothesis): for any string literal payload — including
+    payloads shaped exactly like sketch calls — a query whose only
+    sketch-call-shaped text lives inside literals is returned UNCHANGED
+    (same object), and a real call alongside such a literal expands
+    without corrupting the literal (the r15 advice #1 failure class)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payloads = st.text(
+        alphabet=st.characters(
+            whitelist_categories=("L", "N", "P", "Z"),
+            blacklist_characters="'\\\x00",
+        ),
+        max_size=40,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(payloads)
+    def check(payload):
+        lit = f"x FROM hll_distinct('{payload}', 'c') {payload}"
+        sql = f"SELECT '{lit}' AS c FROM t"
+        assert sketch_sql.expand_sketch_calls(sql) is sql
+        combo = (f"SELECT * FROM quantile_sketch('t', 'v', 'k') "
+                 f"WHERE c <> '{lit}'")
+        out = sketch_sql.expand_sketch_calls(combo)
+        assert out is not combo  # the real call expanded
+        assert f"'{lit}'" in out  # the literal survived byte-for-byte
+        assert "quantile_sketch(" not in out.replace(f"'{lit}'", "")
+
+    check()
+
+
 def test_explain_composes_with_sketch_expansion(spark, tmp_path):
     """EXPLAIN SELECT * FROM hll_distinct(...) renders the EXPANDED plan
     through the reference-style explain tree (planner/src/explain/
