@@ -381,4 +381,32 @@ def test_sketch_table_function_over_the_wire(server):
     assert len(rows3) == 21
     by_gq = {(r[0], r[1]): r for r in rows3}
     assert by_gq[("0", "50")][3] == "14"
+    # round-16 text-side surface: grouped CMS and the Bloom screen run
+    # over the wire against a table created through the same connection
+    assert c.query("CREATE TABLE dox (doc_id INT, lang TEXT, "
+                   "text TEXT)") == 0
+    vals = ", ".join(
+        f"({i}, '{'en' if i % 2 else 'de'}', "
+        f"'alpha beta gamma delta epsilon tok{i % 5} tok{i % 5}')"
+        for i in range(12)
+    )
+    c.query(f"INSERT INTO dox VALUES {vals}")
+    cols4, rows4 = c.query(
+        "SELECT g, tok, exact_cnt, cms_est "
+        "FROM cms_grouped('dox', 'lang', 'text') ORDER BY g, tok"
+    )
+    assert cols4 == ["g", "tok", "exact_cnt", "cms_est"]
+    assert {r[0] for r in rows4} == {"en", "de"}
+    # CMS never underestimates — over the wire too
+    assert all(int(r[3]) >= int(r[2]) for r in rows4)
+    cols5, rows5 = c.query(
+        "SELECT train_doc_id, n_bloom_hits "
+        "FROM bloom_screen('dox', 'doc_id', 'text', 6) "
+        "ORDER BY train_doc_id"
+    )
+    assert cols5 == ["train_doc_id", "n_bloom_hits"]
+    # every doc >= 6 shares the 'alpha beta gamma...' shingles with the
+    # eval half, so the screen must flag all six training docs
+    assert [r[0] for r in rows5] == ["6", "7", "8", "9", "10", "11"]
+    assert all(int(r[1]) > 0 for r in rows5)
     c.close()
