@@ -14,15 +14,13 @@ queries (mv_q3_incremental inner, mv_q13_incremental left-outer — round
 9), and a rotating head of the text suite.  Slots ROTATE each round so
 long-unverified queries gain driver evidence (the round-6/7 DECIMAL
 lesson: a fetch-path mismatch can be invisible to every local check).
-Round 16 promoted the six round-15 newcomers (op_hll_grouped,
-text_bm25_table, op_hll_grouped_incremental, text_cms_grouped,
-op_quantile_grouped_incremental, dedup_contamination_bloom) — zero
-driver-fetch evidence outranks every staleness candidate under the
-post-burn-down policy — and demoted op_cube, op_pivot,
-op_full_outer_join, op_retention_cohorts, op_histogram and
-dedup_contamination, each long driver-green with its mechanism still
-gated by a sibling (per-row rationale in _GATE_DEMOTED and
-_RELATIONAL_CORE).  Everything past the cap is equally
+Round 17 promoted the three round-16 newcomers
+(dedup_contamination_bloom_only, dedup_contamination_bloom_incremental,
+text_cms_grouped_incremental) — zero driver-fetch evidence outranks
+every staleness candidate under the post-burn-down policy — and demoted
+dedup_minhash_lsh, dedup_embedding and text_stats, each 16 rounds
+driver-green with its mechanism still gated by a sibling (per-row
+rationale in _GATE_DEMOTED and _GATE_TEXT).  Everything past the cap is equally
 oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
 registered queries locally value-hash-matched — the exact count is
 asserted against this docstring by tests/test_entry_gate.py: 125
@@ -247,24 +245,35 @@ _GATE_DEMOTED = (
     # exact-overlap ride-along as verification, so the mechanism stays
     # gated with strictly more coverage (bloom + exact in one row).
     "dedup_contamination",
-    # Round-16 NEW rows start in the tail like every newcomer (zero
-    # driver evidence -> top promotion candidates for round 17):
-    # dedup_contamination_bloom_only (the production O(m)-broadcast
-    # screen, bench row), dedup_contamination_bloom_incremental (the
-    # OR-merge eval-set maintainer) and text_cms_grouped_incremental
-    # (the grouped CMS sum-merge maintainer) are registry-listed in
-    # dedup.py / pipeline.py gate blocks, so they are pinned here until
-    # promotion.
-    "dedup_contamination_bloom_only",
-    "dedup_contamination_bloom_incremental",
-    "text_cms_grouped_incremental",
+    # Round-17 rotation (VERDICT r16 task 1): the three round-16
+    # newcomers (dedup_contamination_bloom_only,
+    # dedup_contamination_bloom_incremental, text_cms_grouped_incremental)
+    # enter the gate — their round-16 tail pins are removed and they flow
+    # in via the dedup.py / pipeline.py registry gate blocks; zero
+    # driver-fetch evidence outranks every staleness candidate.  Demoted
+    # to make room, each the longest-green row whose plan class keeps a
+    # gated sibling: dedup_minhash_lsh (16 rounds driver-green; the
+    # banded-LSH near-dup mechanism stays gated via
+    # dedup_minhash_incremental, whose oracle IS the batch minhash
+    # recompute — the r11 dedup_passages / r13 tpch_q13 precedent),
+    # dedup_embedding (16 rounds; hyperplane-LSH banded buckets stay
+    # gated via dedup_embedding_incremental, same oracle-is-the-batch
+    # precedent), and text_stats (16 rounds; the zero-shuffle
+    # integer-stats projection class stays gated via text_repetition +
+    # text_gopher_quality — rotated out of the _GATE_TEXT whitelist
+    # rather than pinned here).
+    "dedup_minhash_lsh",
+    "dedup_embedding",
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated
 # since round 1) plus the three whose only evidence was local.  Round 10
 # adds text_repetition and text_oov (never driver-verified).
 _GATE_TEXT = (
-    "text_stats",
+    # (Round 17: text_stats rotates to the tail after 16 driver-green
+    # rounds — the zero-shuffle integer-stats projection class stays
+    # gated via text_repetition + text_gopher_quality — freeing a slot
+    # for the round-16 newcomers; rationale in _GATE_DEMOTED.)
     "text_repetition",
     # Round 11: the mT5 temperature-sampling recipe (integer-quantized
     # weights, zero float accumulation) and the CCNet per-language

@@ -2,9 +2,9 @@
 ``__spark_entry__.queries()`` — registration order IS the gate.  Pin the
 composition so a refactor cannot silently rotate queries in or out of
 driver evidence; a deliberate rotation updates this list in the same
-commit (round-16 composition — the six round-15 newcomers promoted on
+commit (round-17 composition — the three round-16 newcomers promoted on
 the zero-driver-evidence rule; demotion rationale per row in
-__spark_entry__._GATE_DEMOTED and _RELATIONAL_CORE)."""
+__spark_entry__._GATE_DEMOTED and _GATE_TEXT)."""
 
 from __future__ import annotations
 
@@ -17,8 +17,8 @@ GATE_50 = [
     "op_quantile_sketch", "op_quantile_grouped", "op_kmv_set_ops",
     "op_hll_grouped",
     "dedup_exact", "dedup_ngram_jaccard",
-    "dedup_minhash_lsh", "dedup_embedding",
     "dedup_clusters", "dedup_contamination_bloom",
+    "dedup_contamination_bloom_only",
     "sim_ann_ivf", "sim_quantize_int8",
     "mm_image_phash",
     "events_sessionize", "pipeline_curate",
@@ -27,7 +27,8 @@ GATE_50 = [
     "dedup_canonical", "op_hll_incremental",
     "text_cms_incremental", "op_quantile_incremental",
     "op_hll_grouped_incremental", "op_quantile_grouped_incremental",
-    "text_stats", "text_repetition",
+    "dedup_contamination_bloom_incremental", "text_cms_grouped_incremental",
+    "text_repetition",
     "text_sample_temperature",
     "text_pack_sequences", "text_chunk_overlap", "text_mix_sources",
     "text_bpe_tokenize", "text_boilerplate",
