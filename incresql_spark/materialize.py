@@ -557,7 +557,15 @@ class MaterializedView:
         consumed — for AGGREGATE views this is the post-WHERE count (the
         fused delta job counts what it aggregates; a delta whose rows all
         miss the view's filter reports 0), for linear views the raw
-        delta count."""
+        delta count.  The split is DELIBERATE (r16 advice #4, kept with
+        rationale): unifying on the raw count would ride ``__nrows``
+        BEFORE the view's WHERE, pushing every filtered-out delta row
+        through the groupBy shuffle the early prune exists to avoid;
+        unifying on the post-WHERE count would charge linear views a
+        second count job per wave.  Callers comparing consumed-row
+        counts across view shapes should treat the value as "rows the
+        refresh had to process", not a cross-shape invariant (also
+        flagged in COVERAGE.md round-17)."""
         meta = self._load_meta()
         # the cursor is the base table's monotonic segment seq (NOT wall
         # clock — same-ms segments must not be skipped); old metas carrying

@@ -21,7 +21,8 @@ optional geometry overrides):
     SELECT * FROM quantile_grouped('orders', 'o_orderpriority',
                                    'o_totalprice', 'o_orderkey')
     SELECT * FROM cms_topk('documents', 'text')               -- w=2^20,d=4
-    SELECT * FROM cms_grouped('documents', 'lang', 'text')    -- per-group
+    SELECT * FROM cms_grouped('documents', 'lang', 'text')    -- per-group,
+                                                              -- w=2^20,d=4
     SELECT * FROM bloom_screen('documents', 'doc_id', 'text', 20)
 
 Each expansion is the PRODUCTION sketch path — no exact ride-along
@@ -63,7 +64,6 @@ from .operators.text import (
     CMS_GROUP_TOP,
     CMS_PROD_W,
     CMS_TOP,
-    CMS_W,
     TOKENS_SPARK,
     _cms_bucket_spark,
     _cms_seeds,
@@ -82,7 +82,10 @@ _SKETCH_NAME = re.compile(
 #: optional alias capture below must not swallow them
 _NOT_ALIAS = (
     "WHERE|GROUP|ORDER|LIMIT|HAVING|UNION|JOIN|LEFT|RIGHT|FULL|INNER|"
-    "CROSS|ON|USING|NATURAL|SEMI|ANTI|EXCEPT|INTERSECT|WINDOW|QUALIFY"
+    "CROSS|ON|USING|NATURAL|SEMI|ANTI|EXCEPT|INTERSECT|WINDOW|QUALIFY|"
+    # clause keywords that can legally follow a FROM item (r16 advice #3)
+    "OFFSET|LATERAL|TABLESAMPLE|SORT|DISTRIBUTE|CLUSTER|PIVOT|UNPIVOT|"
+    "VALUES"
 )
 #: matched against literal-MASKED text (dialect.mask_literals), so a
 #: sketch-call-shaped fragment inside a string literal can never match —
@@ -206,7 +209,10 @@ def quantile_grouped_sql(table: str, group_col: str, value_col: str,
     a row_number-over-(g; h) filter — Spark rewrites it through
     WindowGroupLimit, the operator's own bounded-forwarding shape — and
     appears ONCE; per-group n comes from a separate grouped count (the
-    one thing the sample cannot supply)."""
+    one thing the sample cannot supply).  The count join is NULL-safe
+    (``<=>``) so a NULL group reports like every other group, matching
+    the DataFrame operator's PARTITION BY / groupBy semantics (r16
+    advice #2; the window partitions are NULL-safe by construction)."""
     base = (f"SELECT {group_col} AS g, {value_col} AS v, "
             f"{hash60_spark_sql(f'CAST({key_col} AS STRING)')} AS h "
             f"FROM {table} WHERE {value_col} IS NOT NULL")
@@ -228,19 +234,22 @@ def quantile_grouped_sql(table: str, group_col: str, value_col: str,
         f"JOIN (SELECT explode(array({qs})) AS q_pct) q "
         "ON sr.rs = (q.q_pct * sr.sample_n + 99) DIV 100 "
         f"JOIN (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM ({base}) "
-        "GROUP BY g) t ON t.g = sr.g "
+        "GROUP BY g) t ON t.g <=> sr.g "
         "ORDER BY sr.g, q.q_pct"
     )
 
 
 def cms_grouped_sql(table: str, group_col: str, text_col: str,
-                    width: int = CMS_W, depth: int = CMS_D) -> str:
+                    width: int = CMS_PROD_W, depth: int = CMS_D) -> str:
     """Per-group CMS heavy-hitter report (text_cms_grouped's shape,
     text.py:2344) as one Spark-SQL subquery.  Columns: g, tok,
     exact_cnt, cms_est, overestimate.  Candidate selection is a
     row_number window per group (WindowGroupLimit — at most
     {CMS_GROUP_TOP} x |groups| rows forwarded per partition), probed
-    against the per-group d x w counter sketch."""
+    against the per-group d x w counter sketch.  Defaults to the
+    PRODUCTION width w=2^20 like cms_topk (r16 advice #1 — CMS_W=16 is
+    the deliberate collision-stress gate geometry, reachable only by
+    passing the width explicitly)."""
     toks_expr = TOKENS_SPARK.replace("(text)", f"({text_col})") \
         if text_col != "text" else TOKENS_SPARK
     toks = (f"SELECT {group_col} AS g, explode({toks_expr}) AS tok "
@@ -405,7 +414,7 @@ def _expand_one(fn: str, args: list[str | int]) -> str:
             raise ValueError(
                 "cms_grouped('table', 'group_col', 'text_col'[, w[, d]])"
             )
-        w = ints[0] if ints else CMS_W
+        w = ints[0] if ints else CMS_PROD_W
         d = ints[1] if len(ints) > 1 else CMS_D
         return cms_grouped_sql(strs[0], strs[1], strs[2], w, d)
     if fn == "quantile_grouped":

@@ -195,7 +195,13 @@ def test_sketch_sql_grouped_expansions_match_operators(spark):
     for t in ("orders", "documents"):
         spark.read.parquet(f"{SF_SMALL}/{t}.parquet") \
             .createOrReplaceTempView(t)
+    # width 16 = the operator's gate geometry, passed explicitly — the
+    # expansion's DEFAULT is the production width 2^20 (r16 advice #1)
     qc = sketch_sql.expand_sketch_calls(
+        "SELECT * FROM cms_grouped('documents', 'lang', 'text', 16)"
+    )
+    from incresql_spark.operators.text import CMS_PROD_W
+    assert f"% {CMS_PROD_W}" in sketch_sql.expand_sketch_calls(
         "SELECT * FROM cms_grouped('documents', 'lang', 'text')"
     )
     assert [tuple(r) for r in spark.sql(qc).collect()] == [
