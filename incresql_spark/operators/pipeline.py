@@ -44,7 +44,7 @@ from .relational import (
     OP_QUANTILE_SKETCH_SQL,
 )
 from .text import (STOPWORDS, TEXT_CMS_GROUPED_SQL,
-                   TEXT_CMS_HEAVYHITTERS_SQL, TOKENS_DUCK,
+                   TEXT_CMS_HEAVYHITTERS_SQL, TOKENS_DUCK, _cms_sql,
                    TOKENS_SPARK, _sql_list)
 
 #: quality gate: floor on token count and on the stopword (fluency) ratio
@@ -938,6 +938,47 @@ def text_cms_grouped_incremental(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def text_cms_retract_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RETRACTION through the CMS maintainer driven end-to-end as a gate
+    query (round 17 — the reference's retractable-aggregate contract,
+    functions/src/lib.rs:112-163, carried from the MV family to the one
+    sketch whose merge is a group; the retractability matrix lives in
+    streaming/cms_incremental.py).  All THREE waves (doc_id % 3) are
+    ingested, then wave 2 is RETRACTED — a sum-merge of its negated
+    counters, computed by the batch operator's own cms_sketch — and
+    zero counters are purged.  Because counter addition has exact
+    inverses, the maintained sketch now EQUALS the batch sketch over
+    the NET corpus (doc_id % 3 != 2), so the verification report is
+    byte-identical to ``text_cms_heavyhitters`` restricted to that
+    corpus — which is what the DuckDB oracle recomputes from scratch.
+    Each wave stays O(|delta| + d*w); the retraction is priced exactly
+    like an ingest."""
+    import shutil
+    import tempfile
+
+    from .text import CMS_D, CMS_W, cms_heavyhitter_report, cms_tokens
+    from ..streaming.cms_incremental import IncrementalCms
+
+    root = tempfile.mkdtemp(prefix="incr_cmsr_")
+    try:
+        d = load_table(spark, sf_dir, "documents")
+        cms = IncrementalCms(spark, f"{root}/state", width=CMS_W,
+                             depth=CMS_D)
+        for w in range(3):
+            cms.add_batch(cms_tokens(d.filter(f"doc_id % 3 = {w}")))
+        cms.retract_batch(cms_tokens(d.filter("doc_id % 3 = 2")))
+        net = d.filter("doc_id % 3 != 2")
+        out = cms_heavyhitter_report(cms.sketch(), cms_tokens(net),
+                                     CMS_W, CMS_D)
+        # materialize before the state dir is deleted (the plan reads the
+        # AggState parquet lazily)
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def dedup_contamination_bloom_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -999,6 +1040,7 @@ QUERIES = {
     "dedup_contamination_bloom_incremental":
         dedup_contamination_bloom_incremental,
     "text_cms_grouped_incremental": text_cms_grouped_incremental,
+    "text_cms_retract_incremental": text_cms_retract_incremental,
 }
 ORACLE = {
     "pipeline_curate": PIPELINE_CURATE_SQL,
@@ -1035,6 +1077,10 @@ ORACLE = {
     # the maintained grouped sketch equals the batch text_cms_grouped —
     # batch oracle = incremental (the family pattern)
     "text_cms_grouped_incremental": TEXT_CMS_GROUPED_SQL,
+    # counter addition has exact inverses (a group), so after retracting
+    # wave 2 the maintained sketch equals the batch sketch over the NET
+    # corpus — the oracle is the batch recompute restricted to it
+    "text_cms_retract_incremental": _cms_sql("WHERE (doc_id % 3) != 2"),
 }
 
 # Round 11 (VERDICT r10 task 7): the incremental-maintainer hot path gets

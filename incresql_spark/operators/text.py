@@ -2312,13 +2312,15 @@ def text_cms_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cms_sql() -> str:
+def _cms_sql(where: str = "") -> str:
+    """``where`` restricts the corpus (e.g. the retraction gate query's
+    NET corpus after a wave is retracted — round 17)."""
     seeds, bucket = _cms_seeds(CMS_D), _cms_bucket_duck(CMS_W)
     eps_ppm, delta_ppb = cms_bounds(CMS_W, CMS_D)
     return f"""
 WITH toks AS (
   SELECT unnest(tokens) AS tok
-  FROM (SELECT {TOKENS_DUCK} AS tokens FROM documents)
+  FROM (SELECT {TOKENS_DUCK} AS tokens FROM documents {where})
 ),
 pairs AS (
   SELECT u.i AS i, {bucket} AS b

@@ -33,6 +33,43 @@ NOT idempotent — replaying the same delta twice double-counts — so the
 maintainer relies on AggState's manifest versioning for exactly-once
 wave application, the same at-most-once contract the MV refresh cycle
 already guarantees.
+
+RETRACTION (round 17 — the reference's retractable-aggregate contract,
+functions/src/lib.rs:112-163, ``supports_retract`` :156-162, extended
+from the MV family to the sketch family).  Counter addition over the
+integers is a GROUP — every wave has an inverse (its negation) — so a
+retraction wave is just a sum-merge of NEGATED counters:
+``retract_batch(toks)`` / ``retract_batch_counters(delta)`` flip the
+sign and reuse the exact add path.  After any merge the state drops
+(key, i, b) rows whose counter reached 0, so the maintained frame is
+IDENTICAL (not just probe-equivalent) to ``cms_sketch`` over the net
+corpus — the grouped report inner-joins probes to the sketch, so a
+lingering zero row would resurrect a dead candidate with estimate 0.
+Retracting rows never added drives counters negative; that is the
+caller's contract violation (exactly the reference's signed-frequency
+model, where a DELETE of a row never inserted corrupts the multiset),
+and ``estimate`` would then under-report — the same failure the
+reference accepts.
+
+THE RETRACTABILITY MATRIX (the one documented place — VERDICT r16
+task 2).  A maintainer can accept retraction waves iff its merge
+operation forms a group (has inverses), per the reference's own
+criterion (its aggregate library carries count/sum/avg, all group-
+based, and omits min/max for exactly this reason, SURVEY §2.4):
+
+  - CMS counter SUM  (flat + grouped, THIS module) — group (ℤ, +):
+    RETRACTABLE, implemented here.
+  - HLL register MAX (hll_incremental.py)  — max is idempotent but has
+    NO inverse (knowing max(a, b) = 5 and removing a 5 cannot recover
+    whether another 5 remains): NOT retractable; rebuild from the net
+    corpus instead.
+  - Quantile bottom-k MIN-K (quantile_incremental.py) — same: a
+    retracted sample member cannot be replaced without the discarded
+    tail; NOT retractable.
+  - Bloom bit OR (bloom_incremental.py) — OR saturates (a set bit
+    cannot be unset without per-bit counts): NOT retractable; the
+    counting-Bloom variant that could retract would multiply state by
+    the counter width, which the O(m)-bit broadcast exists to avoid.
 """
 
 from __future__ import annotations
@@ -74,8 +111,28 @@ class IncrementalCms:
         """Sum-merge a flat token batch's counters into the state."""
         self.add_batch_counters(cms_sketch(toks, self.width, self.depth))
 
+    def retract_batch(self, toks: DataFrame) -> None:
+        """Retract a previously-ingested flat token batch: sum-merge its
+        NEGATED counters (counter addition is a group, so this is the
+        exact inverse of ``add_batch`` — module docstring).  The caller
+        owns the only-retract-what-was-added contract, exactly as with
+        the engine's signed-frequency DELETE."""
+        self.retract_batch_counters(cms_sketch(toks, self.width,
+                                               self.depth))
+
+    def retract_batch_counters(self, delta: DataFrame) -> None:
+        """Retract any pre-sketched (*keys, i, b, c) counter frame — the
+        GROUPED retraction entrypoint (negate, then the exact add
+        path)."""
+        self.add_batch_counters(
+            delta.withColumn("c", (-F.col("c")).cast("bigint"))
+        )
+
     def add_batch_counters(self, delta: DataFrame) -> None:
-        """Sum-merge any (*keys, i, b, c) counter frame into the state."""
+        """Sum-merge any (*keys, i, b, c) counter frame into the state.
+        Negative counters retract (see retract_batch_counters); rows
+        whose counter reaches 0 are PURGED so the maintained frame stays
+        identical to the from-scratch sketch of the net corpus."""
         key_cols = self.keys + ["i", "b"]
         # the state was written from this very frame shape — skip footer
         # schema inference on the read-back (read_buckets treatment)
@@ -84,6 +141,7 @@ class IncrementalCms:
             old.unionByName(delta)
             .groupBy(*key_cols)
             .agg(F.sum("c").cast("bigint").alias("c"))
+            .filter(F.col("c") != 0)
         )
         self.state.write_buckets(
             merged, key_cols, list(range(self.NUM_BUCKETS))

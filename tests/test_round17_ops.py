@@ -10,9 +10,112 @@ tests pin the behavioral invariants the hash can't articulate.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from incresql_spark import sketch_sql
 
 from .conftest import SF_SMALL
+
+
+def test_cms_retraction_equals_batch_on_net_corpus(spark, tmp_path):
+    """The reference's retractable-aggregate contract through the FLAT
+    CMS maintainer: ingest three waves, retract one — the maintained
+    STATE (not just the report) must be row-identical to cms_sketch
+    over the net corpus, zero counters purged, and the report must
+    equal the batch operator recomputed from scratch on the net
+    corpus."""
+    from incresql_spark.operators.pipeline import load_table
+    from incresql_spark.operators.text import (
+        CMS_D,
+        CMS_W,
+        cms_heavyhitter_report,
+        cms_sketch,
+        cms_tokens,
+    )
+    from incresql_spark.streaming.cms_incremental import IncrementalCms
+
+    d = load_table(spark, SF_SMALL, "documents")
+    cms = IncrementalCms(spark, str(tmp_path / "state"), width=CMS_W,
+                         depth=CMS_D)
+    for w in range(3):
+        cms.add_batch(cms_tokens(d.filter(f"doc_id % 3 = {w}")))
+    cms.retract_batch(cms_tokens(d.filter("doc_id % 3 = 2")))
+    net = d.filter("doc_id % 3 != 2")
+    want_state = {
+        (r.i, r.b): r.c
+        for r in cms_sketch(cms_tokens(net), CMS_W, CMS_D).collect()
+    }
+    got_state = {(r.i, r.b): r.c for r in cms.sketch().collect()}
+    assert got_state == want_state  # purge included: no zero rows linger
+    assert all(c > 0 for c in got_state.values())
+    got = [tuple(r) for r in cms_heavyhitter_report(
+        cms.sketch(), cms_tokens(net), CMS_W, CMS_D).collect()]
+    want = [tuple(r) for r in cms_heavyhitter_report(
+        cms_sketch(cms_tokens(net), CMS_W, CMS_D), cms_tokens(net),
+        CMS_W, CMS_D).collect()]
+    assert got == want
+
+
+def test_cms_grouped_retraction_equals_batch_on_net_corpus(
+    spark, tmp_path
+):
+    """Same contract through the GROUPED maintainer (keys=('g',)): the
+    per-(g, i, b) counters after a retraction wave equal the batch
+    grouped sketch of the net corpus, and the grouped report matches
+    text_cms_grouped's shaping recomputed on it."""
+    from incresql_spark.operators.pipeline import load_table
+    from incresql_spark.operators.text import (
+        CMS_D,
+        CMS_W,
+        cms_grouped_report,
+        cms_grouped_sketch,
+        cms_grouped_tokens,
+    )
+    from incresql_spark.streaming.cms_incremental import IncrementalCms
+
+    d = load_table(spark, SF_SMALL, "documents")
+    cms = IncrementalCms(spark, str(tmp_path / "state"), width=CMS_W,
+                         depth=CMS_D, keys=("g",))
+    for w in range(3):
+        cms.add_batch_counters(cms_grouped_sketch(
+            cms_grouped_tokens(d.filter(f"doc_id % 3 = {w}")),
+            CMS_W, CMS_D,
+        ))
+    cms.retract_batch_counters(cms_grouped_sketch(
+        cms_grouped_tokens(d.filter("doc_id % 3 = 2")), CMS_W, CMS_D,
+    ))
+    net = d.filter("doc_id % 3 != 2")
+    want_state = {
+        (r.g, r.i, r.b): r.c
+        for r in cms_grouped_sketch(cms_grouped_tokens(net),
+                                    CMS_W, CMS_D).collect()
+    }
+    got_state = {(r.g, r.i, r.b): r.c for r in cms.sketch().collect()}
+    assert got_state == want_state
+    got = [tuple(r) for r in cms_grouped_report(
+        cms.sketch(), cms_grouped_tokens(net), CMS_W, CMS_D).collect()]
+    want = [tuple(r) for r in cms_grouped_report(
+        cms_grouped_sketch(cms_grouped_tokens(net), CMS_W, CMS_D),
+        cms_grouped_tokens(net), CMS_W, CMS_D).collect()]
+    assert got == want
+
+
+def test_cms_retract_everything_empties_the_state(spark, tmp_path):
+    """Retracting every ingested wave drives EVERY counter to zero; the
+    purge must leave an EMPTY state (AggState's convention for empty is
+    read() -> None), never a zero-filled one."""
+    from incresql_spark.operators.pipeline import load_table
+    from incresql_spark.operators.text import CMS_D, CMS_W, cms_tokens
+    from incresql_spark.streaming.cms_incremental import IncrementalCms
+
+    d = load_table(spark, SF_SMALL, "documents").filter("doc_id < 20")
+    cms = IncrementalCms(spark, str(tmp_path / "state"), width=CMS_W,
+                         depth=CMS_D)
+    cms.add_batch(cms_tokens(d))
+    assert cms.sketch().count() > 0
+    cms.retract_batch(cms_tokens(d))
+    sk = cms.sketch()
+    assert sk is None or sk.count() == 0
 
 
 def test_quantile_grouped_sql_keeps_null_groups(spark):
