@@ -546,9 +546,10 @@ class Engine:
             if not self._in_mutation:
                 self._catalog_dirty = False
         # sketch table functions (hll_distinct / quantile_sketch /
-        # cms_topk) expand to derived tables BEFORE qualification, so the
-        # generated FROM <table> resolves through the catalog like any
-        # other source (sketch_sql.py; round-15 wire surface).
+        # cms_topk / kmv_set_ops / bm25_search ...) expand to derived
+        # tables BEFORE qualification, so the generated FROM <table>
+        # resolves through the catalog like any other source
+        # (sketch_sql.py; round-15 wire surface, completed round 17).
         sql = sketch_sql.expand_sketch_calls(sql)
         rewritten = dialect.rewrite(
             self._qualify(sql, self.current_db), self.current_db,

@@ -24,6 +24,9 @@ optional geometry overrides):
     SELECT * FROM cms_grouped('documents', 'lang', 'text')    -- per-group,
                                                               -- w=2^20,d=4
     SELECT * FROM bloom_screen('documents', 'doc_id', 'text', 20)
+    SELECT * FROM kmv_set_ops('lineitem', 'l_partkey', 'l_suppkey')
+    SELECT * FROM bm25_search('documents', 'doc_id', 'text',
+                              'queries_tbl')               -- k=10
 
 Each expansion is the PRODUCTION sketch path — no exact ride-along
 columns (the full-key shuffle the sketch exists to avoid never appears
@@ -52,13 +55,17 @@ from .operators.dedup import (
 from .operators.relational import (
     HLL_GROUP_P,
     HLL_P,
+    KMV_K,
     QSK_GROUP_K,
     QSK_GROUP_QS,
     QSK_K,
     QSK_QS,
+    _d,
     _hll_spark,
+    _KMV_SPACE,
 )
 from .operators.text import (
+    BM25_TOP_K,
     CMS_BOTTOM,
     CMS_D,
     CMS_GROUP_TOP,
@@ -73,6 +80,7 @@ from .operators.text import (
 _SKETCH_FNS = (
     "hll_distinct", "hll_grouped", "quantile_sketch", "cms_topk",
     "cms_grouped", "quantile_grouped", "bloom_screen",
+    "kmv_set_ops", "bm25_search",
 )
 #: cheap pre-check so the hot statement path pays one scan, no masking
 _SKETCH_NAME = re.compile(
@@ -381,6 +389,142 @@ def cms_topk_sql(table: str, text_col: str, width: int = CMS_PROD_W,
     )
 
 
+def kmv_set_ops_sql(table: str, col_a: str, col_b: str,
+                    k: int = KMV_K) -> str:
+    """KMV set-cardinality algebra (op_kmv_set_ops' PRODUCTION columns,
+    relational.py:1838 — estimates + rse bounds, NO exact ride-alongs:
+    the full-outer distinct-value verification join is the gate query's
+    job, not the wire's) as one Spark-SQL subquery.  ONE output row:
+    k, a_est, a_rse_ppm, b_est, b_rse_ppm, union_est, union_rse_ppm,
+    inter_est.
+
+    Plan shape: BOTH bottom-k samples come from a single name-tagged
+    distinct — ``(name, h)`` pairs through one map-side-partial DISTINCT
+    exchange, then per-name bottom-k via a row_number window Spark
+    rewrites to WindowGroupLimit (the grouped-quantile expansion's
+    bounded-forwarding shape).  The sample subquery recurs textually
+    downstream, but every recurrence re-reads the SAME canonical
+    distinct exchange (ReusedExchange — plan-pinned in tests), so the
+    corpus is not rescanned per use; all set algebra then runs on
+    <= 2k-row frames.  The estimator/rse texts mirror relational._kmv_est
+    / _kmv_rse with ``k`` substituted, so at the default k the wire
+    serves bit-identical estimates to the gate operator."""
+    base = (
+        f"SELECT 'a' AS name, CAST({col_a} AS STRING) AS val "
+        f"FROM {table} WHERE {col_a} IS NOT NULL "
+        f"UNION ALL "
+        f"SELECT 'b' AS name, CAST({col_b} AS STRING) AS val "
+        f"FROM {table} WHERE {col_b} IS NOT NULL"
+    )
+    dist = (f"SELECT DISTINCT name, {hash60_spark_sql('val')} AS h "
+            f"FROM ({base})")
+    samples = (
+        "SELECT name, h FROM (SELECT name, h, ROW_NUMBER() OVER "
+        "(PARTITION BY name ORDER BY h ASC) AS rk "
+        f"FROM ({dist})) WHERE rk <= {k}"
+    )
+    u_s = (f"SELECT h FROM (SELECT DISTINCT h FROM ({samples})) "
+           f"ORDER BY h ASC LIMIT {k}")
+
+    def est(ns: str, hk: str) -> str:
+        # relational._kmv_est's exact text with k parameterized
+        return (f"CASE WHEN {ns} < {k} THEN CAST({ns} AS DOUBLE) "
+                f"ELSE {_d(float(k - 1))} * {_d(_KMV_SPACE)} "
+                f"/ CAST({hk} AS DOUBLE) END")
+
+    def rse(ns: str) -> str:
+        ppm = round(1_000_000 / (k - 2) ** 0.5)
+        return (f"CAST(CASE WHEN {ns} < {k} THEN 0 "
+                f"ELSE {ppm} END AS BIGINT)")
+
+    ab = (
+        "SELECT "
+        "CAST(SUM(CASE WHEN name = 'a' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS ns_a, MAX(CASE WHEN name = 'a' THEN h END) AS hk_a, "
+        "CAST(SUM(CASE WHEN name = 'b' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS ns_b, MAX(CASE WHEN name = 'b' THEN h END) AS hk_b "
+        f"FROM ({samples})"
+    )
+    u = (f"SELECT CAST(COUNT(*) AS BIGINT) AS ns_u, MAX(h) AS hk_u "
+         f"FROM ({u_s})")
+    rho = (
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS rho FROM ({u_s}) u "
+        f"WHERE h IN (SELECT h FROM ({samples}) WHERE name = 'a') "
+        f"AND h IN (SELECT h FROM ({samples}) WHERE name = 'b')"
+    )
+    return (
+        f"SELECT {k} AS k, "
+        f"{est('ns_a', 'hk_a')} AS a_est, {rse('ns_a')} AS a_rse_ppm, "
+        f"{est('ns_b', 'hk_b')} AS b_est, {rse('ns_b')} AS b_rse_ppm, "
+        f"{est('ns_u', 'hk_u')} AS union_est, "
+        f"{rse('ns_u')} AS union_rse_ppm, "
+        f"CAST(rho AS DOUBLE) * ({est('ns_u', 'hk_u')}) "
+        f"/ CAST(ns_u AS DOUBLE) AS inter_est "
+        f"FROM ({ab}) CROSS JOIN ({u}) CROSS JOIN ({rho})"
+    )
+
+
+def bm25_search_sql(docs: str, id_col: str, text_col: str,
+                    queries: str, top_k: int = BM25_TOP_K) -> str:
+    """Table-driven BM25 top-k (bm25_search_table's shape, text.py:1932)
+    as one Spark-SQL subquery.  ``queries`` is any catalog table with
+    (query_id, term) rows — the workload as DATA, the production search
+    path.  Columns: query_id, rank, doc_id, score_ppb, n_terms.
+
+    Plan shape mirrors the operator: tokenize -> explode -> broadcast
+    the distinct query terms onto the token stream (hinted — non-query
+    tokens die at the filter, the corpus never shuffles on raw tokens),
+    ONE (doc, dl, term) aggregate, per-term document frequency as an
+    unordered window over the matched-pairs frame, broadcast query join,
+    integer-ppb contributions (order-independent exact DECIMAL(38,0)
+    arithmetic), ONE (query, doc) sum, and the per-query top-k window
+    (WindowGroupLimit).  Corpus stats ride a separate narrow scan."""
+    toks_expr = TOKENS_SPARK.replace("(text)", f"({text_col})") \
+        if text_col != "text" else TOKENS_SPARK
+    toks = (
+        "SELECT doc_id, CAST(size(tokens) AS BIGINT) AS dl, "
+        "explode(tokens) AS term FROM ("
+        f"SELECT {id_col} AS doc_id, {toks_expr} AS tokens FROM {docs})"
+    )
+    tf = (
+        "SELECT /*+ BROADCAST(qt) */ doc_id, dl, t.term AS term, "
+        "CAST(COUNT(*) AS BIGINT) AS tf FROM "
+        f"({toks}) t JOIN (SELECT DISTINCT term FROM {queries}) qt "
+        "ON t.term = qt.term GROUP BY doc_id, dl, t.term"
+    )
+    tfdf = (f"SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) "
+            f"AS df FROM ({tf})")
+    stats = (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(dl) AS BIGINT) AS t FROM ("
+        f"SELECT CAST(size({toks_expr}) AS BIGINT) AS dl FROM {docs})"
+    )
+    scored = (
+        "SELECT /*+ BROADCAST(q) */ q.query_id, f.doc_id, "
+        "CAST((CAST((2*(n - df) + 1) AS DECIMAL(38,0)) * 22 * tf"
+        " * t * 1000000000)"
+        " DIV (CAST((2*df + 1) AS DECIMAL(38,0))"
+        " * (10*tf*t + 3*t + 9*dl*n)) AS BIGINT) AS contrib_ppb "
+        f"FROM ({tfdf}) f JOIN {queries} q ON f.term = q.term "
+        f"CROSS JOIN ({stats})"
+    )
+    agg = (
+        "SELECT query_id, doc_id, SUM(contrib_ppb) AS score_ppb, "
+        f"CAST(COUNT(*) AS INT) AS n_terms FROM ({scored}) "
+        "GROUP BY query_id, doc_id"
+    )
+    ranked = (
+        "SELECT query_id, doc_id, score_ppb, n_terms, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY score_ppb DESC, doc_id ASC) "
+        f"AS rank FROM ({agg})"
+    )
+    return (
+        "SELECT query_id, rank, doc_id, score_ppb, n_terms "
+        f"FROM ({ranked}) WHERE rank <= {top_k} "
+        "ORDER BY query_id, rank"
+    )
+
+
 def _expand_one(fn: str, args: list[str | int]) -> str:
     strs = [a for a in args if isinstance(a, str)]
     ints = [a for a in args if isinstance(a, int)]
@@ -431,6 +575,23 @@ def _expand_one(fn: str, args: list[str | int]) -> str:
                 "bloom_screen('table', 'id_col', 'text_col', split)"
             )
         return bloom_screen_sql(strs[0], strs[1], strs[2], ints[0])
+    if fn == "kmv_set_ops":
+        if len(strs) != 3:
+            raise ValueError(
+                "kmv_set_ops('table', 'col_a', 'col_b'[, k])"
+            )
+        k = ints[0] if ints else KMV_K
+        if k < 3:
+            raise ValueError("kmv_set_ops: k must be >= 3")
+        return kmv_set_ops_sql(strs[0], strs[1], strs[2], k)
+    if fn == "bm25_search":
+        if len(strs) != 4:
+            raise ValueError(
+                "bm25_search('docs_table', 'id_col', 'text_col', "
+                "'queries_table'[, top_k])"
+            )
+        return bm25_search_sql(strs[0], strs[1], strs[2], strs[3],
+                               ints[0] if ints else BM25_TOP_K)
     raise ValueError(f"unknown sketch table function {fn!r}")
 
 

@@ -118,6 +118,67 @@ def test_cms_retract_everything_empties_the_state(spark, tmp_path):
     assert sk is None or sk.count() == 0
 
 
+def test_kmv_set_ops_sql_matches_operator(spark):
+    """kmv_set_ops(...) must reproduce op_kmv_set_ops' PRODUCTION
+    columns (estimates + rse, no exact ride-alongs) byte-for-byte at
+    the default k, and its plan must reuse the single name-tagged
+    distinct exchange instead of rescanning the corpus per sample use."""
+    from incresql_spark.operators.relational import op_kmv_set_ops
+
+    spark.read.parquet(f"{SF_SMALL}/lineitem.parquet") \
+        .createOrReplaceTempView("lineitem")
+    q = sketch_sql.expand_sketch_calls(
+        "SELECT * FROM kmv_set_ops('lineitem', 'l_partkey', 'l_suppkey')"
+    )
+    df = spark.sql(q)
+    got = df.collect()
+    want = op_kmv_set_ops(spark, SF_SMALL).select(
+        "k", "a_est", "a_rse_ppm", "b_est", "b_rse_ppm",
+        "union_est", "union_rse_ppm", "inter_est",
+    ).collect()
+    assert len(got) == 1
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # exchange reuse is an AQE runtime decision — read the FINAL plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan[:3000]
+    # the custom-k argument reaches the estimator literals
+    q8 = sketch_sql.expand_sketch_calls(
+        "SELECT * FROM kmv_set_ops('lineitem', 'l_partkey', "
+        "'l_suppkey', 8)"
+    )
+    r8 = spark.sql(q8).collect()[0]
+    assert r8.k == 8 and r8.a_rse_ppm == round(1_000_000 / 6 ** 0.5)
+
+
+def test_bm25_search_sql_matches_operator(spark):
+    """bm25_search(...) over a catalog query table must reproduce
+    bm25_search_table (the production searcher) row-for-row, including
+    the integer-ppb scores."""
+    from incresql_spark.operators.text import (
+        BM25_QUERIES,
+        bm25_search_table,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    workload = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id INT, term STRING",
+    )
+    workload.createOrReplaceTempView("bm25_workload")
+    q = sketch_sql.expand_sketch_calls(
+        "SELECT * FROM bm25_search('documents', 'doc_id', 'text', "
+        "'bm25_workload')"
+    )
+    got = [tuple(r) for r in spark.sql(q).collect()]
+    want = [tuple(r) for r in bm25_search_table(docs, workload).collect()]
+    assert got == want and len(got) > 0
+    # exactly one explode in the matched plan (the operator's pin)
+    plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+    assert plan.lower().count("explode") <= 2, plan[:3000]
+
+
 def test_quantile_grouped_sql_keeps_null_groups(spark):
     """r16 advice #2: the SQL expansion's grouped-count join is
     NULL-safe, so a NULL group reports its quantiles exactly like the

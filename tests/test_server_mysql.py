@@ -409,4 +409,44 @@ def test_sketch_table_function_over_the_wire(server):
     # eval half, so the screen must flag all six training docs
     assert [r[0] for r in rows5] == ["6", "7", "8", "9", "10", "11"]
     assert all(int(r[1]) > 0 for r in rows5)
+    # round-17 completion: KMV set algebra over the wire.  sk has 7
+    # distinct a-values and 40 distinct v-values sharing {0..6}; both
+    # sets are below k=128, so every estimate is EXACT
+    cols6, rows6 = c.query(
+        "SELECT k, a_est, b_est, union_est, inter_est "
+        "FROM kmv_set_ops('sk', 'a', 'v')"
+    )
+    assert cols6 == ["k", "a_est", "b_est", "union_est", "inter_est"]
+    assert len(rows6) == 1
+    k, a, b, u, i = rows6[0]
+    assert k == "128"
+    assert float(a) == 7.0 and float(b) == 40.0
+    assert float(u) == 40.0 and float(i) == 7.0
+    # round-17 completion: table-driven BM25 over the wire — the query
+    # workload itself arrives as a TABLE through the same connection
+    assert c.query("CREATE TABLE ws (query_id INT, term TEXT)") == 0
+    c.query("INSERT INTO ws VALUES (1, 'alpha'), (1, 'tok0'), "
+            "(2, 'zeta')")
+    cols7, rows7 = c.query(
+        "SELECT query_id, rank, doc_id, n_terms "
+        "FROM bm25_search('dox', 'doc_id', 'text', 'ws', 3) "
+        "ORDER BY query_id, rank"
+    )
+    assert cols7 == ["query_id", "rank", "doc_id", "n_terms"]
+    q1 = [r for r in rows7 if r[0] == "1"]
+    # every doc contains 'alpha'; docs 0/5/10 also hold 'tok0' twice and
+    # outrank the rest; top_k=3 caps the fan-out
+    assert len(q1) == 3 and [r[1] for r in q1] == ["1", "2", "3"]
+    assert {r[2] for r in q1} <= {"0", "5", "10"}
+    assert all(r[3] == "2" for r in q1)
+    # no doc matches query 2 ('zeta' is not in the corpus)
+    assert [r for r in rows7 if r[0] == "2"] == []
+    # EXPLAIN composes over the new expansions too (the r16 golden
+    # pattern): the engine explains the EXPANDED plan, no error
+    ecols, erows = c.query(
+        "EXPLAIN SELECT * FROM kmv_set_ops('sk', 'a', 'v')"
+    )
+    assert ecols == ["tree", "col_idx", "datatype", "expression"]
+    etxt = "\n".join(" ".join(x or "" for x in r) for r in erows)
+    assert "a_est" in etxt and "inter_est" in etxt
     c.close()
