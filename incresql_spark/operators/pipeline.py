@@ -1114,4 +1114,12 @@ BENCH_QUERIES = {
     # CAS-backend adapter parity (round-11 verdict task 7) — disclosed in
     # BASELINE.md; compare against mv_q3_incremental's row.
     "mv_q3_incremental_cas": mv_q3_incremental_cas,
+    # Round-17 (VERDICT r16 task 4): the two round-16 maintainer cycles
+    # get per-round regression tracking like the MV cycles got in round
+    # 11.  Each row times the WHOLE gate shape (multi-wave ingest +
+    # merge + report + teardown), so it is a cycle-vs-recompute number —
+    # disclosed in BASELINE.md, excluded from like-for-like totals.
+    "dedup_contamination_bloom_incremental":
+        dedup_contamination_bloom_incremental,
+    "text_cms_grouped_incremental": text_cms_grouped_incremental,
 }
