@@ -23,7 +23,7 @@ driver-green with its mechanism still gated by a sibling (per-row
 rationale in _GATE_DEMOTED and _GATE_TEXT).  Everything past the cap is equally
 oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
 registered queries locally value-hash-matched — the exact count is
-asserted against this docstring by tests/test_entry_gate.py: 126
+asserted against this docstring by tests/test_entry_gate.py: 127
 queries total; oracle output types are additionally linted — HUGEINT
 and DECIMAL rejected — after driver-only hash mismatches in rounds 2-4
 and 6-7).
@@ -268,9 +268,12 @@ _GATE_DEMOTED = (
     # driver evidence -> top promotion candidates for round 18):
     # text_cms_retract_incremental (retraction wave through the CMS
     # maintainer — net-corpus report hash-EQUAL to the batch operator)
-    # is registry-listed in pipeline.py's gate block, so it is pinned
+    # and mv_q3_incremental_batched (one refresh consuming all three
+    # delta windows — hash-EQUAL to the per-wave cycle) are
+    # registry-listed in pipeline.py's gate block, so they are pinned
     # here until promotion.
     "text_cms_retract_incremental",
+    "mv_q3_incremental_batched",
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated

@@ -320,7 +320,8 @@ PIPELINE_PRETRAIN_SQL = _pretrain_sql()
 _MV_DATE = "1995-03-15"
 
 
-def mv_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mv_q3_incremental(spark: SparkSession, sf_dir: str,
+                      batch_refresh: bool = False) -> DataFrame:
     """TPC-H Q3-shaped materialized view (aggregate over customer ⋈ orders
     ⋈ lineitem) maintained INCREMENTALLY — the reference's unrealized
     differential goal (storage/src/storage.rs:26-65) driven end-to-end as
@@ -348,6 +349,18 @@ def mv_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: refresh work is O(delta + touched groups); state lives in
     FreqTable segments (bucketable by join key on a cluster).  The
     temporary state directory is torn down after the result is pinned.
+
+    ``batch_refresh=True`` (round 17, VERDICT r16 task 5) lands ALL
+    three ingest waves — both inserts AND the retraction — before ONE
+    refresh.  No new machinery: ``FreqTable.delta(since, now)`` already
+    reads every pending segment in a single fused scan-and-sum job, and
+    the N-way telescoping delta rule differentiates between exact seq
+    cursors, so batching is correct BY CONSTRUCTION (insert-then-delete
+    of the same rows nets to zero inside the window before it ever
+    reaches the join).  The result is byte-identical to the per-wave
+    cycle; the saving is the per-wave job constants the round-16 floor
+    measurement identified (SCALING.md) — one delta join + one state
+    merge instead of three of each.
     """
     import shutil
     import tempfile
@@ -396,7 +409,8 @@ def mv_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             tables["lineitem"][1].filter("l_orderkey % 2 = 0"),
             assume_distinct=True,
         )
-        mv.refresh()
+        if not batch_refresh:
+            mv.refresh()
         # batch 2: odd orderkeys on BOTH fact-side tables; refresh 2
         tables["orders"][0].insert(
             tables["orders"][1].filter("o_orderkey % 2 = 1"),
@@ -406,8 +420,11 @@ def mv_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             tables["lineitem"][1].filter("l_orderkey % 2 = 1"),
             assume_distinct=True,
         )
-        mv.refresh()
-        # retraction: DELETE one return-flag class; refresh 3
+        if not batch_refresh:
+            mv.refresh()
+        # retraction: DELETE one return-flag class; refresh 3 — or, in
+        # the batched cycle, the ONLY refresh (all three delta windows
+        # fuse into one delta job + one merge)
         tables["lineitem"][0].delete_where("l_returnflag = 'R'")
         mv.refresh()
         out = (
@@ -448,6 +465,20 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY l_orderkey, o_orderdate, o_orderpriority
 """
+
+
+def mv_q3_incremental_batched(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The mv_q3 maintainer cycle with ALL THREE delta waves consumed by
+    ONE refresh (round 17, VERDICT r16 task 5 — 'batch multiple base
+    deltas per refresh').  Registered as a gate query with the SAME
+    oracle as mv_q3_incremental: hash equality proves the batched
+    window composes to the per-wave answer (the telescoping delta rule
+    differentiates between exact seq cursors, so wave count is
+    invisible to correctness); the bench row measures the per-wave job
+    constants saved (SCALING.md round-17)."""
+    return mv_q3_incremental(spark, sf_dir, batch_refresh=True)
+
 
 def mv_q13_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-shaped LEFT OUTER materialized view (customer ⟕ orders
@@ -1041,6 +1072,7 @@ QUERIES = {
         dedup_contamination_bloom_incremental,
     "text_cms_grouped_incremental": text_cms_grouped_incremental,
     "text_cms_retract_incremental": text_cms_retract_incremental,
+    "mv_q3_incremental_batched": mv_q3_incremental_batched,
 }
 ORACLE = {
     "pipeline_curate": PIPELINE_CURATE_SQL,
@@ -1081,6 +1113,10 @@ ORACLE = {
     # wave 2 the maintained sketch equals the batch sketch over the NET
     # corpus — the oracle is the batch recompute restricted to it
     "text_cms_retract_incremental": _cms_sql("WHERE (doc_id % 3) != 2"),
+    # one batched refresh over three delta windows composes to the same
+    # state as three per-wave refreshes — the per-wave oracle IS the
+    # batched oracle
+    "mv_q3_incremental_batched": MV_Q3_INCREMENTAL_SQL,
 }
 
 # Round 11 (VERDICT r10 task 7): the incremental-maintainer hot path gets
@@ -1122,4 +1158,8 @@ BENCH_QUERIES = {
     "dedup_contamination_bloom_incremental":
         dedup_contamination_bloom_incremental,
     "text_cms_grouped_incremental": text_cms_grouped_incremental,
+    # Round-17 (VERDICT r16 task 5): the batched-refresh cycle beside
+    # the per-wave one — same result by construction, the delta is the
+    # per-wave job constants (compare against mv_q3_incremental's row).
+    "mv_q3_incremental_batched": mv_q3_incremental_batched,
 }

@@ -100,6 +100,22 @@ def test_cms_grouped_retraction_equals_batch_on_net_corpus(
     assert got == want
 
 
+def test_mv_q3_batched_refresh_equals_per_wave(spark):
+    """One refresh consuming all three delta windows (two inserts + the
+    retraction) must produce exactly the per-wave maintained state —
+    the telescoping delta rule differentiates between seq cursors, so
+    wave count is invisible to correctness (VERDICT r16 task 5)."""
+    from incresql_spark.operators.pipeline import (
+        mv_q3_incremental,
+        mv_q3_incremental_batched,
+    )
+
+    got = [tuple(r) for r in
+           mv_q3_incremental_batched(spark, SF_SMALL).collect()]
+    want = [tuple(r) for r in mv_q3_incremental(spark, SF_SMALL).collect()]
+    assert got == want and len(got) > 0
+
+
 def test_cms_retract_everything_empties_the_state(spark, tmp_path):
     """Retracting every ingested wave drives EVERY counter to zero; the
     purge must leave an EMPTY state (AggState's convention for empty is
