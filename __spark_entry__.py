@@ -23,7 +23,7 @@ driver-green with its mechanism still gated by a sibling (per-row
 rationale in _GATE_DEMOTED and _GATE_TEXT).  Everything past the cap is equally
 oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
 registered queries locally value-hash-matched — the exact count is
-asserted against this docstring by tests/test_entry_gate.py: 127
+asserted against this docstring by tests/test_entry_gate.py: 128
 queries total; oracle output types are additionally linted — HUGEINT
 and DECIMAL rejected — after driver-only hash mismatches in rounds 2-4
 and 6-7).
@@ -269,11 +269,14 @@ _GATE_DEMOTED = (
     # text_cms_retract_incremental (retraction wave through the CMS
     # maintainer — net-corpus report hash-EQUAL to the batch operator)
     # and mv_q3_incremental_batched (one refresh consuming all three
-    # delta windows — hash-EQUAL to the per-wave cycle) are
-    # registry-listed in pipeline.py's gate block, so they are pinned
-    # here until promotion.
+    # delta windows — hash-EQUAL to the per-wave cycle) and
+    # mv_cascade_incremental (two-level MV cascade: an aggregate MV
+    # maintained over another aggregate MV's changelog — hash-EQUAL to
+    # the from-scratch two-level recompute) are registry-listed in
+    # pipeline.py's gate block, so they are pinned here until promotion.
     "text_cms_retract_incremental",
     "mv_q3_incremental_batched",
+    "mv_cascade_incremental",
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated

@@ -467,6 +467,7 @@ class MaterializedView:
         where: str | None,
         group_by: str | None,
         state_dir: str,
+        changelog: bool = False,
     ):
         self.spark = spark
         self.name = name
@@ -481,6 +482,17 @@ class MaterializedView:
             self.state = AggState(spark, os.path.join(state_dir, "agg"))
         else:
             self.state = FreqTable(spark, os.path.join(state_dir, "rows"))
+        # ``changelog=True`` (round 17: cascaded MVs — the reference's
+        # differential planner, storage.rs:26-65, taken one level further):
+        # every refresh ALSO appends the signed OUTPUT-level delta
+        # (finalized new rows +1, finalized prior rows -1, identical rows
+        # cancelled) to a FreqTable, so a SECOND MaterializedView can use
+        # this view's changelog as its ``base`` and maintain an aggregate
+        # OVER the aggregate incrementally.  Linear views need no flag:
+        # their state FreqTable already IS the signed changelog.
+        self.changelog: FreqTable | None = None
+        if changelog and self.is_aggregate:
+            self.changelog = FreqTable(spark, os.path.join(state_dir, "log"))
 
     # -- metadata ------------------------------------------------------------
     def _load_meta(self) -> dict:
@@ -658,9 +670,66 @@ class MaterializedView:
                     .agg(*[F.sum(c).alias(c) for c in state_cols])
                 )
             merged = merged.filter(F.col("__cnt") != 0)
-            st.write_buckets(merged, keys, touched, extra=cursor)
+            if self.changelog is not None:
+                # the changelog frame and write_buckets both evaluate
+                # ``merged`` — cache it so the touched-bucket re-aggregation
+                # runs once (bounded by |touched groups|, like delta_state)
+                merged = merged.persist()
+            try:
+                if self.changelog is not None:
+                    self._emit_changelog(old, merged, cursor)
+                st.write_buckets(merged, keys, touched, extra=cursor)
+            finally:
+                if self.changelog is not None:
+                    merged.unpersist()
         finally:
             delta_state.unpersist()
+
+    def _emit_changelog(self, old: DataFrame | None, new: DataFrame,
+                        cursor: dict | None) -> None:
+        """Append the signed OUTPUT-level delta of this refresh to the
+        changelog FreqTable: finalized post-merge rows at +1, finalized
+        prior rows at -1, grouped so rows the delta did not change cancel
+        exactly (both sides are read/derived from the same touched-bucket
+        contents, so unchanged groups are bit-identical).  Volume is
+        O(|touched groups|) — downstream views see only real changes.
+
+        Ordering & crash safety: the changelog segment is committed BEFORE
+        ``write_buckets`` publishes the new state manifest, and it carries
+        the refresh cursor as ``mv_cursor``.  A crash between the two
+        commits makes the next refresh recompute the SAME old→new
+        transition (the state cursor did not advance), and the
+        ``applied >= now`` guard below skips the duplicate append — the
+        same re-apply guard convention as ``_state_cursor``.  The reverse
+        order would lose the transition forever (state cursor advanced,
+        delta never re-pulled)."""
+        now = (cursor or {}).get("cursor", -1)
+        log = self.changelog
+        applied = max(
+            (s.get("mv_cursor", -1) for s in log._segments()), default=-1,
+        ) if log.exists() else -1
+        if applied >= now:
+            return  # crash-recovery replay: this transition is already logged
+        delta = self._finalize(new).withColumn(FREQ, F.lit(1).cast("long"))
+        if old is not None:
+            delta = delta.unionByName(
+                self._finalize(old.select(*new.columns)).withColumn(
+                    FREQ, F.lit(-1).cast("long")
+                )
+            )
+        cols = [c for c in delta.columns if c != FREQ]
+        delta = (
+            delta.groupBy(*cols).agg(F.sum(FREQ).alias(FREQ))
+            .filter(F.col(FREQ) != 0)
+        )
+        if not log.exists():
+            log.create(delta.drop(FREQ).schema)
+        log._write_segment(
+            delta,
+            has_negative=old is not None,  # first refresh is pure inserts
+            pre_merged=True,               # grouped+filtered just above
+            extra_meta={"mv_cursor": now},
+        )
 
     # -- read ----------------------------------------------------------------
     def read(self) -> DataFrame:
@@ -676,6 +745,12 @@ class MaterializedView:
         if st is None:
             # base table(s) empty so far: empty state with the delta-agg schema
             st = self.spark.createDataFrame([], self._empty_delta().schema)
+        return self._finalize(st)
+
+    def _finalize(self, st: DataFrame) -> DataFrame:
+        """Project per-group state columns to the view's declared output
+        (finalizing avg = sum/count) — used by ``read`` on the full state
+        and by ``_emit_changelog`` on touched-bucket frames."""
         out = []
         for kind, arg, alias in self.items:
             if kind == "key":

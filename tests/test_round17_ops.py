@@ -246,3 +246,103 @@ def test_sketch_alias_capture_skips_clause_keywords(spark):
     )
     assert ") zz" in q3 and "hll_distinct_t" not in q3
     assert spark.sql(q3).count() == 1
+
+def test_mv_cascade_two_levels_equal_batch_recompute(spark):
+    """Two-level maintained cascade (aggregate MV over an aggregate MV's
+    changelog) must equal the from-scratch two-level recompute on the
+    net corpus after three waves including a retraction (VERDICT r16
+    task 8)."""
+    from incresql_spark.operators.pipeline import (
+        load_table,
+        mv_cascade_incremental,
+    )
+
+    got = [tuple(r) for r in
+           mv_cascade_incremental(spark, SF_SMALL).collect()]
+    load_table(spark, SF_SMALL, "lineitem").createOrReplaceTempView(
+        "cascade_lineitem")
+    want = [tuple(r) for r in spark.sql("""
+        WITH mv1 AS (
+          SELECT l_suppkey, l_returnflag, COUNT(*) AS nitems,
+                 SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+          FROM cascade_lineitem WHERE l_linenumber <= 4
+          GROUP BY l_suppkey, l_returnflag)
+        SELECT l_returnflag, COUNT(*) AS nsupp, SUM(nitems) AS total_items,
+               SUM(sum_qty) AS total_qty
+        FROM mv1 GROUP BY l_returnflag ORDER BY l_returnflag
+    """).collect()]
+    assert got == want and len(got) > 0
+
+
+def _tiny_changelog_mv(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from incresql_spark.frequency import FreqTable
+    from incresql_spark.materialize import MaterializedView
+
+    base = FreqTable(spark, str(tmp_path / "base"))
+    base.create(T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ]))
+    mv = MaterializedView(
+        spark, "log_mv", base,
+        "g, count(*) AS n, sum(v) AS s", None, "g",
+        str(tmp_path / "state"), changelog=True,
+    )
+    return base, mv
+
+
+def test_changelog_emits_only_changed_groups(spark, tmp_path):
+    """An unchanged group sharing a state bucket with a changed one must
+    CANCEL out of the changelog (new +1 meets prior -1) — downstream
+    views see O(changed groups), not O(touched buckets)."""
+    from incresql_spark.materialize import STATE_BUCKETS_CONF
+
+    prior = spark.conf.get(STATE_BUCKETS_CONF, None)
+    spark.conf.set(STATE_BUCKETS_CONF, "1")  # force a shared bucket
+    try:
+        base, mv = _tiny_changelog_mv(spark, tmp_path)
+        base.insert(spark.createDataFrame([("a", 1), ("b", 2)], ["g", "v"]))
+        mv.refresh()
+        seq1 = mv.changelog.last_seq()
+        base.insert(spark.createDataFrame([("a", 10)], ["g", "v"]))
+        mv.refresh()
+        rows = {(r.g, r.n, r.s): r["__freq"]
+                for r in mv.changelog.delta(seq1, None).collect()}
+        # group b: untouched -> cancelled; group a: old out, new in
+        assert rows == {("a", 1, 1): -1, ("a", 2, 11): 1}
+    finally:
+        if prior is None:
+            spark.conf.unset(STATE_BUCKETS_CONF)
+        else:
+            spark.conf.set(STATE_BUCKETS_CONF, prior)
+
+
+def test_changelog_group_death_emits_bare_retraction(spark, tmp_path):
+    """Deleting every row of a group must surface in the changelog as
+    the old finalized row at -1 with no +1 twin — level-2 count(*) of
+    live level-1 groups decrements through it."""
+    base, mv = _tiny_changelog_mv(spark, tmp_path)
+    base.insert(spark.createDataFrame([("a", 1), ("b", 2)], ["g", "v"]))
+    mv.refresh()
+    seq1 = mv.changelog.last_seq()
+    base.delete_where("g = 'b'")
+    mv.refresh()
+    rows = {(r.g, r.n, r.s): r["__freq"]
+            for r in mv.changelog.delta(seq1, None).collect()}
+    assert rows == {("b", 1, 2): -1}
+
+
+def test_changelog_replay_guard_skips_applied_cursor(spark, tmp_path):
+    """Crash window: state commit did not land but the changelog segment
+    did — the re-run of the same transition must NOT append a duplicate
+    (the mv_cursor guard, mirroring _state_cursor's convention)."""
+    base, mv = _tiny_changelog_mv(spark, tmp_path)
+    base.insert(spark.createDataFrame([("a", 1)], ["g", "v"]))
+    mv.refresh()
+    seq = mv.changelog.last_seq()
+    delta_state = mv._delta_agg(base.scan(expand=False))
+    mv._emit_changelog(None, delta_state,
+                       {"cursor": mv._state_cursor()})
+    assert mv.changelog.last_seq() == seq  # early-out, nothing written
