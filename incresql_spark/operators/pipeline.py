@@ -1262,4 +1262,7 @@ BENCH_QUERIES = {
     # the per-wave one — same result by construction, the delta is the
     # per-wave job constants (compare against mv_q3_incremental's row).
     "mv_q3_incremental_batched": mv_q3_incremental_batched,
+    # Round-17 stretch (task 8): the two-level cascade cycle — DuckDB
+    # ratio is cycle-vs-recompute like every maintainer row.
+    "mv_cascade_incremental": mv_cascade_incremental,
 }
