@@ -586,8 +586,41 @@ class MaterializedView:
         # crash-between-commit-and-meta window).
         since = max(meta.get("last_refresh_seq", -1), self._state_cursor())
         now = self.base.last_seq()
-        if now <= since:
-            return 0
+        total = 0
+        if self.changelog is not None:
+            logged = self._changelog_cursor()
+            if logged > since:
+                # Torn transition: the changelog committed a segment for a
+                # window whose state commit never landed.  New base ingest
+                # may have arrived since, so replaying straight to ``now``
+                # would log a SECOND, overlapping old→newer transition on
+                # top of the recorded old→mid one (double-counting every
+                # downstream cascade).  Complete the EXACT logged window
+                # first — same old state + same delta window ⇒ the same
+                # deterministic merge, and the ``applied >= now`` guard in
+                # _emit_changelog skips the duplicate append — then consume
+                # the remainder as a normal refresh that logs mid→new.
+                total += self._refresh_window(since, logged, meta)
+                since = logged
+        if now > since:
+            total += self._refresh_window(since, now, meta)
+        return total
+
+    def _changelog_cursor(self) -> int:
+        """Highest refresh cursor the changelog has a committed segment
+        for (-1 when absent) — compared against the state's own cursor to
+        detect a transition whose changelog landed but whose state commit
+        did not (see ``refresh`` / ``_emit_changelog``)."""
+        if self.changelog is None or not self.changelog.exists():
+            return -1
+        return max(
+            (s.get("mv_cursor", -1) for s in self.changelog._segments()),
+            default=-1,
+        )
+
+    def _refresh_window(self, since: int, now: int, meta: dict) -> int:
+        """Propagate the base delta window (since, now] into the state —
+        the single-window body of ``refresh``."""
         delta = self.base.delta(since, now)
         if self.is_aggregate:
             # fused materialization (r15 verdict task 7): the delta scan
@@ -705,10 +738,7 @@ class MaterializedView:
         delta never re-pulled)."""
         now = (cursor or {}).get("cursor", -1)
         log = self.changelog
-        applied = max(
-            (s.get("mv_cursor", -1) for s in log._segments()), default=-1,
-        ) if log.exists() else -1
-        if applied >= now:
+        if self._changelog_cursor() >= now:
             return  # crash-recovery replay: this transition is already logged
         delta = self._finalize(new).withColumn(FREQ, F.lit(1).cast("long"))
         if old is not None:

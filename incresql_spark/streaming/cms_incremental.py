@@ -137,8 +137,16 @@ class IncrementalCms:
         # the state was written from this very frame shape — skip footer
         # schema inference on the read-back (read_buckets treatment)
         old = self.state.read(schema=delta.schema)
-        merged = delta if old is None else (
-            old.unionByName(delta)
+        # The bootstrap write goes through the SAME merge+purge shape as
+        # every later one: a caller-supplied counter frame may carry
+        # duplicate (*keys, i, b) rows or c<=0 rows (e.g. a first
+        # operation that is itself a retraction/correction), and
+        # persisting those verbatim would seed a state that is not
+        # row-identical to the from-scratch sketch — a later candidate
+        # hashing to a lingering c=0 row would read MIN(c)=0, violating
+        # the CMS no-underestimate guarantee the purge exists to protect.
+        merged = (
+            (delta if old is None else old.unionByName(delta))
             .groupBy(*key_cols)
             .agg(F.sum("c").cast("bigint").alias("c"))
             .filter(F.col("c") != 0)

@@ -346,3 +346,60 @@ def test_changelog_replay_guard_skips_applied_cursor(spark, tmp_path):
     mv._emit_changelog(None, delta_state,
                        {"cursor": mv._state_cursor()})
     assert mv.changelog.last_seq() == seq  # early-out, nothing written
+
+def test_changelog_torn_transition_completes_before_new_window(
+    spark, tmp_path
+):
+    """Crash AFTER the changelog commit but BEFORE the state commit,
+    with NEW base ingest arriving before the retry: the retry must
+    complete the exact logged window first (no duplicate append) and
+    only then log the remainder — replaying straight to the newest
+    cursor would stack two overlapping transitions and double-count
+    every downstream cascade (round-17 self-review finding #1)."""
+    from incresql_spark.materialize import AggState
+
+    base, mv = _tiny_changelog_mv(spark, tmp_path)
+    base.insert(spark.createDataFrame([("a", 1)], ["g", "v"]))
+    mv.refresh()
+    base.insert(spark.createDataFrame([("a", 10), ("b", 2)], ["g", "v"]))
+    real = AggState.write_buckets
+    calls = {"n": 0}
+
+    def torn(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after changelog commit")
+        return real(self, *a, **k)
+
+    try:
+        AggState.write_buckets = torn
+        try:
+            mv.refresh()
+        except RuntimeError:
+            pass
+        assert mv._changelog_cursor() > mv._state_cursor()  # torn indeed
+    finally:
+        AggState.write_buckets = real
+    # new ingest lands BEFORE the retry
+    base.insert(spark.createDataFrame([("a", 100)], ["g", "v"]))
+    mv.refresh()
+    # net changelog must equal the final state at +1 per live group
+    net = {
+        (r.g, r.n, r.s): r["__freq"]
+        for r in mv.changelog.scan(expand=False).collect()
+    }
+    want = {(r.g, r.n, r.s): 1 for r in mv.read().collect()}
+    assert net == want == {("a", 3, 111): 1, ("b", 1, 2): 1}
+
+
+def test_cms_bootstrap_counter_frame_is_merged_and_purged(spark, tmp_path):
+    """The FIRST caller-supplied counter frame must go through the same
+    merge+purge as every later one: duplicate (i, b) rows collapse and
+    c=0 rows are purged, so the bootstrapped state can never serve a
+    lingering zero counter as MIN(c) (round-17 self-review finding #2)."""
+    from incresql_spark.streaming.cms_incremental import IncrementalCms
+
+    cms = IncrementalCms(spark, str(tmp_path / "state"), width=16, depth=2)
+    cms.add_batch_counters(spark.createDataFrame(
+        [(0, 3, 5), (0, 3, 3), (1, 7, 0)], ["i", "b", "c"]))
+    assert {(r.i, r.b): r.c for r in cms.sketch().collect()} == {(0, 3): 8}
