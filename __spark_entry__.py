@@ -23,7 +23,7 @@ driver-green with its mechanism still gated by a sibling (per-row
 rationale in _GATE_DEMOTED and _GATE_TEXT).  Everything past the cap is equally
 oracle-checked locally via ``tools/check_oracle.py`` and pytest (all
 registered queries locally value-hash-matched — the exact count is
-asserted against this docstring by tests/test_entry_gate.py: 128
+asserted against this docstring by tests/test_entry_gate.py: 129
 queries total; oracle output types are additionally linted — HUGEINT
 and DECIMAL rejected — after driver-only hash mismatches in rounds 2-4
 and 6-7).
@@ -277,6 +277,7 @@ _GATE_DEMOTED = (
     "text_cms_retract_incremental",
     "mv_q3_incremental_batched",
     "mv_cascade_incremental",
+    "mv_cascade_q3_incremental",
 )
 
 # Text-suite entries promoted into the gate (round 9): text_stats (gated

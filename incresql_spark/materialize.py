@@ -606,17 +606,30 @@ class MaterializedView:
             total += self._refresh_window(since, now, meta)
         return total
 
-    def _changelog_cursor(self) -> int:
+    def _changelog_cursor(self):
         """Highest refresh cursor the changelog has a committed segment
         for (-1 when absent) — compared against the state's own cursor to
         detect a transition whose changelog landed but whose state commit
-        did not (see ``refresh`` / ``_emit_changelog``)."""
+        did not (see ``refresh`` / ``_emit_changelog``).  Single-base
+        views store an int seq; join views a per-table seq VECTOR (always
+        element-wise monotone across refreshes, so lexicographic ``max``
+        picks the latest one)."""
         if self.changelog is None or not self.changelog.exists():
             return -1
         return max(
             (s.get("mv_cursor", -1) for s in self.changelog._segments()),
             default=-1,
         )
+
+    @staticmethod
+    def _cursor_ge(a, b) -> bool:
+        """cursor a >= cursor b, for int seqs and per-table seq vectors
+        alike (vectors compare element-wise — ALL tables caught up)."""
+        if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+            return len(a) == len(b) and all(x >= y for x, y in zip(a, b))
+        if isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+            return False  # int default (-1) vs vector: never caught up
+        return a >= b
 
     def _refresh_window(self, since: int, now: int, meta: dict) -> int:
         """Propagate the base delta window (since, now] into the state —
@@ -738,7 +751,7 @@ class MaterializedView:
         delta never re-pulled)."""
         now = (cursor or {}).get("cursor", -1)
         log = self.changelog
-        if self._changelog_cursor() >= now:
+        if self._cursor_ge(self._changelog_cursor(), now):
             return  # crash-recovery replay: this transition is already logged
         delta = self._finalize(new).withColumn(FREQ, F.lit(1).cast("long"))
         if old is not None:
@@ -1046,11 +1059,13 @@ class AggregateJoinMaterializedView(MaterializedView):
         state_dir: str,
         table_filters: list[str | None] | None = None,
         hows: list[str] | None = None,
+        changelog: bool = False,
     ):
         if len(join_conds) != len(tables) - 1:
             raise ValueError("need exactly one join condition per adjacent pair")
         super().__init__(
-            spark, name, tables[0], select_list, where, group_by, state_dir
+            spark, name, tables[0], select_list, where, group_by, state_dir,
+            changelog=changelog,
         )
         if not self.is_aggregate:
             raise ValueError("use JoinMaterializedView for non-aggregate joins")
@@ -1245,8 +1260,27 @@ class AggregateJoinMaterializedView(MaterializedView):
         if state_seqs:
             olds = [max(o, s) for o, s in zip(olds, state_seqs)]
         news = [t.last_seq() for t in self.tables]
-        if all(n <= o for n, o in zip(news, olds)):
-            return 0
+        total = 0
+        if self.changelog is not None:
+            logged = self._changelog_cursor()
+            if isinstance(logged, (list, tuple)) and any(
+                l > o for l, o in zip(logged, olds)
+            ):
+                # torn transition, vector form (see the base class): the
+                # changelog recorded a window the state never committed —
+                # complete EXACTLY that window first (deterministic; the
+                # cursor guard skips the duplicate append), then consume
+                # the remainder as its own logged transition.
+                logged = [max(l, o) for l, o in zip(logged, olds)]
+                total += self._refresh_window(olds, logged)
+                olds = logged
+        if any(n > o for n, o in zip(news, olds)):
+            total += self._refresh_window(olds, news)
+        return total
+
+    def _refresh_window(self, olds: list[int], news: list[int]) -> int:
+        """Propagate one per-table delta window — the single-window body
+        of ``refresh`` (windowed for the torn-transition replay)."""
         delta, pinned = self._delta_plan(olds, news)
         try:
             if delta is None:

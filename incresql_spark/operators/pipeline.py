@@ -575,6 +575,131 @@ ORDER BY l_returnflag
 """
 
 
+def mv_cascade_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade over the flagship JOIN materialization: the TPC-H
+    Q3-shaped AggregateJoinMaterializedView (customer ⋈ orders ⋈
+    lineitem, the reference's differential goal) runs with
+    ``changelog=True``, and a SECOND aggregate MV is maintained over its
+    changelog — per o_orderpriority it counts LIVE Q3 groups
+    (inexpressible as any single flattened MV over the base tables) and
+    re-sums their revenue/items.  Same three waves as mv_q3_incremental
+    (even orderkeys, odd orderkeys, DELETE of the 'R' return-flag
+    class), refreshing BOTH levels each wave; the oracle recomputes the
+    two-level aggregate from scratch on the final live rows.
+
+    This exercises the vector-cursor changelog path: a join view's
+    refresh cursor is a per-table seq VECTOR, carried as ``mv_cursor``
+    on each changelog segment and compared element-wise by the torn-
+    transition guard (materialize._cursor_ge).  Revenue stays exact
+    decimal inside level-1 state; level 2 consumes it as BIGINT 1e-4
+    fixed-point units (scale-4 decimal × 10⁴ is integral — the standing
+    decimal-free gate convention), so the whole cascade is drift-free.
+
+    Scale: level-1 refresh is O(delta joins + touched groups); the
+    changelog per wave is O(touched Q3 groups); level-2 refresh is
+    O(that) — at 100 TB this is the orders-rollup pyramid where each
+    level's maintenance tracks the level below's churn."""
+    import shutil
+    import tempfile
+
+    from ..frequency import FreqTable
+    from ..materialize import AggregateJoinMaterializedView, MaterializedView
+
+    root = tempfile.mkdtemp(prefix="incr_mv_casq3_")
+    try:
+        tables = {}
+        for name in ("customer", "orders", "lineitem"):
+            src = load_table(spark, sf_dir, name)
+            t = FreqTable(spark, f"{root}/{name}")
+            t.create(src.schema)
+            tables[name] = (t, src)
+        mv1 = AggregateJoinMaterializedView(
+            spark,
+            "mv_casq3_l1",
+            [tables["customer"][0], tables["orders"][0], tables["lineitem"][0]],
+            ["c_custkey = o_custkey", "l_orderkey = o_orderkey"],
+            "l_orderkey, o_orderdate, o_orderpriority, "
+            "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))"
+            " AS revenue, "
+            "count(*) AS n_items",
+            None,
+            "l_orderkey, o_orderdate, o_orderpriority",
+            f"{root}/mv1_state",
+            table_filters=[
+                "c_mktsegment = 'BUILDING'",
+                f"o_orderdate < DATE '{_MV_DATE}'",
+                f"l_shipdate > DATE '{_MV_DATE}'",
+            ],
+            changelog=True,
+        )
+        mv2 = MaterializedView(
+            spark, "mv_casq3_l2", mv1.changelog,
+            "o_orderpriority, count(*) AS n_groups, "
+            "sum(CAST(revenue * 10000 AS BIGINT)) AS revenue_e4_total, "
+            "sum(n_items) AS items_total",
+            None, "o_orderpriority",
+            f"{root}/mv2_state",
+        )
+        tables["customer"][0].insert(tables["customer"][1],
+                                     assume_distinct=True)
+        tables["orders"][0].insert(
+            tables["orders"][1].filter("o_orderkey % 2 = 0"),
+            assume_distinct=True,
+        )
+        tables["lineitem"][0].insert(
+            tables["lineitem"][1].filter("l_orderkey % 2 = 0"),
+            assume_distinct=True,
+        )
+        mv1.refresh(); mv2.refresh()
+        tables["orders"][0].insert(
+            tables["orders"][1].filter("o_orderkey % 2 = 1"),
+            assume_distinct=True,
+        )
+        tables["lineitem"][0].insert(
+            tables["lineitem"][1].filter("l_orderkey % 2 = 1"),
+            assume_distinct=True,
+        )
+        mv1.refresh(); mv2.refresh()
+        tables["lineitem"][0].delete_where("l_returnflag = 'R'")
+        mv1.refresh(); mv2.refresh()
+        out = (
+            mv2.read()
+            .select("o_orderpriority", "n_groups", "revenue_e4_total",
+                    "items_total")
+            .orderBy("o_orderpriority")
+        )
+        # pin before tearing down the state directory the plan reads
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+MV_CASCADE_Q3_INCREMENTAL_SQL = f"""
+WITH mv1 AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS revenue,
+         COUNT(*) AS n_items
+  FROM customer, orders, lineitem
+  WHERE c_mktsegment = 'BUILDING'
+    AND c_custkey = o_custkey
+    AND l_orderkey = o_orderkey
+    AND o_orderdate < DATE '{_MV_DATE}'
+    AND l_shipdate > DATE '{_MV_DATE}'
+    AND l_returnflag <> 'R'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CAST(revenue * 10000 AS BIGINT)) AS BIGINT)
+         AS revenue_e4_total,
+       CAST(SUM(n_items) AS BIGINT) AS items_total
+FROM mv1
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def mv_q13_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-shaped LEFT OUTER materialized view (customer ⟕ orders
     per-customer order counts) maintained INCREMENTALLY — the reference's
@@ -1169,6 +1294,7 @@ QUERIES = {
     "text_cms_retract_incremental": text_cms_retract_incremental,
     "mv_q3_incremental_batched": mv_q3_incremental_batched,
     "mv_cascade_incremental": mv_cascade_incremental,
+    "mv_cascade_q3_incremental": mv_cascade_q3_incremental,
 }
 ORACLE = {
     "pipeline_curate": PIPELINE_CURATE_SQL,
@@ -1217,6 +1343,9 @@ ORACLE = {
     # the net corpus (delta propagation composes through the
     # materialization boundary)
     "mv_cascade_incremental": MV_CASCADE_INCREMENTAL_SQL,
+    # cascade over the JOIN MV (vector cursors): two-level maintained ==
+    # two-level from-scratch recompute on the final live rows
+    "mv_cascade_q3_incremental": MV_CASCADE_Q3_INCREMENTAL_SQL,
 }
 
 # Round 11 (VERDICT r10 task 7): the incremental-maintainer hot path gets

@@ -49,7 +49,7 @@ def test_gate_composition_is_pinned():
     # conscious omission, currently none)
     osql = m.oracle_sql()
     assert [k for k in qs if k not in osql] == []
-    assert len(qs) == len(set(qs)) == 128
+    assert len(qs) == len(set(qs)) == 129
 
 
 def test_docstring_query_count_matches_registry():

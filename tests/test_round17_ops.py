@@ -403,3 +403,65 @@ def test_cms_bootstrap_counter_frame_is_merged_and_purged(spark, tmp_path):
     cms.add_batch_counters(spark.createDataFrame(
         [(0, 3, 5), (0, 3, 3), (1, 7, 0)], ["i", "b", "c"]))
     assert {(r.i, r.b): r.c for r in cms.sketch().collect()} == {(0, 3): 8}
+
+def test_join_mv_changelog_torn_vector_cursor(spark, tmp_path):
+    """The join-MV cascade path: per-table seq VECTOR cursors through
+    the changelog, including the torn-transition completion (crash after
+    changelog commit, before state commit, with new ingest on one table
+    before the retry)."""
+    from pyspark.sql import types as T
+
+    from incresql_spark.frequency import FreqTable
+    from incresql_spark.materialize import (
+        AggregateJoinMaterializedView,
+        AggState,
+    )
+
+    a = FreqTable(spark, str(tmp_path / "a"))
+    a.create(T.StructType([
+        T.StructField("a_k", T.StringType()),
+        T.StructField("x", T.LongType()),
+    ]))
+    b = FreqTable(spark, str(tmp_path / "b"))
+    b.create(T.StructType([
+        T.StructField("b_k", T.StringType()),
+        T.StructField("y", T.LongType()),
+    ]))
+    mv = AggregateJoinMaterializedView(
+        spark, "jlog", [a, b], ["a_k = b_k"],
+        "a_k, count(*) AS n, sum(x) AS sx", None, "a_k",
+        str(tmp_path / "state"), changelog=True,
+    )
+    a.insert(spark.createDataFrame([("g1", 1)], ["a_k", "x"]))
+    b.insert(spark.createDataFrame([("g1", 7)], ["b_k", "y"]))
+    mv.refresh()
+    assert isinstance(mv._changelog_cursor(), list)  # vector cursor
+    a.insert(spark.createDataFrame([("g1", 10), ("g2", 2)], ["a_k", "x"]))
+    b.insert(spark.createDataFrame([("g2", 8)], ["b_k", "y"]))
+    real = AggState.write_buckets
+    calls = {"n": 0}
+
+    def torn(self, *args, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after changelog commit")
+        return real(self, *args, **kw)
+
+    try:
+        AggState.write_buckets = torn
+        try:
+            mv.refresh()
+        except RuntimeError:
+            pass
+    finally:
+        AggState.write_buckets = real
+    # new ingest on ONE table lands before the retry
+    b.insert(spark.createDataFrame([("g1", 9)], ["b_k", "y"]))
+    mv.refresh()
+    net = {
+        (r.a_k, r.n, r.sx): r["__freq"]
+        for r in mv.changelog.scan(expand=False).collect()
+    }
+    want = {(r.a_k, r.n, r.sx): 1 for r in mv.read().collect()}
+    # g1: (1+10) x joined twice (y=7, y=9) -> n=4, sx=22; g2: n=1, sx=2
+    assert net == want == {("g1", 4, 22): 1, ("g2", 1, 2): 1}
