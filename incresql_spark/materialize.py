@@ -616,10 +616,23 @@ class MaterializedView:
         picks the latest one)."""
         if self.changelog is None or not self.changelog.exists():
             return -1
-        return max(
-            (s.get("mv_cursor", -1) for s in self.changelog._segments()),
-            default=-1,
-        )
+        curs = [s.get("mv_cursor", -1)
+                for s in self.changelog._segments()]
+        if not curs:
+            return -1
+        kinds = {isinstance(c, (list, tuple)) for c in curs}
+        if len(kinds) > 1:
+            # the loud pinned-layout error, like AggState's bucket pin: a
+            # state_dir driven as a single-base view was reopened as a
+            # join view (or vice versa) — max() over mixed int/vector
+            # cursors would otherwise die with a bare TypeError
+            raise ValueError(
+                f"changelog {self.changelog.path} mixes scalar and "
+                "vector refresh cursors — it was previously driven by a "
+                "different view shape (single-base vs join); use a "
+                "fresh state_dir"
+            )
+        return max(curs)
 
     @staticmethod
     def _cursor_ge(a, b) -> bool:
@@ -1272,15 +1285,19 @@ class AggregateJoinMaterializedView(MaterializedView):
                 # cursor guard skips the duplicate append), then consume
                 # the remainder as its own logged transition.
                 logged = [max(l, o) for l, o in zip(logged, olds)]
-                total += self._refresh_window(olds, logged)
+                total += self._refresh_vector_window(olds, logged)
                 olds = logged
         if any(n > o for n, o in zip(news, olds)):
-            total += self._refresh_window(olds, news)
+            total += self._refresh_vector_window(olds, news)
         return total
 
-    def _refresh_window(self, olds: list[int], news: list[int]) -> int:
+    def _refresh_vector_window(self, olds: list[int],
+                               news: list[int]) -> int:
         """Propagate one per-table delta window — the single-window body
-        of ``refresh`` (windowed for the torn-transition replay)."""
+        of ``refresh`` (windowed for the torn-transition replay).  Named
+        apart from the base class's scalar ``_refresh_window(since, now,
+        meta)`` on purpose: the signatures are incompatible, and a
+        silent override would hand an int cursor to vector code."""
         delta, pinned = self._delta_plan(olds, news)
         try:
             if delta is None:

@@ -320,6 +320,78 @@ PIPELINE_PRETRAIN_SQL = _pretrain_sql()
 _MV_DATE = "1995-03-15"
 
 
+def _q3_tables_and_view(spark: SparkSession, sf_dir: str, root: str,
+                        changelog: bool = False):
+    """The SHARED Q3 materialization setup (FreqTable bases + the
+    customer ⋈ orders ⋈ lineitem aggregate join view) used by every
+    mv_q3-family gate query — one definition, so the per-wave, batched,
+    and cascaded cycles can never silently diverge from each other or
+    their common oracle."""
+    from ..frequency import FreqTable
+    from ..materialize import AggregateJoinMaterializedView
+
+    tables = {}
+    for name in ("customer", "orders", "lineitem"):
+        src = load_table(spark, sf_dir, name)
+        t = FreqTable(spark, f"{root}/{name}")
+        t.create(src.schema)
+        tables[name] = (t, src)
+    mv = AggregateJoinMaterializedView(
+        spark,
+        "mv_q3",
+        [tables["customer"][0], tables["orders"][0], tables["lineitem"][0]],
+        ["c_custkey = o_custkey", "l_orderkey = o_orderkey"],
+        "l_orderkey, o_orderdate, o_orderpriority, "
+        "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))"
+        " AS revenue, "
+        "count(*) AS n_items",
+        None,
+        "l_orderkey, o_orderdate, o_orderpriority",
+        f"{root}/mv_state",
+        table_filters=[
+            "c_mktsegment = 'BUILDING'",
+            f"o_orderdate < DATE '{_MV_DATE}'",
+            f"l_shipdate > DATE '{_MV_DATE}'",
+        ],
+        changelog=changelog,
+    )
+    return tables, mv
+
+
+def _q3_drive_waves(tables, after_wave) -> None:
+    """The SHARED three-wave ingest script (even orderkeys, odd
+    orderkeys, DELETE of the 'R' return-flag class); ``after_wave(i)``
+    runs after wave i's ingest so each cycle shape chooses its own
+    refresh cadence.  TPC-H rows are tuple-distinct (unique primary
+    keys), so every ingest skips the in-batch merge shuffle — the same
+    fast path the maintainers use."""
+    # wave 1: dimension + even orderkeys
+    tables["customer"][0].insert(tables["customer"][1],
+                                 assume_distinct=True)
+    tables["orders"][0].insert(
+        tables["orders"][1].filter("o_orderkey % 2 = 0"),
+        assume_distinct=True,
+    )
+    tables["lineitem"][0].insert(
+        tables["lineitem"][1].filter("l_orderkey % 2 = 0"),
+        assume_distinct=True,
+    )
+    after_wave(1)
+    # wave 2: odd orderkeys on BOTH fact-side tables
+    tables["orders"][0].insert(
+        tables["orders"][1].filter("o_orderkey % 2 = 1"),
+        assume_distinct=True,
+    )
+    tables["lineitem"][0].insert(
+        tables["lineitem"][1].filter("l_orderkey % 2 = 1"),
+        assume_distinct=True,
+    )
+    after_wave(2)
+    # wave 3: retraction — DELETE one return-flag class
+    tables["lineitem"][0].delete_where("l_returnflag = 'R'")
+    after_wave(3)
+
+
 def mv_q3_incremental(spark: SparkSession, sf_dir: str,
                       batch_refresh: bool = False) -> DataFrame:
     """TPC-H Q3-shaped materialized view (aggregate over customer ⋈ orders
@@ -367,66 +439,17 @@ def mv_q3_incremental(spark: SparkSession, sf_dir: str,
 
     from pyspark.sql import functions as F  # noqa: F811 — local for clarity
 
-    from ..frequency import FreqTable
-    from ..materialize import AggregateJoinMaterializedView
-
     root = tempfile.mkdtemp(prefix="incr_mv_q3_")
     try:
-        tables = {}
-        for name in ("customer", "orders", "lineitem"):
-            src = load_table(spark, sf_dir, name)
-            t = FreqTable(spark, f"{root}/{name}")
-            t.create(src.schema)
-            tables[name] = (t, src)
-        mv = AggregateJoinMaterializedView(
-            spark,
-            "mv_q3",
-            [tables["customer"][0], tables["orders"][0], tables["lineitem"][0]],
-            ["c_custkey = o_custkey", "l_orderkey = o_orderkey"],
-            "l_orderkey, o_orderdate, o_orderpriority, "
-            "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))"
-            " AS revenue, "
-            "count(*) AS n_items",
-            None,
-            "l_orderkey, o_orderdate, o_orderpriority",
-            f"{root}/mv_state",
-            table_filters=[
-                "c_mktsegment = 'BUILDING'",
-                f"o_orderdate < DATE '{_MV_DATE}'",
-                f"l_shipdate > DATE '{_MV_DATE}'",
-            ],
+        tables, mv = _q3_tables_and_view(spark, sf_dir, root)
+        # Per-wave refresh unless batched; the final wave always
+        # refreshes (in the batched cycle it is the ONLY refresh — all
+        # three delta windows fuse into one delta job + one merge).
+        _q3_drive_waves(
+            tables,
+            lambda wave: mv.refresh()
+            if (wave == 3 or not batch_refresh) else None,
         )
-        # batch 1: dimension + even orderkeys; refresh 1.  TPC-H rows are
-        # tuple-distinct (unique primary keys), so every ingest skips the
-        # in-batch merge shuffle — the same fast path the maintainers use.
-        tables["customer"][0].insert(tables["customer"][1],
-                                     assume_distinct=True)
-        tables["orders"][0].insert(
-            tables["orders"][1].filter("o_orderkey % 2 = 0"),
-            assume_distinct=True,
-        )
-        tables["lineitem"][0].insert(
-            tables["lineitem"][1].filter("l_orderkey % 2 = 0"),
-            assume_distinct=True,
-        )
-        if not batch_refresh:
-            mv.refresh()
-        # batch 2: odd orderkeys on BOTH fact-side tables; refresh 2
-        tables["orders"][0].insert(
-            tables["orders"][1].filter("o_orderkey % 2 = 1"),
-            assume_distinct=True,
-        )
-        tables["lineitem"][0].insert(
-            tables["lineitem"][1].filter("l_orderkey % 2 = 1"),
-            assume_distinct=True,
-        )
-        if not batch_refresh:
-            mv.refresh()
-        # retraction: DELETE one return-flag class; refresh 3 — or, in
-        # the batched cycle, the ONLY refresh (all three delta windows
-        # fuse into one delta job + one merge)
-        tables["lineitem"][0].delete_where("l_returnflag = 'R'")
-        mv.refresh()
         out = (
             mv.read()
             # The maintained sum is exact decimal internally; the GATE
@@ -602,36 +625,12 @@ def mv_cascade_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..frequency import FreqTable
-    from ..materialize import AggregateJoinMaterializedView, MaterializedView
+    from ..materialize import MaterializedView
 
     root = tempfile.mkdtemp(prefix="incr_mv_casq3_")
     try:
-        tables = {}
-        for name in ("customer", "orders", "lineitem"):
-            src = load_table(spark, sf_dir, name)
-            t = FreqTable(spark, f"{root}/{name}")
-            t.create(src.schema)
-            tables[name] = (t, src)
-        mv1 = AggregateJoinMaterializedView(
-            spark,
-            "mv_casq3_l1",
-            [tables["customer"][0], tables["orders"][0], tables["lineitem"][0]],
-            ["c_custkey = o_custkey", "l_orderkey = o_orderkey"],
-            "l_orderkey, o_orderdate, o_orderpriority, "
-            "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))"
-            " AS revenue, "
-            "count(*) AS n_items",
-            None,
-            "l_orderkey, o_orderdate, o_orderpriority",
-            f"{root}/mv1_state",
-            table_filters=[
-                "c_mktsegment = 'BUILDING'",
-                f"o_orderdate < DATE '{_MV_DATE}'",
-                f"l_shipdate > DATE '{_MV_DATE}'",
-            ],
-            changelog=True,
-        )
+        tables, mv1 = _q3_tables_and_view(spark, sf_dir, root,
+                                          changelog=True)
         mv2 = MaterializedView(
             spark, "mv_casq3_l2", mv1.changelog,
             "o_orderpriority, count(*) AS n_groups, "
@@ -640,28 +639,8 @@ def mv_cascade_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             None, "o_orderpriority",
             f"{root}/mv2_state",
         )
-        tables["customer"][0].insert(tables["customer"][1],
-                                     assume_distinct=True)
-        tables["orders"][0].insert(
-            tables["orders"][1].filter("o_orderkey % 2 = 0"),
-            assume_distinct=True,
-        )
-        tables["lineitem"][0].insert(
-            tables["lineitem"][1].filter("l_orderkey % 2 = 0"),
-            assume_distinct=True,
-        )
-        mv1.refresh(); mv2.refresh()
-        tables["orders"][0].insert(
-            tables["orders"][1].filter("o_orderkey % 2 = 1"),
-            assume_distinct=True,
-        )
-        tables["lineitem"][0].insert(
-            tables["lineitem"][1].filter("l_orderkey % 2 = 1"),
-            assume_distinct=True,
-        )
-        mv1.refresh(); mv2.refresh()
-        tables["lineitem"][0].delete_where("l_returnflag = 'R'")
-        mv1.refresh(); mv2.refresh()
+        _q3_drive_waves(tables,
+                        lambda wave: (mv1.refresh(), mv2.refresh()))
         out = (
             mv2.read()
             .select("o_orderpriority", "n_groups", "revenue_e4_total",
