@@ -301,7 +301,27 @@ class Engine:
                 meta["group_by"],
                 state,
                 hows=meta.get("hows"),  # pre-left-outer metas: all inner
+                changelog=bool(meta.get("changelog")),
             )
+        if "base_mv" in meta:
+            # Cascaded view (round 17): the base is ANOTHER aggregate
+            # MV's changelog FreqTable — delta propagation composes
+            # through the materialization boundary (materialize.py
+            # _emit_changelog).  ``_upstream`` carries the source chain
+            # so REFRESH can cascade root-first.
+            sdb, sname = meta["base_mv"].split(".", 1)
+            src = self._mv(sdb, sname)
+            mv = MaterializedView(
+                self.spark,
+                name,
+                src.changelog,
+                meta["select_list"],
+                meta.get("where"),
+                meta.get("group_by"),
+                state,
+            )
+            mv._upstream = src
+            return mv
         bdb, bt = meta["base"].split(".")
         return MaterializedView(
             self.spark,
@@ -311,12 +331,15 @@ class Engine:
             meta.get("where"),
             meta.get("group_by"),
             state,
+            changelog=bool(meta.get("changelog")),
         )
 
     def _mv_bases(self, meta: dict) -> list[str]:
         """Qualified base-table names a MV meta depends on."""
         if meta.get("type") == "agg_join":
             return list(meta["tables"])
+        if "base_mv" in meta:
+            return []  # depends on a view, not a table (see DROP guard)
         return [meta["base"]]
 
     #: bootstrap system tables (catalog/src/bootstrap.rs:22-66): ids 0/2/4
@@ -773,6 +796,35 @@ class Engine:
             db, name = _split_name(m.group(1), self.current_db)
             bdb, bt = _split_name(m.group(3), self.current_db)
             if not self._table(bdb, bt).exists():
+                if bt in self._mvs(bdb):
+                    # CASCADE (round 17): the FROM names an existing MV —
+                    # the new view maintains an aggregate OVER it by
+                    # consuming its changelog.  Enabling the changelog on
+                    # an already-refreshed source is safe: bootstrap
+                    # seeds one segment with the CURRENT finalized state
+                    # under the state's own cursor (idempotent), and all
+                    # later refresh deltas compose on top.
+                    if not self._mv(bdb, bt).is_aggregate:
+                        raise ValueError(
+                            f"cascade source {bdb}.{bt} is not an "
+                            "aggregate view — only aggregate views emit "
+                            "a changelog (a linear view's own state "
+                            "table already IS one)"
+                        )
+                    smvs = self._mvs(bdb)
+                    if not smvs[bt].get("changelog"):
+                        smvs[bt]["changelog"] = True
+                        self._save_mvs(bdb, smvs)
+                    self._mv(bdb, bt).bootstrap_changelog()
+                    mvs = self._mvs(db)
+                    mvs[name] = {
+                        "base_mv": f"{bdb}.{bt}",
+                        "select_list": m.group(2),
+                        "where": m.group(4),
+                        "group_by": m.group(5),
+                    }
+                    self._register_and_refresh_mv(db, name, mvs)
+                    return EngineResult()
                 raise ValueError(f"unknown base table {bdb}.{bt}")
             mvs = self._mvs(db)
             mvs[name] = {
@@ -787,12 +839,34 @@ class Engine:
         m = re.match(rf"REFRESH MATERIALIZED VIEW ({_QNAME})\s*$", s, re.IGNORECASE)
         if m:
             db, name = _split_name(m.group(1), self.current_db)
-            n = self._mv(db, name).refresh()
+            mv = self._mv(db, name)
+            # cascade: refresh the upstream chain root-first so this
+            # view's changelog base carries every pending transition
+            chain = []
+            up = getattr(mv, "_upstream", None)
+            while up is not None:
+                chain.append(up)
+                up = getattr(up, "_upstream", None)
+            for up in reversed(chain):
+                up.refresh()
+            n = mv.refresh()
             return EngineResult(["delta_rows"], [(n,)])
 
         m = re.match(rf"DROP MATERIALIZED VIEW ({_QNAME})\s*$", s, re.IGNORECASE)
         if m:
             db, name = _split_name(m.group(1), self.current_db)
+            qn = f"{db}.{name}"
+            deps = [
+                f"{d}.{n2}"
+                for d in self.databases()
+                for n2, m2 in self._mvs(d).items()
+                if m2.get("base_mv") == qn
+            ]
+            if deps:
+                raise ValueError(
+                    f"materialized view {qn} has dependent cascaded "
+                    f"view(s) {', '.join(sorted(deps))} — drop those first"
+                )
             self._mv(db, name).drop()
             mvs = self._mvs(db)
             mvs.pop(name, None)

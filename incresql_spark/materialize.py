@@ -634,6 +634,32 @@ class MaterializedView:
             )
         return max(curs)
 
+    def bootstrap_changelog(self) -> None:
+        """Seed a changelog that was enabled AFTER the view had already
+        refreshed (the SQL cascade path: CREATE MATERIALIZED VIEW v2 …
+        FROM v1 flips v1's changelog on): one segment carrying the
+        CURRENT finalized state at +1 under the state's own cursor, so
+        the log means "everything up to here" and every later refresh
+        delta composes on top.  No-op when the log already has segments
+        (idempotent — a crashed CREATE can re-run it) or the state is
+        fresh (the first refresh seeds the log itself)."""
+        if self.changelog is None:
+            raise ValueError(
+                f"view {self.name} was not constructed with changelog=True"
+            )
+        if self._changelog_cursor() != -1:
+            return
+        st = self.state.read()
+        if st is None:
+            return
+        delta = self._finalize(st).withColumn(FREQ, F.lit(1).cast("long"))
+        if not self.changelog.exists():
+            self.changelog.create(delta.drop(FREQ).schema)
+        self.changelog._write_segment(
+            delta, has_negative=False, pre_merged=True,
+            extra_meta={"mv_cursor": self._state_cursor()},
+        )
+
     @staticmethod
     def _cursor_ge(a, b) -> bool:
         """cursor a >= cursor b, for int seqs and per-table seq vectors

@@ -465,3 +465,96 @@ def test_join_mv_changelog_torn_vector_cursor(spark, tmp_path):
     want = {(r.a_k, r.n, r.sx): 1 for r in mv.read().collect()}
     # g1: (1+10) x joined twice (y=7, y=9) -> n=4, sx=22; g2: n=1, sx=2
     assert net == want == {("g1", 4, 22): 1, ("g2", 1, 2): 1}
+
+def test_cascaded_mv_through_sql(spark, tmp_path):
+    """The SQL face of the cascade: CREATE MATERIALIZED VIEW ... FROM an
+    EXISTING aggregate MV flips the source's changelog on (bootstrapped
+    from its current state — the source had already refreshed), REFRESH
+    cascades root-first through the chain, and DROP refuses to orphan a
+    dependent."""
+    import pytest
+
+    from incresql_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+
+    def rows(sql):
+        return sorted(e.execute_statement(sql).rows)
+
+    e.execute_statement("CREATE TABLE s2 (region TEXT, amount INT)")
+    e.execute_statement(
+        "INSERT INTO s2 VALUES ('n', 10), ('n', 20), ('s', 5)")
+    e.execute_statement(
+        "CREATE MATERIALIZED VIEW lvl1 AS "
+        "SELECT region, count(*) AS cnt, sum(amount) AS total "
+        "FROM s2 GROUP BY region")
+    e.execute_statement(
+        "CREATE MATERIALIZED VIEW lvl2 AS "
+        "SELECT count(*) AS n_regions, sum(total) AS grand FROM lvl1")
+    assert rows("SELECT * FROM lvl2") == [(2, 35)]
+    # a new region appears and an old one grows; one REFRESH at the top
+    # pulls the whole chain
+    e.execute_statement("INSERT INTO s2 VALUES ('e', 1), ('n', 30)")
+    e.execute_statement("REFRESH MATERIALIZED VIEW lvl2")
+    assert rows("SELECT * FROM lvl2") == [(3, 66)]
+    # retraction that kills a whole level-1 group decrements the count
+    e.execute_statement("DELETE FROM s2 WHERE region = 's'")
+    e.execute_statement("REFRESH MATERIALIZED VIEW lvl2")
+    assert rows("SELECT * FROM lvl2") == [(2, 61)]
+    with pytest.raises(ValueError, match="dependent cascaded"):
+        e.execute_statement("DROP MATERIALIZED VIEW lvl1")
+    e.execute_statement("DROP MATERIALIZED VIEW lvl2")
+    e.execute_statement("DROP MATERIALIZED VIEW lvl1")
+
+def test_cascaded_mv_sql_rejects_linear_source(spark, tmp_path):
+    """A linear view's own state table already IS a changelog — the
+    cascade path must refuse it loudly instead of constructing a view
+    with no changelog to read."""
+    import pytest
+
+    from incresql_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+    e.execute_statement("CREATE TABLE logs2 (lvl TEXT, msg TEXT)")
+    e.execute_statement("INSERT INTO logs2 VALUES ('E', 'boom')")
+    e.execute_statement(
+        "CREATE MATERIALIZED VIEW errs AS "
+        "SELECT msg FROM logs2 WHERE lvl = 'E'")
+    with pytest.raises(ValueError, match="not an aggregate view"):
+        e.execute_statement(
+            "CREATE MATERIALIZED VIEW errs2 AS "
+            "SELECT count(*) AS n FROM errs")
+
+
+def test_cascaded_mv_over_join_view_sql(spark, tmp_path):
+    """Cascade whose SOURCE is a JOIN materialization (vector cursors on
+    the changelog segments) driven purely through SQL DDL."""
+    from incresql_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+
+    def rows(sql):
+        return sorted(e.execute_statement(sql).rows)
+
+    e.execute_statement("CREATE TABLE cust (ck INT, seg TEXT)")
+    e.execute_statement("CREATE TABLE ords (ok INT, ock INT, amt INT)")
+    e.execute_statement(
+        "INSERT INTO cust VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    e.execute_statement(
+        "INSERT INTO ords VALUES (10, 1, 5), (11, 1, 7), (12, 2, 3)")
+    e.execute_statement(
+        "CREATE MATERIALIZED VIEW perseg AS "
+        "SELECT seg, count(*) AS n_ords, sum(amt) AS rev "
+        "FROM cust JOIN ords ON ck = ock GROUP BY seg")
+    e.execute_statement(
+        "CREATE MATERIALIZED VIEW segtotals AS "
+        "SELECT count(*) AS n_segs, sum(rev) AS grand FROM perseg")
+    assert rows("SELECT * FROM segtotals") == [(2, 15)]
+    # new orders land on customer 3 -> segment 'a' grows (no new seg)
+    e.execute_statement("INSERT INTO ords VALUES (13, 3, 100)")
+    e.execute_statement("REFRESH MATERIALIZED VIEW segtotals")
+    assert rows("SELECT * FROM segtotals") == [(2, 115)]
+    # retract every 'b' order -> the segment dies, n_segs drops
+    e.execute_statement("DELETE FROM ords WHERE ock = 2")
+    e.execute_statement("REFRESH MATERIALIZED VIEW segtotals")
+    assert rows("SELECT * FROM segtotals") == [(1, 112)]

@@ -450,3 +450,30 @@ def test_sketch_table_function_over_the_wire(server):
     etxt = "\n".join(" ".join(x or "" for x in r) for r in erows)
     assert "a_est" in etxt and "inter_est" in etxt
     c.close()
+
+
+def test_cascaded_mv_over_the_wire(server):
+    """Round-17 cascade DDL end-to-end over the MySQL wire: a level-2
+    materialized view created FROM a level-1 aggregate view, refreshed
+    through the chain with one statement, read back, and the dependency
+    guard surfacing as a wire error packet."""
+    c = MiniClient(server.port, CLIENT_PROTOCOL_41 | CLIENT_DEPRECATE_EOF)
+    assert c.query("CREATE TABLE wsales (region TEXT, amount INT)") == 0
+    c.query("INSERT INTO wsales VALUES ('n', 10), ('n', 20), ('s', 5)")
+    c.query(
+        "CREATE MATERIALIZED VIEW wl1 AS "
+        "SELECT region, count(*) AS cnt, sum(amount) AS total "
+        "FROM wsales GROUP BY region"
+    )
+    c.query(
+        "CREATE MATERIALIZED VIEW wl2 AS "
+        "SELECT count(*) AS n_regions, sum(total) AS grand FROM wl1"
+    )
+    cols, rows = c.query("SELECT * FROM wl2")
+    assert cols == ["n_regions", "grand"] and rows == [("2", "35")]
+    c.query("INSERT INTO wsales VALUES ('e', 1)")
+    c.query("REFRESH MATERIALIZED VIEW wl2")  # cascades root-first
+    _, rows = c.query("SELECT * FROM wl2")
+    assert rows == [("3", "36")]
+    with pytest.raises(RuntimeError, match="dependent cascaded"):
+        c.query("DROP MATERIALIZED VIEW wl1")
