@@ -319,6 +319,9 @@ class Engine:
                 meta.get("where"),
                 meta.get("group_by"),
                 state,
+                # a cascaded view can itself be a cascade SOURCE (v3 over
+                # v2): its own changelog flag must survive construction
+                changelog=bool(meta.get("changelog")),
             )
             mv._upstream = src
             return mv

@@ -558,3 +558,40 @@ def test_cascaded_mv_over_join_view_sql(spark, tmp_path):
     e.execute_statement("DELETE FROM ords WHERE ock = 2")
     e.execute_statement("REFRESH MATERIALIZED VIEW segtotals")
     assert rows("SELECT * FROM segtotals") == [(1, 112)]
+
+def test_three_level_cascade_through_sql(spark, tmp_path):
+    """A cascaded view can itself be a cascade source: level 3 reads
+    level 2's changelog, and one REFRESH at the top walks the whole
+    chain root-first."""
+    from incresql_spark.engine import Engine
+
+    e = Engine(spark, str(tmp_path / "wh"))
+
+    def rows(sql):
+        return sorted(e.execute_statement(sql).rows)
+
+    e.execute_statement("CREATE TABLE ev3 (city TEXT, region TEXT, v INT)")
+    e.execute_statement(
+        "INSERT INTO ev3 VALUES ('p', 'n', 1), ('q', 'n', 2), "
+        "('r', 's', 3)")
+    e.execute_statement(
+        "CREATE MATERIALIZED VIEW city_agg AS "
+        "SELECT city, region, sum(v) AS cv FROM ev3 GROUP BY city, region")
+    e.execute_statement(
+        "CREATE MATERIALIZED VIEW region_agg AS "
+        "SELECT region, count(*) AS n_cities, sum(cv) AS rv "
+        "FROM city_agg GROUP BY region")
+    e.execute_statement(
+        "CREATE MATERIALIZED VIEW world_agg AS "
+        "SELECT count(*) AS n_regions, sum(rv) AS total FROM region_agg")
+    assert rows("SELECT * FROM world_agg") == [(2, 6)]
+    # a brand-new region propagates through THREE materializations
+    e.execute_statement("INSERT INTO ev3 VALUES ('z', 'w', 10)")
+    e.execute_statement("REFRESH MATERIALIZED VIEW world_agg")
+    assert rows("SELECT * FROM world_agg") == [(3, 16)]
+    assert rows("SELECT * FROM region_agg ORDER BY region") == [
+        ("n", 2, 3), ("s", 1, 3), ("w", 1, 10)]
+    # kill the region again — the death cascades back out
+    e.execute_statement("DELETE FROM ev3 WHERE region = 'w'")
+    e.execute_statement("REFRESH MATERIALIZED VIEW world_agg")
+    assert rows("SELECT * FROM world_agg") == [(2, 6)]
