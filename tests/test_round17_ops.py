@@ -595,3 +595,26 @@ def test_three_level_cascade_through_sql(spark, tmp_path):
     e.execute_statement("DELETE FROM ev3 WHERE region = 'w'")
     e.execute_statement("REFRESH MATERIALIZED VIEW world_agg")
     assert rows("SELECT * FROM world_agg") == [(2, 6)]
+
+def test_changelog_compaction_between_cascade_refreshes(spark, tmp_path):
+    """Compacting a changelog is safe WHEN the downstream view is caught
+    up (its cursor sits at the log's top seq, outside the compacted
+    span): later waves keep composing.  A cursor INSIDE the span is
+    refused loudly by FreqTable.delta (no silent double-count) — the
+    compaction contract the changelog inherits for free."""
+    base, mv = _tiny_changelog_mv(spark, tmp_path)
+    from incresql_spark.materialize import MaterializedView
+
+    mv2 = MaterializedView(
+        spark, "log_mv2", mv.changelog,
+        "count(*) AS n_groups, sum(s) AS total", None, None,
+        str(tmp_path / "state2"),
+    )
+    base.insert(spark.createDataFrame([("a", 1), ("b", 2)], ["g", "v"]))
+    mv.refresh(); mv2.refresh()
+    base.insert(spark.createDataFrame([("a", 10)], ["g", "v"]))
+    mv.refresh(); mv2.refresh()  # caught up: cursor == log top
+    mv.changelog.compact()
+    base.insert(spark.createDataFrame([("c", 5)], ["g", "v"]))
+    mv.refresh(); mv2.refresh()
+    assert [tuple(r) for r in mv2.read().collect()] == [(3, 18)]
