@@ -272,8 +272,10 @@ _GATE_DEMOTED = (
     # delta windows — hash-EQUAL to the per-wave cycle) and
     # mv_cascade_incremental (two-level MV cascade: an aggregate MV
     # maintained over another aggregate MV's changelog — hash-EQUAL to
-    # the from-scratch two-level recompute) are registry-listed in
-    # pipeline.py's gate block, so they are pinned here until promotion.
+    # the from-scratch two-level recompute) and mv_cascade_q3_incremental
+    # (the same cascade over the Q3 JOIN view — per-table seq VECTOR
+    # cursors on the changelog) are registry-listed in pipeline.py's
+    # gate block, so they are pinned here until promotion.
     "text_cms_retract_incremental",
     "mv_q3_incremental_batched",
     "mv_cascade_incremental",
