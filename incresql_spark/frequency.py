@@ -435,14 +435,29 @@ class FreqTable:
                 to_delete = current.withColumn(FREQ, -F.col(FREQ))
                 n = to_delete.agg(F.coalesce(-F.sum(FREQ), F.lit(0))).collect()[0][0]
                 if n:
-                    self._write_segment(to_delete, ts_ms, has_negative=True)
+                    # one row per tuple (derived from the merged scan, the
+                    # freq-split rewrites frequencies in place) — the
+                    # write-side merge is the identity
+                    self._write_segment(to_delete, ts_ms, has_negative=True,
+                                        pre_merged=True)
             finally:
                 within.unpersist()
             return int(n)
-        to_delete = current.withColumn(FREQ, -F.col(FREQ))
-        n = to_delete.agg(F.coalesce(-F.sum(FREQ), F.lit(0))).collect()[0][0]
-        if n:
-            self._write_segment(to_delete, ts_ms, has_negative=True)
+        # Cached across the count and the segment write: the merged scan
+        # (cross-segment groupBy once >1 segment) is the expensive part of
+        # a delete, and the old shape ran it twice — once for the count,
+        # once inside _write_segment.  pre_merged: scan() output is
+        # tuple-unique by construction (merge-on-read, or a single
+        # write-merged segment), so the write-side groupBy is the identity
+        # — skipping it removes a second full-width shuffle (r18).
+        to_delete = current.withColumn(FREQ, -F.col(FREQ)).persist()
+        try:
+            n = to_delete.agg(F.coalesce(-F.sum(FREQ), F.lit(0))).collect()[0][0]
+            if n:
+                self._write_segment(to_delete, ts_ms, has_negative=True,
+                                    pre_merged=True)
+        finally:
+            to_delete.unpersist()
         return int(n)
 
     def compact(self) -> None:
@@ -573,6 +588,35 @@ class FreqTable:
             ).drop("__rep", FREQ)
         return df
 
+    def signed_scan(self, as_of_seq: int | None = None) -> DataFrame:
+        """(tuple, signed ``__freq``) union of the segments at ``as_of_seq``
+        with NO cross-segment merge and NO liveness filter — each on-disk
+        row flows through with its signed frequency.
+
+        Valid ONLY for ADDITIVE consumers: plans that are linear in the
+        frequency (equi-join with freq multiplication, freq-weighted
+        aggregation).  There an insert-then-delete pair (+1/−1 rows of the
+        same tuple) contributes exactly what the merged net row would —
+        zero — because every downstream term multiplies or sums the
+        frequency, so unmerged rows cancel in the final aggregate.  The
+        payoff is the removed merge: a multi-segment ``scan`` pays one
+        full-width Exchange (groupBy over ALL columns) before a single
+        downstream operator runs; this is a plain parquet union the
+        optimizer can push filters into (r18: the mv_q3 refresh plans
+        dropped from 4 Exchanges to 1).
+
+        NOT valid where row PRESENCE matters (anti/semi-join probes,
+        expand-to-rows reads): a net-0 tuple still has ±rows here.  Those
+        callers use ``scan``.  Assumes the table invariant that per-tuple
+        net frequency is never negative (deletes are derived from live
+        scans), which every engine path preserves."""
+        segs = self._segments(as_of_seq=as_of_seq)
+        schema = self.schema()
+        full = T.StructType(schema.fields + [T.StructField(FREQ, T.LongType())])
+        if not segs:
+            return self.spark.createDataFrame([], full)
+        return self.spark.read.schema(full).parquet(*[s["dir"] for s in segs])
+
     def delta(self, since_seq: int, until_seq: int | None = None) -> DataFrame:
         """(tuple, signed freq) of changes in segment-sequence window
         (since_seq, until_seq] — the feed for incremental materialized-view
@@ -602,11 +646,22 @@ class FreqTable:
                 )
         if not segs:
             return self.spark.createDataFrame([], full)
+        df = self.spark.read.schema(full).parquet(*[s["dir"] for s in segs])
+        if len(segs) == 1:
+            # Single-segment window: the on-disk segment is already merged
+            # per tuple with freq != 0 (_write_segment groupBy-merges the
+            # batch, or the caller promised distinctness via pre_merged),
+            # so the cross-segment merge is the identity — skipping it
+            # removes a full-width Exchange from EVERY single-wave refresh
+            # (measured: the three merge exchanges in the mv_q3 wave-2
+            # delta plan all came from this path; r18 optimization).
+            # Multi-segment windows keep the merge: it nets
+            # insert-then-delete pairs before the delta reaches any join
+            # (the batched-refresh telescoping rule relies on that).
+            return df
         cols = [f.name for f in schema.fields]
         return (
-            self.spark.read.schema(full)
-            .parquet(*[s["dir"] for s in segs])
-            .groupBy(*cols)
+            df.groupBy(*cols)
             .agg(F.sum(FREQ).alias(FREQ))
             .filter(F.col(FREQ) != 0)
         )

@@ -675,19 +675,7 @@ class MaterializedView:
         the single-window body of ``refresh``."""
         delta = self.base.delta(since, now)
         if self.is_aggregate:
-            # fused materialization (r15 verdict task 7): the delta scan
-            # and the per-group aggregation run in ONE job — the row count
-            # rides along as __nrows instead of costing a separate full
-            # count() pass over the raw delta
-            delta_state = self._delta_agg(delta, with_rows=True).persist()
-            try:
-                n = (delta_state.agg(F.sum("__nrows")).collect()[0][0]
-                     or 0)
-                if n:
-                    self._merge_agg(delta_state.drop("__nrows"),
-                                    cursor={"cursor": now})
-            finally:
-                delta_state.unpersist()
+            n = self._agg_refresh(delta, cursor={"cursor": now})
         else:
             n = delta.count()
             if n:
@@ -706,29 +694,76 @@ class MaterializedView:
         subclasses with a different input shape (joins) override this."""
         return self._delta_agg(self.base.scan(expand=False).limit(0))
 
-    def _merge_agg(self, delta_state: DataFrame, cursor: dict | None = None) -> None:
+    def _agg_refresh(self, delta: DataFrame, cursor: dict) -> int:
+        """Aggregate-view refresh body shared by the single-base and
+        join subclasses: aggregate the signed delta, learn the delta row
+        count AND the touched-bucket list from ONE fused job, and merge.
+
+        Fusions (r15 verdict task 7 + r18): the delta scan/join and the
+        per-group aggregation run in one job with the row count riding
+        along as ``__nrows``; the bucket id is computed on the SAME
+        cached frame so one ``groupBy(__bkt)`` collect yields both the
+        total (was a separate agg job) and the touched buckets (was a
+        separate distinct job) — one driver action per refresh instead
+        of two, ≤ num_buckets rows collected."""
+        st = self.state
+        # pin the bucket count from the manifest BEFORE bucketing the
+        # delta — a session whose conf differs from an existing state's
+        # layout must hash the delta with the layout's count, not its own
+        st._load_manifest()
+        delta_state = self._delta_agg(delta, with_rows=True)
+        keys = [c for c in delta_state.columns if not c.startswith("__")]
+        delta_state = delta_state.withColumn(
+            "__bkt", st.bucket_expr(keys, delta_state)
+        ).persist()
+        try:
+            per_bkt = (
+                delta_state.groupBy("__bkt")
+                .agg(F.sum("__nrows").alias("__n"))
+                .collect()
+            )
+            n = int(sum(r["__n"] for r in per_bkt))
+            if n:
+                self._merge_agg(
+                    delta_state.drop("__nrows"), cursor=cursor,
+                    touched=sorted(r["__bkt"] for r in per_bkt),
+                )
+        finally:
+            delta_state.unpersist()
+        return n
+
+    def _merge_agg(self, delta_state: DataFrame, cursor: dict | None = None,
+                   touched: list[int] | None = None) -> None:
         """Merge per-group state deltas into the bucketed state: read ONLY
         the buckets the delta's groups hash into, re-aggregate those, and
         commit new versions of only those buckets — O(delta + touched
         buckets), never O(|state|).  The touched-bucket list is a bounded
         driver collect (≤ num_buckets distinct ints — the same O(1)-scalar
-        class as FreqTable's delete counts).  ``cursor`` rides in the
-        manifest commit (see ``_state_cursor``)."""
-        keys = [c for c in delta_state.columns if not c.startswith("__")]
-        state_cols = [c for c in delta_state.columns if c.startswith("__")]
+        class as FreqTable's delete counts); ``_agg_refresh`` passes it
+        precomputed (fused with the row-count job).  ``cursor`` rides in
+        the manifest commit (see ``_state_cursor``)."""
+        keys = [c for c in delta_state.columns
+                if not c.startswith("__")]
+        state_cols = [c for c in delta_state.columns
+                      if c.startswith("__") and c != "__bkt"]
         st = self.state
         # pin the bucket count from the manifest BEFORE bucketing the delta —
         # a session whose conf differs from an existing state's layout must
         # hash the delta with the layout's count, not its own
         st._load_manifest()
-        delta_state = delta_state.withColumn(
-            "__bkt", st.bucket_expr(keys, delta_state)
-        ).persist()
+        own_pin = touched is None  # caller-persisted frame when provided
+        if own_pin:
+            if "__bkt" not in delta_state.columns:
+                delta_state = delta_state.withColumn(
+                    "__bkt", st.bucket_expr(keys, delta_state)
+                )
+            delta_state = delta_state.persist()
         try:
-            touched = sorted(
-                r["__bkt"]
-                for r in delta_state.select("__bkt").distinct().collect()
-            )
+            if touched is None:
+                touched = sorted(
+                    r["__bkt"]
+                    for r in delta_state.select("__bkt").distinct().collect()
+                )
             merged = delta_state.drop("__bkt")
             # The state files are written from this frame shape, so its
             # schema is the on-disk schema — skip footer inference.
@@ -768,7 +803,8 @@ class MaterializedView:
                 if self.changelog is not None:
                     merged.unpersist()
         finally:
-            delta_state.unpersist()
+            if own_pin:
+                delta_state.unpersist()
 
     def _emit_changelog(self, old: DataFrame | None, new: DataFrame,
                         cursor: dict | None) -> None:
@@ -974,11 +1010,17 @@ class JoinMaterializedView:
         l_new, r_new = self.left.last_seq(), self.right.last_seq()
         da = self.left.delta(l_old, l_new)
         db = self.right.delta(r_old, r_new)
-        b_old = self.right.scan(as_of_seq=r_old, expand=False)
-        a_new = self.left.scan(as_of_seq=l_new, expand=False)
-        delta_view = self._join(da, b_old).unionByName(self._join(a_new, db))
+        # join-term snapshots are signed unmerged scans (r18): the
+        # bilinear delta rule multiplies frequencies, so ±rows of a net-0
+        # tuple cancel downstream — no merge Exchange needed
+        delta_view = self._join(
+            da, self.right.signed_scan(r_old)
+        ).unionByName(self._join(self.left.signed_scan(l_new), db))
         if self.how == "left_outer":
+            # pad probes decide matchedness by row PRESENCE — their
+            # snapshots stay merged live scans
             b_new = self.right.scan(as_of_seq=r_new, expand=False)
+            b_old = self.right.scan(as_of_seq=r_old, expand=False)
             # new left rows currently unmatched get pads (snapshot
             # restricted to ΔA's own keys — delta-sized build side) …
             delta_view = delta_view.unionByName(
@@ -986,8 +1028,9 @@ class JoinMaterializedView:
             )
             # … and matchedness flips re-emit/retract pads of OLD left rows;
             # a_flip carries only ΔB keys by construction, so both snapshot
-            # probes restrict to ΔB's keys
-            a_flip = self.left.scan(as_of_seq=l_old, expand=False).join(
+            # probes restrict to ΔB's keys (the flip side itself is linear
+            # in the chain frequency — signed unmerged scan)
+            a_flip = self.left.signed_scan(l_old).join(
                 db.select(*self.on), self.on, "left_semi"
             )
             delta_view = delta_view.unionByName(
@@ -1210,8 +1253,21 @@ class AggregateJoinMaterializedView(MaterializedView):
         Returns (delta frame with freq column ``__f``, persisted subplans
         the caller must unpersist after evaluation)."""
 
-        def snap(i: int, seq: int) -> DataFrame:
-            return self._side(i, self.tables[i].scan(as_of_seq=seq, expand=False))
+        def snap(i: int, seq: int, merged: bool = True) -> DataFrame:
+            """Point-in-time side i.  ``merged=False`` (r18) uses the
+            signed unmerged scan — sound for every INNER probe and for
+            chain prefixes (the delta algebra is bilinear in the signed
+            frequencies, so ±rows of a net-0 tuple cancel in the final
+            aggregate) and it removes the full-width merge Exchange a
+            multi-segment scan otherwise pays before the join.  Pad
+            anti-join snapshots and left-outer chain steps keep
+            ``merged=True``: row PRESENCE decides matchedness there,
+            which is not linear in the frequency."""
+            if merged:
+                df = self.tables[i].scan(as_of_seq=seq, expand=False)
+            else:
+                df = self.tables[i].signed_scan(as_of_seq=seq)
+            return self._side(i, df)
 
         def dlt(i: int) -> DataFrame | None:
             if news[i] <= olds[i]:
@@ -1220,11 +1276,14 @@ class AggregateJoinMaterializedView(MaterializedView):
 
         # compositional differentiation over the chain: carry (Δ, old, new)
         # of the prefix; old/new are lazy plans, only joined where a later
-        # step actually references them
+        # step actually references them.  The prefix chains themselves are
+        # signed unmerged scans — every use is linear in the chain's
+        # frequency (inner steps multiply it, pad terms carry it signed),
+        # so merge-on-read would only burn an Exchange per table.
         d0 = dlt(0)
         delta = d0.withColumnRenamed("__f0", "__f") if d0 is not None else None
-        old = snap(0, olds[0]).withColumnRenamed("__f0", "__f")
-        new = snap(0, news[0]).withColumnRenamed("__f0", "__f")
+        old = snap(0, olds[0], merged=False).withColumnRenamed("__f0", "__f")
+        new = snap(0, news[0], merged=False).withColumnRenamed("__f0", "__f")
         # subplans referenced from several union branches at left-outer
         # steps (the prefix delta; the flip set) are persisted so the final
         # single evaluation of the delta plan computes each once
@@ -1239,8 +1298,11 @@ class AggregateJoinMaterializedView(MaterializedView):
                 pinned.append(delta)
             if delta is not None:
                 # inner part of the step delta: ΔC ⋈ Ti_old — always an
-                # inner probe (pads are differentiated separately below)
-                terms.append(self._step(delta, snap(i, olds[i]), i, how="inner"))
+                # inner probe (pads are differentiated separately below),
+                # so the snapshot side can be the signed unmerged scan
+                terms.append(self._step(
+                    delta, snap(i, olds[i], merged=False), i, how="inner"
+                ))
             if di is not None:
                 terms.append(self._step(new, di, i, how="inner"))
             if self.hows[i - 1] == "left_outer":
@@ -1282,8 +1344,12 @@ class AggregateJoinMaterializedView(MaterializedView):
                     delta = delta.unionByName(t)
             else:
                 delta = None
-            old = self._step(old, snap(i, olds[i]), i)
-            new = self._step(new, snap(i, news[i]), i)
+            # chain building: an inner step is bilinear (unmerged side is
+            # exact); a left-outer step pads on row ABSENCE, so its right
+            # side must be the merged live scan
+            chain_merged = self.hows[i - 1] == "left_outer"
+            old = self._step(old, snap(i, olds[i], merged=chain_merged), i)
+            new = self._step(new, snap(i, news[i], merged=chain_merged), i)
         return delta, pinned
 
     def refresh(self) -> int:
@@ -1329,25 +1395,13 @@ class AggregateJoinMaterializedView(MaterializedView):
             if delta is None:
                 self._save_meta({"seqs": news})
                 return 0
-            delta_join = delta.withColumnRenamed("__f", FREQ)
-            # fused materialization (r15 verdict task 7): the N-way join
-            # delta — the expensive part of a refresh — and the per-group
-            # aggregation run in ONE job, with the row count riding along
-            # as __nrows.  The old shape persisted the raw join and spent
-            # a full count() pass on it before aggregating: measured
-            # ~1.2s of the ~3.5s steady-state wave at sf0.1, i.e. the
-            # join ran once for the count and the agg then re-read the
-            # cache; now only the (tiny, per-group) aggregate is cached.
-            delta_state = self._delta_agg(delta_join,
-                                          with_rows=True).persist()
-            try:
-                n = (delta_state.agg(F.sum("__nrows")).collect()[0][0]
-                     or 0)
-                if n:
-                    self._merge_agg(delta_state.drop("__nrows"),
-                                    cursor={"cursor": news})
-            finally:
-                delta_state.unpersist()
+            # fused materialization (r15 verdict task 7 + r18): the N-way
+            # join delta — the expensive part of a refresh — the per-group
+            # aggregation, the delta row count AND the touched-bucket list
+            # all come out of ONE job (_agg_refresh): the count rides as
+            # __nrows and the bucket id is grouped in the same collect.
+            n = self._agg_refresh(delta.withColumnRenamed("__f", FREQ),
+                                  cursor={"cursor": news})
         finally:
             for p in pinned:
                 p.unpersist()

@@ -1390,8 +1390,17 @@ def op_hll_distinct(
     ``op_hll_sketch_only`` tracks this path)."""
     li = load_table(spark, sf_dir, "lineitem")
     vals = hll_values(li)
-    exact = hll_exact(vals) if verify else None
-    return hll_finalize(hll_registers(vals, p), exact, p)
+    if verify:
+        # One corpus pass shared by both outputs (r18): the distinct
+        # (name, val) frame is pinned once; the exact count is a plain
+        # count over it and the registers come out unchanged (max(rho)
+        # is idempotent — duplicates never move a register).  The old
+        # shape ran the scan+explode+md5 pipeline twice, once per branch.
+        from ..plans.layout import materialize_bounded
+
+        dvals = materialize_bounded(vals.distinct())
+        return hll_finalize(hll_registers(dvals, p), hll_exact(dvals), p)
+    return hll_finalize(hll_registers(vals, p), None, p)
 
 
 def op_hll_sketch_only(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1594,8 +1603,16 @@ def op_hll_grouped(
     o = load_table(spark, sf_dir, "orders")
     vals = hll_grouped_values(o)
     keys = ("g", "name")
-    exact = hll_exact(vals, keys) if verify else None
-    return hll_finalize(hll_registers(vals, p, keys), exact, p, keys)
+    if verify:
+        # one corpus pass shared by registers and exact count — the
+        # op_hll_distinct r18 treatment (max(rho) is idempotent, so
+        # registers over the distinct frame are unchanged)
+        from ..plans.layout import materialize_bounded
+
+        dvals = materialize_bounded(vals.distinct())
+        return hll_finalize(hll_registers(dvals, p, keys),
+                            hll_exact(dvals, keys), p, keys)
+    return hll_finalize(hll_registers(vals, p, keys), None, p, keys)
 
 
 def hll_grouped_values(orders: DataFrame) -> DataFrame:

@@ -2215,6 +2215,23 @@ def cms_probe(sketch: DataFrame, cands: DataFrame, width: int = CMS_PROD_W,
     )
 
 
+def cms_sketch_from_counts(exact: DataFrame, width: int,
+                           depth: int) -> DataFrame:
+    """The d x w counter frame derived from per-token exact counts instead
+    of the raw token stream: c(i, b) = Σ_{tok hashing to (i, b)} count(tok),
+    identical counters by definition (r18).  Lets a caller that ALREADY
+    aggregated the corpus once (the heavy-hitter verification report)
+    build the sketch from |vocab| rows instead of re-tokenizing the
+    corpus — the batch operator's second full pass, removed."""
+    seeds = _cms_seeds(depth)
+    pairs = exact.select(
+        "tok", "exact_cnt", F.explode(F.expr(f"array({seeds})")).alias("i")
+    ).withColumn("b", F.expr(_cms_bucket_spark(width)))
+    return pairs.groupBy("i", "b").agg(
+        F.sum("exact_cnt").cast("bigint").alias("c")
+    )
+
+
 def text_cms_heavyhitters(
     spark: SparkSession, sf_dir: str,
     width: int = CMS_W, depth: int = CMS_D,
@@ -2232,8 +2249,11 @@ def text_cms_heavyhitters(
     are now parameters, not hard-codes)."""
     d = load_table(spark, sf_dir, "documents")
     toks = cms_tokens(d)
-    sketch = cms_sketch(toks, width, depth)
-    return cms_heavyhitter_report(sketch, toks, width, depth)
+    # sketch=None → the report derives the counters from its own pinned
+    # per-token counts (cms_sketch_from_counts): ONE corpus
+    # tokenize+aggregate pass total instead of three (sketch, top
+    # candidates, bottom candidates each re-ran the scan before r18)
+    return cms_heavyhitter_report(None, toks, width, depth)
 
 
 def cms_tokens(docs: DataFrame) -> DataFrame:
@@ -2242,12 +2262,22 @@ def cms_tokens(docs: DataFrame) -> DataFrame:
     return docs.select(F.explode(F.expr(TOKENS_SPARK)).alias("tok"))
 
 
-def cms_heavyhitter_report(sketch: DataFrame, toks: DataFrame,
+def cms_heavyhitter_report(sketch: DataFrame | None, toks: DataFrame,
                            width: int, depth: int) -> DataFrame:
     """Verification shaping shared by the batch operator and the
     incremental maintainer's gate query: exact per-token counts pick the
     top-{CMS_TOP} + bottom-{CMS_BOTTOM} candidates, each probed against
     ``sketch``, with the overestimate column showing collision pressure.
+    ``sketch=None`` (the batch operator) derives the counters from the
+    exact counts (``cms_sketch_from_counts`` — identical values, no
+    second corpus pass).
+
+    The exact-count frame is materialized once (r18): three downstream
+    branches consume it (top candidates, bottom candidates, and the
+    derived sketch when ``sketch=None``), and each would otherwise
+    re-run the corpus tokenize+aggregate — the measured bulk of the
+    row's cost.  |vocab| rows pinned, auto-released via the bounded
+    registry.
 
     Candidate selection is two orderBy().limit(k) frames, NOT a global
     row_number window: Spark plans each as TakeOrderedAndProject —
@@ -2256,9 +2286,13 @@ def cms_heavyhitter_report(sketch: DataFrame, toks: DataFrame,
     window ships the whole vocab to one partition, and Spark does not
     infer a group limit for an unpartitioned window).  Deterministic
     tie-break on tok in both engines."""
-    exact = toks.groupBy("tok").agg(
+    from ..plans.layout import materialize_bounded
+
+    exact = materialize_bounded(toks.groupBy("tok").agg(
         F.count("*").cast("bigint").alias("exact_cnt")
-    )
+    ))
+    if sketch is None:
+        sketch = cms_sketch_from_counts(exact, width, depth)
     cands_top = exact.orderBy(
         F.col("exact_cnt").desc(), F.col("tok").asc()
     ).limit(CMS_TOP)
@@ -2398,7 +2432,23 @@ def cms_grouped_sketch(toks: DataFrame, width: int = CMS_W,
     )
 
 
-def cms_grouped_report(sketch: DataFrame, toks: DataFrame,
+def cms_grouped_sketch_from_counts(exact: DataFrame, width: int,
+                                   depth: int) -> DataFrame:
+    """Per-group counter frame derived from exact (g, tok) counts —
+    identical counters to ``cms_grouped_sketch`` over the raw stream
+    (c(g, i, b) sums the counts of the tokens hashing there), built from
+    |groups| x |vocab| rows instead of a second corpus pass (r18)."""
+    seeds = _cms_seeds(depth)
+    pairs = exact.select(
+        "g", "tok", "exact_cnt",
+        F.explode(F.expr(f"array({seeds})")).alias("i"),
+    ).withColumn("b", F.expr(_cms_bucket_spark(width)))
+    return pairs.groupBy("g", "i", "b").agg(
+        F.sum("exact_cnt").cast("bigint").alias("c")
+    )
+
+
+def cms_grouped_report(sketch: DataFrame | None, toks: DataFrame,
                        width: int = CMS_W,
                        depth: int = CMS_D) -> DataFrame:
     """Verification shaping shared by the batch operator and the
@@ -2406,11 +2456,18 @@ def cms_grouped_report(sketch: DataFrame, toks: DataFrame,
     each group's top-{CMS_GROUP_TOP} candidates through a row_number
     window Spark rewrites to WindowGroupLimit (at most
     {CMS_GROUP_TOP} x |groups| rows forwarded per partition), each
-    probed against the per-group ``sketch``."""
+    probed against the per-group ``sketch``.  ``sketch=None`` (the batch
+    operator) derives the counters from the exact counts — identical
+    values, one corpus pass instead of two; the exact frame is pinned
+    via the bounded registry since both branches consume it (r18)."""
+    from ..plans.layout import materialize_bounded
+
     seeds = _cms_seeds(depth)
-    exact = toks.groupBy("g", "tok").agg(
+    exact = materialize_bounded(toks.groupBy("g", "tok").agg(
         F.count("*").cast("bigint").alias("exact_cnt")
-    )
+    ))
+    if sketch is None:
+        sketch = cms_grouped_sketch_from_counts(exact, width, depth)
     wk = Window.partitionBy("g").orderBy(
         F.col("exact_cnt").desc(), F.col("tok").asc()
     )
@@ -2446,8 +2503,9 @@ def text_cms_grouped(
     (the op_quantile_grouped shape); gate geometry w=16 keeps the
     collision-stress property of the flat operator."""
     toks = cms_grouped_tokens(load_table(spark, sf_dir, "documents"))
-    return cms_grouped_report(cms_grouped_sketch(toks, width, depth),
-                              toks, width, depth)
+    # sketch=None → derived from the report's own pinned exact counts:
+    # one corpus tokenize+aggregate pass instead of two (r18)
+    return cms_grouped_report(None, toks, width, depth)
 
 
 text_cms_grouped.__doc__ = text_cms_grouped.__doc__.replace(
