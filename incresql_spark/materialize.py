@@ -1222,6 +1222,31 @@ class AggregateJoinMaterializedView(MaterializedView):
                 return None
         return lk, rk
 
+    def _snap_live_keys(self, i: int, seq: int,
+                        keys_df: DataFrame) -> DataFrame:
+        """Merged LIVE rows of table i at ``seq``, restricted to the join
+        keys in ``keys_df`` (right-side column names) — for pad anti-join
+        probes, whose matchedness only the restricted key set can decide.
+
+        The restriction lands BELOW the tuple merge (r18): signed unmerged
+        scan → table filter → broadcast semi-join on the delta keys →
+        per-tuple freq merge → freq > 0.  Sound because the semi-join is a
+        deterministic per-tuple predicate (key membership), so it commutes
+        with the full-tuple groupBy; rows with NULL join keys are dropped
+        by the semi-join, which is equally sound — a NULL key can never
+        witness an equi-match in the anti-join.  The merge Exchange then
+        carries only delta-key matches instead of the whole table."""
+        fcol = f"__f{i}"
+        raw = self._side(i, self.tables[i].signed_scan(as_of_seq=seq))
+        raw = raw.join(F.broadcast(keys_df), list(keys_df.columns),
+                       "left_semi")
+        tuple_cols = [c for c in raw.columns if c != fcol]
+        return (
+            raw.groupBy(*tuple_cols)
+            .agg(F.sum(fcol).alias(fcol))
+            .filter(F.col(fcol) > 0)
+        )
+
     def _pad(self, chain: DataFrame, snapshot: DataFrame, i: int, sign: int) -> DataFrame:
         """Signed NULL-pad rows for left-outer step i: chain rows with no
         cond match in ``snapshot``, table i's columns as typed NULLs."""
@@ -1306,22 +1331,25 @@ class AggregateJoinMaterializedView(MaterializedView):
             if di is not None:
                 terms.append(self._step(new, di, i, how="inner"))
             if self.hows[i - 1] == "left_outer":
-                key_new = snap(i, news[i])
                 # pure-equi conds: semi-restrict each pad snapshot to the
                 # keys its probe side can actually carry, making every
                 # anti-join build side delta-sized (broadcast) instead of
-                # the full O(|Ti| keys) projection.  Non-equi conds keep
-                # the full snapshot — a non-key match could come from
-                # anywhere.
+                # the full O(|Ti| keys) projection — and (r18) apply that
+                # restriction BELOW the tuple merge via _snap_live_keys,
+                # so the snapshot's merge Exchange shrinks from O(|Ti|)
+                # full-width rows to the delta-key matches (guide §3.2:
+                # prefilter the big side before it shuffles).  Non-equi
+                # conds keep the full merged snapshot — a non-key match
+                # could come from anywhere.
                 eq = self._equi_cond_keys(i, old.columns)
                 if delta is not None:
-                    snap_d = key_new
                     if eq is not None:
-                        snap_d = key_new.join(
-                            delta.select(*eq[0]),
-                            F.expr(self.join_conds[i - 1]),
-                            "left_semi",
-                        )
+                        dk = delta.select(*[
+                            F.col(l).alias(r) for l, r in zip(*eq)
+                        ])
+                        snap_d = self._snap_live_keys(i, news[i], dk)
+                    else:
+                        snap_d = snap(i, news[i])
                     terms.append(self._pad(delta, snap_d, i, 1))
                 if di is not None:
                     # flip rows carry only ΔTi keys by construction
@@ -1331,11 +1359,13 @@ class AggregateJoinMaterializedView(MaterializedView):
                         di, F.expr(self.join_conds[i - 1]), "left_semi"
                     ).persist()  # referenced by both signed pad terms
                     pinned.append(flip)
-                    snap_new_f, snap_old_f = key_new, snap(i, olds[i])
                     if eq is not None:
                         dkeys = di.select(*eq[1])
-                        snap_new_f = snap_new_f.join(dkeys, eq[1], "left_semi")
-                        snap_old_f = snap_old_f.join(dkeys, eq[1], "left_semi")
+                        snap_new_f = self._snap_live_keys(i, news[i], dkeys)
+                        snap_old_f = self._snap_live_keys(i, olds[i], dkeys)
+                    else:
+                        snap_new_f = snap(i, news[i])
+                        snap_old_f = snap(i, olds[i])
                     terms.append(self._pad(flip, snap_new_f, i, 1))
                     terms.append(self._pad(flip, snap_old_f, i, -1))
             if terms:

@@ -898,19 +898,38 @@ def bloom_bits(ev: DataFrame) -> DataFrame:
 
 def bloom_screen(tr: DataFrame, bits: DataFrame) -> DataFrame:
     """Training (train_doc_id, shingle) frame x bit set -> per-doc Bloom
-    hit counts (train_doc_id, n_bloom_hits).  The bits frame broadcasts
-    (<= m rows); a (doc, shingle) is Bloom-positive when ALL k of its
-    probe positions are set."""
-    seeds = ", ".join(str(j) for j in range(BLOOM_K))
-    probes = tr.select(
-        "train_doc_id", "shingle",
-        F.explode(F.expr(f"array({seeds})")).alias("j"),
-    ).withColumn("idx", F.expr(_bloom_idx_spark()))
+    hit counts (train_doc_id, n_bloom_hits).
+
+    r18 shape: the <= m idx rows are collected once (bounded O(m) — the
+    same scalar class as touched-bucket ids) and packed into m/64 BIGINT
+    words embedded as a constant-folded array literal, so each training
+    (doc, shingle) row tests its k probe positions with element_at + bit
+    shift IN PLACE.  The previous shape exploded every row k ways,
+    broadcast-joined the bit set and re-grouped by (doc, shingle) — a k×
+    row blowup plus a full-width exchange, all to evaluate what is a
+    per-row predicate.  Rows are unique per (doc, shingle) by
+    construction (doc_shingles_df array_distincts), so counting positive
+    rows per doc is identical to the old group-then-count.  Executor-side
+    state stays O(m) bits — now as a plan literal instead of a broadcast
+    relation."""
+    words = [0] * (BLOOM_M // 64)
+    for r in bits.select("idx").collect():
+        i = int(r["idx"])
+        words[i >> 6] |= 1 << (i & 63)
+    # two's-complement fold into signed BIGINT literals
+    lits = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    arr = F.array(*[F.lit(w).cast("long") for w in lits])
+    tests = []
+    for j in range(BLOOM_K):
+        h = hash60_spark_sql(f"concat('{j}', '|', shingle)")
+        idx = f"({h} % {BLOOM_M})"
+        tests.append(
+            f"((shiftright(element_at(__bw, CAST({idx} DIV 64 AS INT) + 1),"
+            f" CAST({idx} % 64 AS INT)) & 1) = 1)"
+        )
     return (
-        probes.join(F.broadcast(bits), "idx")
-        .groupBy("train_doc_id", "shingle")
-        .agg(F.count("*").alias("k_set"))
-        .filter(F.col("k_set") == BLOOM_K)
+        tr.withColumn("__bw", arr)
+        .filter(F.expr(" AND ".join(tests)))
         .groupBy("train_doc_id")
         .agg(F.count("*").cast("bigint").alias("n_bloom_hits"))
     )

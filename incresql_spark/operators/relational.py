@@ -1768,6 +1768,14 @@ def op_quantile_sketch(
     percentile; that global sort is precisely the cost the sketch avoids,
     so verify=False is the production path."""
     base = quantile_base(load_table(spark, sf_dir, "lineitem"))
+    if verify:
+        # three downstream consumers (bottom-k sample, row count, exact
+        # ranks) — pin the narrow (v, h) frame once instead of paying the
+        # scan + md5 pipeline per branch (r18); the production
+        # verify=False path has two cheap consumers and stays lazy
+        from ..plans.layout import materialize_bounded
+
+        base = materialize_bounded(base)
     sample = base.orderBy("h", "v").limit(k)
     return quantile_finalize(base, sample, verify)
 

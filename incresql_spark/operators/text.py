@@ -2463,10 +2463,16 @@ def cms_grouped_report(sketch: DataFrame | None, toks: DataFrame,
     from ..plans.layout import materialize_bounded
 
     seeds = _cms_seeds(depth)
-    exact = materialize_bounded(toks.groupBy("g", "tok").agg(
+    exact = toks.groupBy("g", "tok").agg(
         F.count("*").cast("bigint").alias("exact_cnt")
-    ))
+    )
     if sketch is None:
+        # only the batch operator pins: with a derived sketch the exact
+        # frame has TWO consumers (candidates + counters); a maintainer-
+        # provided sketch leaves one consumer, where an eager pin would
+        # only add a job (measured: the grouped-incremental bench row
+        # regressed ~0.4s with an unconditional pin)
+        exact = materialize_bounded(exact)
         sketch = cms_grouped_sketch_from_counts(exact, width, depth)
     wk = Window.partitionBy("g").orderBy(
         F.col("exact_cnt").desc(), F.col("tok").asc()
