@@ -364,29 +364,39 @@ def _q3_drive_waves(tables, after_wave) -> None:
     runs after wave i's ingest so each cycle shape chooses its own
     refresh cadence.  TPC-H rows are tuple-distinct (unique primary
     keys), so every ingest skips the in-batch merge shuffle — the same
-    fast path the maintainers use."""
-    # wave 1: dimension + even orderkeys
-    tables["customer"][0].insert(tables["customer"][1],
-                                 assume_distinct=True)
-    tables["orders"][0].insert(
-        tables["orders"][1].filter("o_orderkey % 2 = 0"),
-        assume_distinct=True,
-    )
-    tables["lineitem"][0].insert(
-        tables["lineitem"][1].filter("l_orderkey % 2 = 0"),
-        assume_distinct=True,
-    )
-    after_wave(1)
-    # wave 2: odd orderkeys on BOTH fact-side tables
-    tables["orders"][0].insert(
-        tables["orders"][1].filter("o_orderkey % 2 = 1"),
-        assume_distinct=True,
-    )
-    tables["lineitem"][0].insert(
-        tables["lineitem"][1].filter("l_orderkey % 2 = 1"),
-        assume_distinct=True,
-    )
-    after_wave(2)
+    fast path the maintainers use.
+
+    A wave's per-table ingests land on DIFFERENT FreqTables (independent
+    directories, independent commits), so they run as overlapped driver
+    jobs (guide §2.6: concurrent independent jobs back-fill the tail of
+    each other's write stages) — the wave completes at the slowest
+    table's wall instead of the serial sum.  Refresh cadence is
+    unchanged: ``after_wave`` still runs only after every ingest of the
+    wave committed."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ingest(args) -> None:
+        t, df = args
+        t.insert(df, assume_distinct=True)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        # wave 1: dimension + even orderkeys
+        list(pool.map(_ingest, [
+            (tables["customer"][0], tables["customer"][1]),
+            (tables["orders"][0],
+             tables["orders"][1].filter("o_orderkey % 2 = 0")),
+            (tables["lineitem"][0],
+             tables["lineitem"][1].filter("l_orderkey % 2 = 0")),
+        ]))
+        after_wave(1)
+        # wave 2: odd orderkeys on BOTH fact-side tables
+        list(pool.map(_ingest, [
+            (tables["orders"][0],
+             tables["orders"][1].filter("o_orderkey % 2 = 1")),
+            (tables["lineitem"][0],
+             tables["lineitem"][1].filter("l_orderkey % 2 = 1")),
+        ]))
+        after_wave(2)
     # wave 3: retraction — DELETE one return-flag class
     tables["lineitem"][0].delete_where("l_returnflag = 'R'")
     after_wave(3)
@@ -733,10 +743,17 @@ def mv_q13_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             table_filters=[None, "o_orderpriority <> '1-URGENT'"],
             hows=["left_outer"],
         )
-        # TPC-H rows are tuple-distinct — skip the in-batch merge shuffle
-        cust.insert(cust_src, assume_distinct=True)
-        ords.insert(ord_src.filter("o_orderkey % 2 = 0"),
-                    assume_distinct=True)
+        # TPC-H rows are tuple-distinct — skip the in-batch merge shuffle;
+        # the two tables are independent, so their ingests overlap
+        # (guide §2.6, the _q3_drive_waves treatment)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(cust.insert, cust_src, assume_distinct=True)
+            fb = pool.submit(ords.insert,
+                             ord_src.filter("o_orderkey % 2 = 0"),
+                             assume_distinct=True)
+            fa.result(); fb.result()
         mv.refresh()  # refresh 1: many customers still NULL-padded
         ords.insert(ord_src.filter("o_orderkey % 2 = 1"),
                     assume_distinct=True)

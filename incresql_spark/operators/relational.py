@@ -1783,15 +1783,12 @@ def op_quantile_sketch(
     gate query) adds the exact full-data nearest-rank value per
     percentile; that global sort is precisely the cost the sketch avoids,
     so verify=False is the production path."""
+    # r18 note: pinning ``base`` for the verify path's three consumers was
+    # tried and REVERTED — the md5 pipeline the pin saves is ~0.1s at
+    # sf0.1 (the count consumer prunes the hash entirely) while the eager
+    # materialization adds a whole job; bench showed +0.1s.  The verify
+    # global-rank window stays the documented verification-only cost.
     base = quantile_base(load_table(spark, sf_dir, "lineitem"))
-    if verify:
-        # three downstream consumers (bottom-k sample, row count, exact
-        # ranks) — pin the narrow (v, h) frame once instead of paying the
-        # scan + md5 pipeline per branch (r18); the production
-        # verify=False path has two cheap consumers and stays lazy
-        from ..plans.layout import materialize_bounded
-
-        base = materialize_bounded(base)
     sample = base.orderBy("h", "v").limit(k)
     return quantile_finalize(base, sample, verify)
 

@@ -178,9 +178,19 @@ class IncrementalMinHashDedup:
         out = materialize(pairs)
 
         # unique by construction (one row per doc / per (doc, band)) —
-        # skip the in-batch merge shuffle of the array payloads
-        self.bands.insert(delta_bands, assume_distinct=True)
-        self.shingles.insert(delta_sh, assume_distinct=True)
+        # skip the in-batch merge shuffle of the array payloads.  The two
+        # state tables are independent (separate dirs, separate commits),
+        # so their segment writes overlap as concurrent driver jobs
+        # (guide §2.6) — both read the persisted delta frames, so no
+        # recomputation races exist.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(self.bands.insert, delta_bands,
+                             assume_distinct=True)
+            fb = pool.submit(self.shingles.insert, delta_sh,
+                             assume_distinct=True)
+            fa.result(); fb.result()
         delta_sh.unpersist()
         delta_bands.unpersist()
         return out

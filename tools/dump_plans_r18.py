@@ -28,6 +28,7 @@ PLAIN = [
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q9",
     "tpch_q16", "tpch_q18", "tpch_q20", "tpch_q21",
     "op_hll_distinct", "op_hll_grouped", "op_quantile_sketch",
+    "op_hll_sketch_only", "op_quantile_sketch_only",
     "text_cms_heavyhitters", "text_cms_grouped", "text_cms_sketch_only",
     "text_dsir_select", "text_bm25_table",
     "dedup_contamination_bloom_only", "dedup_minhash_lsh",
@@ -45,7 +46,12 @@ def _explain_str(df) -> str:
 def dump_plain(spark, name: str, suffix: str) -> None:
     import __spark_entry__ as entry
 
-    fn = entry.queries()[name]
+    reg = entry.queries()
+    if name not in reg:  # bench-only rows (sketch-only production paths)
+        from incresql_spark.operators import bench_queries
+
+        reg = bench_queries()
+    fn = reg[name]
     df = fn(spark, SF_DIR)
     with open(os.path.join(OUT_DIR, f"{name}_{suffix}.txt"), "w") as fh:
         fh.write(_explain_str(df))
