@@ -563,7 +563,7 @@ class MaterializedView:
             default=-1,
         )
 
-    def refresh(self) -> int:
+    def refresh(self, until: int | None = None) -> int:
         """Incremental refresh: pull base-table deltas since the last
         refresh, propagate, merge.  Returns the number of delta rows
         consumed — for AGGREGATE views this is the post-WHERE count (the
@@ -577,7 +577,16 @@ class MaterializedView:
         second count job per wave.  Callers comparing consumed-row
         counts across view shapes should treat the value as "rows the
         refresh had to process", not a cross-shape invariant (also
-        flagged in COVERAGE.md round-17)."""
+        flagged in COVERAGE.md round-17).
+
+        ``until`` (r18) pins the window's upper seq bound instead of
+        ``base.last_seq()``.  Pipelined cycle drivers (guide §2.6) use it
+        to run a refresh CONCURRENTLY with the next wave's ingest while
+        keeping consumption deterministic: the refresh consumes exactly
+        the segments committed when the bound was snapshotted, never a
+        racily-committed newer one.  Window composition makes the final
+        state identical either way (the batched-refresh contract); the
+        bound just keeps per-wave consumption reproducible."""
         meta = self._load_meta()
         # the cursor is the base table's monotonic segment seq (NOT wall
         # clock — same-ms segments must not be skipped); old metas carrying
@@ -585,7 +594,7 @@ class MaterializedView:
         # own atomically-committed cursor wins over a stale meta file (the
         # crash-between-commit-and-meta window).
         since = max(meta.get("last_refresh_seq", -1), self._state_cursor())
-        now = self.base.last_seq()
+        now = self.base.last_seq() if until is None else until
         total = 0
         if self.changelog is not None:
             logged = self._changelog_cursor()
@@ -1382,10 +1391,14 @@ class AggregateJoinMaterializedView(MaterializedView):
             new = self._step(new, snap(i, news[i], merged=chain_merged), i)
         return delta, pinned
 
-    def refresh(self) -> int:
+    def refresh(self, until: list[int] | None = None) -> int:
         """One incremental refresh over ALL tables' outstanding deltas.
         Returns the number of signed join-delta rows aggregated (post
-        table-filters — the fused delta job counts what it aggregates)."""
+        table-filters — the fused delta job counts what it aggregates).
+        ``until`` pins the per-table seq upper bounds (the base class's
+        r18 pipelining knob, vector form): a cycle driver snapshots the
+        bounds, kicks the refresh on a worker thread, and ingests the
+        next wave concurrently without racing the window capture."""
         meta = self._load_meta()
         olds = meta.get("seqs", [-1] * len(self.tables))
         # the manifest's atomically-committed cursor wins over a stale
@@ -1394,7 +1407,8 @@ class AggregateJoinMaterializedView(MaterializedView):
         state_seqs = (m or {}).get("cursor")
         if state_seqs:
             olds = [max(o, s) for o, s in zip(olds, state_seqs)]
-        news = [t.last_seq() for t in self.tables]
+        news = ([t.last_seq() for t in self.tables] if until is None
+                else list(until))
         total = 0
         if self.changelog is not None:
             logged = self._changelog_cursor()

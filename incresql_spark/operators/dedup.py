@@ -896,22 +896,14 @@ def bloom_bits(ev: DataFrame) -> DataFrame:
     )
 
 
-def bloom_screen(tr: DataFrame, bits: DataFrame) -> DataFrame:
-    """Training (train_doc_id, shingle) frame x bit set -> per-doc Bloom
-    hit counts (train_doc_id, n_bloom_hits).
-
-    r18 shape: the <= m idx rows are collected once (bounded O(m) — the
-    same scalar class as touched-bucket ids) and packed into m/64 BIGINT
-    words embedded as a constant-folded array literal, so each training
-    (doc, shingle) row tests its k probe positions with element_at + bit
-    shift IN PLACE.  The previous shape exploded every row k ways,
-    broadcast-joined the bit set and re-grouped by (doc, shingle) — a k×
-    row blowup plus a full-width exchange, all to evaluate what is a
-    per-row predicate.  Rows are unique per (doc, shingle) by
-    construction (doc_shingles_df array_distincts), so counting positive
-    rows per doc is identical to the old group-then-count.  Executor-side
-    state stays O(m) bits — now as a plan literal instead of a broadcast
-    relation."""
+def _bloom_test(bits: DataFrame):
+    """The per-row Bloom membership test over a ``shingle`` column, as
+    (word-array literal, predicate SQL) — the <= m idx rows are collected
+    once (bounded O(m) — the same scalar class as touched-bucket ids) and
+    packed into m/64 BIGINT words embedded as a constant-folded array
+    literal, so each row tests its k probe positions with element_at +
+    bit shift IN PLACE.  Shared by the production screen and the
+    verify-mode fused pass (r18)."""
     words = [0] * (BLOOM_M // 64)
     for r in bits.select("idx").collect():
         i = int(r["idx"])
@@ -927,9 +919,26 @@ def bloom_screen(tr: DataFrame, bits: DataFrame) -> DataFrame:
             f"((shiftright(element_at(__bw, CAST({idx} DIV 64 AS INT) + 1),"
             f" CAST({idx} % 64 AS INT)) & 1) = 1)"
         )
+    return arr, " AND ".join(tests)
+
+
+def bloom_screen(tr: DataFrame, bits: DataFrame) -> DataFrame:
+    """Training (train_doc_id, shingle) frame x bit set -> per-doc Bloom
+    hit counts (train_doc_id, n_bloom_hits).
+
+    r18 shape (see ``_bloom_test``): the bit set is a constant-folded
+    word-array literal probed in place.  The previous shape exploded
+    every row k ways, broadcast-joined the bit set and re-grouped by
+    (doc, shingle) — a k× row blowup plus a full-width exchange, all to
+    evaluate what is a per-row predicate.  Rows are unique per
+    (doc, shingle) by construction (doc_shingles_df array_distincts), so
+    counting positive rows per doc is identical to the old
+    group-then-count.  Executor-side state stays O(m) bits — as a plan
+    literal instead of a broadcast relation."""
+    arr, pred = _bloom_test(bits)
     return (
         tr.withColumn("__bw", arr)
-        .filter(F.expr(" AND ".join(tests)))
+        .filter(F.expr(pred))
         .groupBy("train_doc_id")
         .agg(F.count("*").cast("bigint").alias("n_bloom_hits"))
     )
@@ -973,6 +982,18 @@ def dedup_contamination_bloom(
     bloom_hits = bloom_screen(tr, bits)
     if not verify:
         return bloom_hits.orderBy("train_doc_id")
+    # Verify mode stays TWO training passes (screen + exact broadcast
+    # join) DELIBERATELY: an r18 experiment fused them into one pass
+    # (bloom predicate as an int column + broadcast LEFT join + a single
+    # two-column aggregate — provably row-identical via
+    # no-false-negatives), expecting to save a corpus scan, and it
+    # MEASURED SLOWER (interleaved min-of-3 at sf0.1: 3.64s vs 3.10s;
+    # the bench row moved 3.8→4.2s).  The per-row cost here is the k=4
+    # md5 probes and the join hash-probe — both paid identically either
+    # way — while the saved scan+shingle pass is cheap and its removal
+    # costs the screen its tight filter-before-aggregate codegen span.
+    # Revisit only where scan cost dominates per-row hashing (wide
+    # corpora on cold storage).
     exact_hits = (
         tr.join(F.broadcast(ev), "shingle")
         .groupBy("train_doc_id")

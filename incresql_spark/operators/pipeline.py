@@ -360,26 +360,40 @@ def _q3_tables_and_view(spark: SparkSession, sf_dir: str, root: str,
 
 def _q3_drive_waves(tables, after_wave) -> None:
     """The SHARED three-wave ingest script (even orderkeys, odd
-    orderkeys, DELETE of the 'R' return-flag class); ``after_wave(i)``
-    runs after wave i's ingest so each cycle shape chooses its own
-    refresh cadence.  TPC-H rows are tuple-distinct (unique primary
+    orderkeys, DELETE of the 'R' return-flag class); ``after_wave(i,
+    until)`` runs after wave i's ingest so each cycle shape chooses its
+    own refresh cadence, with ``until`` the per-table seq snapshot
+    (customer, orders, lineitem order — the mv.tables order) taken at
+    the wave boundary.  TPC-H rows are tuple-distinct (unique primary
     keys), so every ingest skips the in-batch merge shuffle — the same
     fast path the maintainers use.
 
-    A wave's per-table ingests land on DIFFERENT FreqTables (independent
-    directories, independent commits), so they run as overlapped driver
-    jobs (guide §2.6: concurrent independent jobs back-fill the tail of
-    each other's write stages) — the wave completes at the slowest
-    table's wall instead of the serial sum.  Refresh cadence is
-    unchanged: ``after_wave`` still runs only after every ingest of the
-    wave committed."""
+    Two §2.6 overlaps (guide: concurrent independent driver jobs
+    back-fill each other's stage tails):
+    - a wave's per-table ingests land on DIFFERENT FreqTables
+      (independent directories, independent commits), so they run
+      concurrently — the wave completes at the slowest table's wall
+      instead of the serial sum;
+    - wave i's refresh runs CONCURRENTLY with wave i+1's ingest (r18):
+      the refresh only reads base segments ≤ its ``until`` snapshot
+      (paths pinned at plan time) and writes the MV's own state dir, so
+      the two share no storage; the explicit bound keeps per-wave
+      consumption deterministic instead of racing ``last_seq()``.
+      Refreshes stay serialized among themselves (single-thread pool +
+      result barriers), so each one still sees the previous state
+      commit."""
     from concurrent.futures import ThreadPoolExecutor
 
     def _ingest(args) -> None:
         t, df = args
         t.insert(df, assume_distinct=True)
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    def _snap() -> list[int]:
+        return [tables[n][0].last_seq()
+                for n in ("customer", "orders", "lineitem")]
+
+    with ThreadPoolExecutor(max_workers=3) as pool, \
+            ThreadPoolExecutor(max_workers=1) as rpool:
         # wave 1: dimension + even orderkeys
         list(pool.map(_ingest, [
             (tables["customer"][0], tables["customer"][1]),
@@ -388,18 +402,22 @@ def _q3_drive_waves(tables, after_wave) -> None:
             (tables["lineitem"][0],
              tables["lineitem"][1].filter("l_orderkey % 2 = 0")),
         ]))
-        after_wave(1)
-        # wave 2: odd orderkeys on BOTH fact-side tables
+        fut = rpool.submit(after_wave, 1, _snap())
+        # wave 2: odd orderkeys on BOTH fact-side tables (∥ refresh 1)
         list(pool.map(_ingest, [
             (tables["orders"][0],
              tables["orders"][1].filter("o_orderkey % 2 = 1")),
             (tables["lineitem"][0],
              tables["lineitem"][1].filter("l_orderkey % 2 = 1")),
         ]))
-        after_wave(2)
-    # wave 3: retraction — DELETE one return-flag class
-    tables["lineitem"][0].delete_where("l_returnflag = 'R'")
-    after_wave(3)
+        fut.result()
+        fut = rpool.submit(after_wave, 2, _snap())
+        # wave 3: retraction — DELETE one return-flag class (∥ refresh 2;
+        # the delete derives its negative segment from the table's own
+        # live scan, which is independent of MV state)
+        tables["lineitem"][0].delete_where("l_returnflag = 'R'")
+        fut.result()
+        after_wave(3, _snap())
 
 
 def mv_q3_incremental(spark: SparkSession, sf_dir: str,
@@ -457,7 +475,7 @@ def mv_q3_incremental(spark: SparkSession, sf_dir: str,
         # three delta windows fuse into one delta job + one merge).
         _q3_drive_waves(
             tables,
-            lambda wave: mv.refresh()
+            lambda wave, until: mv.refresh(until=until)
             if (wave == 3 or not batch_refresh) else None,
         )
         out = (
@@ -569,15 +587,32 @@ def mv_cascade_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             None, "l_returnflag",
             f"{root}/mv2_state",
         )
-        # wave 1: even orderkeys; refresh level 1 then level 2
-        base.insert(src.filter("l_orderkey % 2 = 0"), assume_distinct=True)
-        mv1.refresh(); mv2.refresh()
-        # wave 2: odd orderkeys (new groups appear at level 1 → nsupp moves)
-        base.insert(src.filter("l_orderkey % 2 = 1"), assume_distinct=True)
-        mv1.refresh(); mv2.refresh()
-        # wave 3: retraction — shrinks most groups, may empty some
-        base.delete_where("l_linenumber >= 5")
-        mv1.refresh(); mv2.refresh()
+        # Both cascade levels refresh after every wave, pipelined with the
+        # next wave's ingest (§2.6, the _q3_drive_waves treatment): the
+        # level-1 refresh is bounded to its wave's seq snapshot and both
+        # refreshes touch only the MV state dirs + changelog, never the
+        # base table the concurrent ingest appends to.  mv2 needs no
+        # bound — its base is mv1's changelog, which only the same
+        # serialized refresh thread appends to.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _both(until: int) -> None:
+            mv1.refresh(until=until); mv2.refresh()
+
+        with ThreadPoolExecutor(max_workers=1) as rpool:
+            # wave 1: even orderkeys; refresh level 1 then level 2
+            base.insert(src.filter("l_orderkey % 2 = 0"),
+                        assume_distinct=True)
+            fut = rpool.submit(_both, base.last_seq())
+            # wave 2: odd orderkeys (new groups at level 1 → nsupp moves)
+            base.insert(src.filter("l_orderkey % 2 = 1"),
+                        assume_distinct=True)
+            fut.result()
+            fut = rpool.submit(_both, base.last_seq())
+            # wave 3: retraction — shrinks most groups, may empty some
+            base.delete_where("l_linenumber >= 5")
+            fut.result()
+            mv1.refresh(); mv2.refresh()
         out = (
             mv2.read()
             .select("l_returnflag", "nsupp", "total_items", "total_qty")
@@ -650,7 +685,8 @@ def mv_cascade_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{root}/mv2_state",
         )
         _q3_drive_waves(tables,
-                        lambda wave: (mv1.refresh(), mv2.refresh()))
+                        lambda wave, until: (mv1.refresh(until=until),
+                                             mv2.refresh()))
         out = (
             mv2.read()
             .select("o_orderpriority", "n_groups", "revenue_e4_total",
@@ -754,14 +790,27 @@ def mv_q13_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ord_src.filter("o_orderkey % 2 = 0"),
                              assume_distinct=True)
             fa.result(); fb.result()
-        mv.refresh()  # refresh 1: many customers still NULL-padded
-        ords.insert(ord_src.filter("o_orderkey % 2 = 1"),
-                    assume_distinct=True)
-        mv.refresh()  # refresh 2: most pads retract as matches arrive
-        # retraction wave: one customer class loses ALL its orders — their
-        # rows must flip BACK to pads (c_count 0), not vanish
-        ords.delete_where("o_custkey % 10 = 3")
-        mv.refresh()  # refresh 3
+
+        def _snap() -> list[int]:
+            return [cust.last_seq(), ords.last_seq()]
+
+        # refreshes pipeline with the next wave's ingest (§2.6, the
+        # _q3_drive_waves treatment): each refresh is bounded to the seq
+        # snapshot of its own wave, so consumption stays deterministic
+        # while the next ingest back-fills the refresh's stage tails
+        with ThreadPoolExecutor(max_workers=1) as rpool:
+            # refresh 1: many customers still NULL-padded (∥ wave-2 ingest)
+            fut = rpool.submit(mv.refresh, _snap())
+            ords.insert(ord_src.filter("o_orderkey % 2 = 1"),
+                        assume_distinct=True)
+            fut.result()
+            # refresh 2: most pads retract as matches arrive (∥ the
+            # retraction wave: one customer class loses ALL its orders —
+            # their rows must flip BACK to pads (c_count 0), not vanish)
+            fut = rpool.submit(mv.refresh, _snap())
+            ords.delete_where("o_custkey % 10 = 3")
+            fut.result()
+            mv.refresh()  # refresh 3
         out = (
             mv.read()
             .groupBy("c_count")

@@ -185,12 +185,23 @@ class IncrementalEmbeddingDedup:
         # materialize() computes the pair set once, executor-side — it never
         # round-trips the driver, so pair-heavy deltas scale.  Callers that
         # fully consume the result may reclaim it with layout.release(out).
-        out = materialize(pairs)
+        #
+        # The two state appends are unique by construction (one row per
+        # (vec, band) / per vec — skip the in-batch merge shuffle of the
+        # embedding payloads), land on independent dirs, and the pairs
+        # plan reads the PRE-batch segment paths (pinned at scan time
+        # above) plus the already-materialized ``delta`` — so all three
+        # run as concurrent driver jobs (guide §2.6, the minhash
+        # maintainer's r18 shape).
+        from concurrent.futures import ThreadPoolExecutor
 
-        # unique by construction (one row per (vec, band) / per vec) —
-        # skip the in-batch merge shuffle of the embedding payloads
-        self.bands.insert(delta_bands, assume_distinct=True)
-        self.vectors.insert(delta_vecs, assume_distinct=True)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(self.bands.insert, delta_bands,
+                             assume_distinct=True)
+            fb = pool.submit(self.vectors.insert, delta_vecs,
+                             assume_distinct=True)
+            out = materialize(pairs)
+            fa.result(); fb.result()
         # Both state inserts have read the materialized delta — free its
         # blocks now, or a long-lived maintainer accumulates one block set
         # per batch (the leak the minhash/passages unpersists already avoid).

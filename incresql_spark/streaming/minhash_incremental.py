@@ -175,14 +175,16 @@ class IncrementalMinHashDedup:
         # storage, never in the client (storage/src/storage.rs:26-65).
         # Callers that fully consume the result may reclaim its blocks with
         # ``plans.layout.release(out)``.
-        out = materialize(pairs)
-
-        # unique by construction (one row per doc / per (doc, band)) —
-        # skip the in-batch merge shuffle of the array payloads.  The two
-        # state tables are independent (separate dirs, separate commits),
-        # so their segment writes overlap as concurrent driver jobs
-        # (guide §2.6) — both read the persisted delta frames, so no
-        # recomputation races exist.
+        #
+        # The two state appends are unique by construction (one row per
+        # doc / per (doc, band)), so they skip the in-batch merge shuffle;
+        # they land on independent dirs with independent commits, and the
+        # pair materialization's plan reads the PRE-batch segment paths
+        # (pinned at plan time above), so all three run as concurrent
+        # driver jobs (guide §2.6) — the verify join's stage tail
+        # back-fills with the segment writes instead of paying them
+        # serially afterwards (r18).  All three read the persisted delta
+        # frames, so no recomputation races exist.
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:
@@ -190,6 +192,7 @@ class IncrementalMinHashDedup:
                              assume_distinct=True)
             fb = pool.submit(self.shingles.insert, delta_sh,
                              assume_distinct=True)
+            out = materialize(pairs)
             fa.result(); fb.result()
         delta_sh.unpersist()
         delta_bands.unpersist()

@@ -202,16 +202,27 @@ class IncrementalPassagesDedup:
         # executor-side — a threshold-crossing chunk in a boilerplate-heavy
         # crawl can flip millions of history rows, which must never
         # round-trip the driver.  Callers may layout.release(out) when done.
-        out = materialize(
-            new_rows.select(*[f.name for f in _RESULTS_SCHEMA.fields])
-        )
-
         # Upsert = retraction segment (freq −1 of the old rows) + insert.
+        # ``old_rows`` pins the PRE-update results segments at scan time,
+        # so its retraction write can run CONCURRENTLY with the new-rows
+        # materialization (guide §2.6, the minhash maintainer's r18
+        # shape) — the two read disjoint pinned inputs and the write
+        # lands on the results dir the materialization never touches.
+        # The +1 insert stays AFTER both: same table, and the writer seq
+        # discipline keeps segment commits single-file-ordered.
         old_rows = self.results.scan().join(changed_docs, "doc_id").select(
             *[f.name for f in _RESULTS_SCHEMA.fields]
         )
-        # both frames are unique per doc_id — skip the in-batch merge
-        self.results.insert(old_rows, freq=-1, assume_distinct=True)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            # both frames are unique per doc_id — skip the in-batch merge
+            fa = pool.submit(self.results.insert, old_rows, freq=-1,
+                             assume_distinct=True)
+            out = materialize(
+                new_rows.select(*[f.name for f in _RESULTS_SCHEMA.fields])
+            )
+            fa.result()
         self.results.insert(out, assume_distinct=True)
 
         delta.unpersist()
