@@ -36,7 +36,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -264,7 +264,8 @@ class FreqTable:
         has_negative: bool | None = None,
         pre_merged: bool = False,
         extra_meta: dict | None = None,
-    ) -> None:
+        abort_observation: tuple | None = None,
+    ) -> int | None:
         """Append one immutable segment (df must carry __freq).
 
         Each segment also gets a strictly monotonic ``seq`` number (max
@@ -288,7 +289,16 @@ class FreqTable:
         ``extra_meta``: caller metadata stored atomically WITH the segment
         (MV refresh cursors ride here so state commit and cursor commit
         cannot be torn by a crash; ``compact()`` preserves the max of any
-        ``mv_cursor*`` keys)."""
+        ``mv_cursor*`` keys).
+
+        ``abort_observation``: ``(Observation, metric_name)`` attached by
+        the caller to ``df``; the segment parquet write is the action that
+        materializes it, so the caller's would-be pre-count job fuses into
+        the write (one Spark action per DELETE instead of two).  A zero
+        metric aborts the commit — no sequence slot is allocated and no
+        seal happens, so the staged dir is invisible to readers on both
+        backends and reclaimed by the next write's stale-segment sweep.
+        Returns the observed metric (None when no observation)."""
         ts_ms = ts_ms if ts_ms is not None else int(time.time() * 1000)
         # the next sequence skips BURNED slots too (a crash between slot
         # allocation and seal, or a takeover's fence bump) — a sequence
@@ -320,6 +330,15 @@ class FreqTable:
             self.backend.clean_stale_segments(self.path)
         sink = self.backend.segment_sink(self.path, seg)
         merged.write.mode("overwrite").parquet(sink)
+        observed = None
+        if abort_observation is not None:
+            obs, key = abort_observation
+            observed = obs.get[key]
+            if not observed:
+                # structurally-empty batch: leave the staged dir unmarked
+                # (readers skip it; the next write's clean_stale_segments
+                # reclaims it) and never claim a sequence slot
+                return observed
         meta = {"ts_ms": ts_ms, "seq": seq, "has_negative": bool(has_negative)}
         if extra_meta:
             meta.update(extra_meta)
@@ -350,6 +369,7 @@ class FreqTable:
                     f"after 64 attempts"
                 )
             self.backend.seal_segment(self.path, seg, meta)
+        return observed
 
     def insert(
         self,
@@ -432,32 +452,38 @@ class FreqTable:
                     .filter(F.col(FREQ) > 0)
                     .drop("__pid", "__cum_in", "__off", "__cum")
                 )
-                to_delete = current.withColumn(FREQ, -F.col(FREQ))
-                n = to_delete.agg(F.coalesce(-F.sum(FREQ), F.lit(0))).collect()[0][0]
-                if n:
-                    # one row per tuple (derived from the merged scan, the
-                    # freq-split rewrites frequencies in place) — the
-                    # write-side merge is the identity
-                    self._write_segment(to_delete, ts_ms, has_negative=True,
-                                        pre_merged=True)
+                # count fused into the write action via Observation (r18):
+                # one row per tuple (derived from the merged scan, the
+                # freq-split rewrites frequencies in place) — the
+                # write-side merge is the identity
+                obs = Observation()
+                to_delete = current.withColumn(FREQ, -F.col(FREQ)).observe(
+                    obs, F.coalesce(-F.sum(FREQ), F.lit(0)).alias("__n")
+                )
+                n = self._write_segment(
+                    to_delete, ts_ms, has_negative=True, pre_merged=True,
+                    abort_observation=(obs, "__n"),
+                )
             finally:
                 within.unpersist()
             return int(n)
-        # Cached across the count and the segment write: the merged scan
-        # (cross-segment groupBy once >1 segment) is the expensive part of
-        # a delete, and the old shape ran it twice — once for the count,
-        # once inside _write_segment.  pre_merged: scan() output is
-        # tuple-unique by construction (merge-on-read, or a single
-        # write-merged segment), so the write-side groupBy is the identity
-        # — skipping it removes a second full-width shuffle (r18).
-        to_delete = current.withColumn(FREQ, -F.col(FREQ)).persist()
-        try:
-            n = to_delete.agg(F.coalesce(-F.sum(FREQ), F.lit(0))).collect()[0][0]
-            if n:
-                self._write_segment(to_delete, ts_ms, has_negative=True,
-                                    pre_merged=True)
-        finally:
-            to_delete.unpersist()
+        # ONE Spark action (r18): the deleted-instance count rides the
+        # segment write as an Observation metric, so the merged scan
+        # (cross-segment groupBy once >1 segment) — the expensive part of
+        # a delete — runs exactly once, with no cache in between (the old
+        # shape was a counting collect plus a cache-fed write job).
+        # pre_merged: scan() output is tuple-unique by construction
+        # (merge-on-read, or a single write-merged segment), so the
+        # write-side groupBy is the identity — no in-batch shuffle.  A
+        # zero count aborts the commit inside _write_segment (no segment
+        # published), preserving the empty-delete contract.
+        obs = Observation()
+        to_delete = current.withColumn(FREQ, -F.col(FREQ)).observe(
+            obs, F.coalesce(-F.sum(FREQ), F.lit(0)).alias("__n")
+        )
+        n = self._write_segment(to_delete, ts_ms, has_negative=True,
+                                pre_merged=True,
+                                abort_observation=(obs, "__n"))
         return int(n)
 
     def compact(self) -> None:

@@ -981,27 +981,43 @@ class JoinMaterializedView:
             *self.columns, (F.col("__fa") * F.col("__fb")).alias(FREQ)
         )
 
+    def _snap_live_keyed(self, seq: int, keys_df: DataFrame) -> DataFrame:
+        """Merged LIVE right-side rows at ``seq`` restricted to the join
+        keys in ``keys_df`` — for pad anti-join probes, whose matchedness
+        only the restricted key set can decide.
+
+        The restriction lands BELOW the tuple merge (r18, the aggregate
+        sibling's ``_snap_live_keys``): signed unmerged scan → broadcast
+        semi-join on the delta keys → per-tuple freq merge → freq > 0.
+        Sound because key membership is a deterministic per-tuple
+        predicate, so it commutes with the full-tuple groupBy — and every
+        key ``a`` can carry appears in ``keys_df`` (``a`` is the delta
+        itself or a flip set built by ⋉ that delta).  NULL-keyed rows
+        drop, which an equi anti-join could never match anyway.  The
+        merge Exchange then carries only delta-key matches instead of the
+        whole right table (guide §3.2: prefilter before the shuffle)."""
+        raw = self.right.signed_scan(as_of_seq=seq).join(
+            F.broadcast(keys_df.select(*self.on)), self.on, "left_semi"
+        )
+        tuple_cols = [c for c in raw.columns if c != FREQ]
+        return (
+            raw.groupBy(*tuple_cols)
+            .agg(F.sum(FREQ).alias(FREQ))
+            .filter(F.col(FREQ) > 0)
+        )
+
     def _pad(
         self,
         a: DataFrame,
         b_snapshot: DataFrame,
         sign: int,
-        probe_keys: DataFrame | None = None,
     ) -> DataFrame:
         """Signed NULL-pad rows: left rows of ``a`` with no key match in
-        ``b_snapshot`` (reference NULL-pad, hash_join.rs:147-160).
-
-        ``probe_keys`` (a delta's key projection) semi-restricts the
-        snapshot before the anti-join: every key ``a`` can carry appears
-        in ``probe_keys`` (``a`` is either the delta itself or a flip set
-        built by ⋉ that delta), so matchedness against the restricted
-        snapshot is identical — and the anti-join's build side becomes
-        delta-sized (broadcast) instead of O(|B| keys).  The join is USING
-        common key columns, i.e. pure equi, so the restriction is always
-        sound here."""
+        ``b_snapshot`` (reference NULL-pad, hash_join.rs:147-160).  The
+        caller restricts the snapshot to the keys ``a`` can carry
+        (``_snap_live_keyed``), so the anti-join's build side is
+        delta-sized (broadcast) instead of O(|B| keys)."""
         keys = b_snapshot.select(*self.on)
-        if probe_keys is not None:
-            keys = keys.join(probe_keys.select(*self.on), self.on, "left_semi")
         rschema = {f.name: f.dataType for f in self.right.schema().fields}
         unmatched = a.join(keys, self.on, "left_anti")
         out = [
@@ -1021,30 +1037,46 @@ class JoinMaterializedView:
         db = self.right.delta(r_old, r_new)
         # join-term snapshots are signed unmerged scans (r18): the
         # bilinear delta rule multiplies frequencies, so ±rows of a net-0
-        # tuple cancel downstream — no merge Exchange needed
-        delta_view = self._join(
-            da, self.right.signed_scan(r_old)
-        ).unionByName(self._join(self.left.signed_scan(l_new), db))
+        # tuple cancel downstream — no merge Exchange needed.  Bootstrap
+        # cursors (-1: segment seqs start at 0, so the old snapshot is
+        # structurally empty) prune their terms at construction time —
+        # Catalyst would fold them, but only after paying analysis for
+        # every branch on the first refresh of every view.
+        terms = []
+        if r_old >= 0:
+            terms.append(self._join(da, self.right.signed_scan(r_old)))
+        terms.append(self._join(self.left.signed_scan(l_new), db))
         if self.how == "left_outer":
             # pad probes decide matchedness by row PRESENCE — their
-            # snapshots stay merged live scans
-            b_new = self.right.scan(as_of_seq=r_new, expand=False)
-            b_old = self.right.scan(as_of_seq=r_old, expand=False)
-            # new left rows currently unmatched get pads (snapshot
-            # restricted to ΔA's own keys — delta-sized build side) …
-            delta_view = delta_view.unionByName(
-                self._pad(da, b_new, 1, probe_keys=da)
-            )
-            # … and matchedness flips re-emit/retract pads of OLD left rows;
-            # a_flip carries only ΔB keys by construction, so both snapshot
-            # probes restrict to ΔB's keys (the flip side itself is linear
-            # in the chain frequency — signed unmerged scan)
-            a_flip = self.left.signed_scan(l_old).join(
-                db.select(*self.on), self.on, "left_semi"
-            )
-            delta_view = delta_view.unionByName(
-                self._pad(a_flip, b_new, 1, probe_keys=db)
-            ).unionByName(self._pad(a_flip, b_old, -1, probe_keys=db))
+            # snapshots are merged live rows, with the delta-key
+            # restriction applied BELOW the tuple merge (r18, the
+            # aggregate sibling's _snap_live_keys treatment): the merge
+            # Exchange then carries only delta-key matches instead of the
+            # whole right table.  New left rows currently unmatched get
+            # pads (snapshot restricted to ΔA's own keys) …
+            terms.append(self._pad(da, self._snap_live_keyed(r_new, da), 1))
+            # … and matchedness flips re-emit/retract pads of OLD left
+            # rows; a_flip carries only ΔB keys by construction, so both
+            # snapshot probes restrict to ΔB's keys (the flip side itself
+            # is linear in the chain frequency — signed unmerged scan).
+            # Pruned at bootstrap: there are no old left rows to flip.
+            if l_old >= 0:
+                a_flip = self.left.signed_scan(l_old).join(
+                    db.select(*self.on), self.on, "left_semi"
+                )
+                terms.append(
+                    self._pad(a_flip, self._snap_live_keyed(r_new, db), 1)
+                )
+                # NOT gated on r_old: at a right-side bootstrap the old
+                # snapshot is empty, so the anti-join passes EVERY flip
+                # row — exactly the retraction of the pads those rows
+                # carried while the right table was empty
+                terms.append(self._pad(
+                    a_flip, self._snap_live_keyed(r_old, db), -1
+                ))
+        delta_view = terms[0]
+        for t in terms[1:]:
+            delta_view = delta_view.unionByName(t)
         if not self.state.exists():
             self.state.create(delta_view.drop(FREQ).schema)
         # Persisted across the emptiness probe, _write_segment's negative-
@@ -1318,6 +1350,14 @@ class AggregateJoinMaterializedView(MaterializedView):
         delta = d0.withColumnRenamed("__f0", "__f") if d0 is not None else None
         old = snap(0, olds[0], merged=False).withColumnRenamed("__f0", "__f")
         new = snap(0, news[0], merged=False).withColumnRenamed("__f0", "__f")
+        # a cursor of -1 is the bootstrap refresh: segment seqs start at 0,
+        # so the old snapshot holds no segments — structurally empty.
+        # Terms probing it are pruned at CONSTRUCTION time (r18): Catalyst
+        # would fold them away anyway (PropagateEmptyRelation), but only
+        # after paying plan construction and analysis for every branch —
+        # on the first refresh of every cycle (and THE refresh of a
+        # batched cycle) that is half the union terms.
+        old_empty = olds[0] < 0
         # subplans referenced from several union branches at left-outer
         # steps (the prefix delta; the flip set) are persisted so the final
         # single evaluation of the delta plan computes each once
@@ -1325,15 +1365,17 @@ class AggregateJoinMaterializedView(MaterializedView):
         for i in range(1, len(self.tables)):
             di = dlt(i)
             terms = []
-            if self.hows[i - 1] == "left_outer" and delta is not None:
+            if (self.hows[i - 1] == "left_outer" and delta is not None
+                    and (olds[i] >= 0 or di is not None)):
                 # referenced by the inner step term, the pad term, AND the
                 # pad snapshot's key restriction below
                 delta = delta.persist()
                 pinned.append(delta)
-            if delta is not None:
+            if delta is not None and olds[i] >= 0:
                 # inner part of the step delta: ΔC ⋈ Ti_old — always an
                 # inner probe (pads are differentiated separately below),
-                # so the snapshot side can be the signed unmerged scan
+                # so the snapshot side can be the signed unmerged scan;
+                # pruned when Ti_old is structurally empty (bootstrap)
                 terms.append(self._step(
                     delta, snap(i, olds[i], merged=False), i, how="inner"
                 ))
@@ -1360,10 +1402,12 @@ class AggregateJoinMaterializedView(MaterializedView):
                     else:
                         snap_d = snap(i, news[i])
                     terms.append(self._pad(delta, snap_d, i, 1))
-                if di is not None:
+                if di is not None and not old_empty:
                     # flip rows carry only ΔTi keys by construction
                     # (they are old ⋉ ΔTi), so both snapshot probes
-                    # restrict to ΔTi's key projection
+                    # restrict to ΔTi's key projection; pruned when the
+                    # prefix chain at the old cursors is structurally
+                    # empty (bootstrap — there are no old rows to flip)
                     flip = old.join(
                         di, F.expr(self.join_conds[i - 1]), "left_semi"
                     ).persist()  # referenced by both signed pad terms
@@ -1389,6 +1433,11 @@ class AggregateJoinMaterializedView(MaterializedView):
             chain_merged = self.hows[i - 1] == "left_outer"
             old = self._step(old, snap(i, olds[i], merged=chain_merged), i)
             new = self._step(new, snap(i, news[i], merged=chain_merged), i)
+            # an inner step against a bootstrap-empty side empties the
+            # prefix chain; a left-outer step keeps the (padded) left rows
+            old_empty = old_empty or (
+                self.hows[i - 1] != "left_outer" and olds[i] < 0
+            )
         return delta, pinned
 
     def refresh(self, until: list[int] | None = None) -> int:

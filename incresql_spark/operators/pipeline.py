@@ -588,31 +588,42 @@ def mv_cascade_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{root}/mv2_state",
         )
         # Both cascade levels refresh after every wave, pipelined with the
-        # next wave's ingest (§2.6, the _q3_drive_waves treatment): the
-        # level-1 refresh is bounded to its wave's seq snapshot and both
-        # refreshes touch only the MV state dirs + changelog, never the
-        # base table the concurrent ingest appends to.  mv2 needs no
-        # bound — its base is mv1's changelog, which only the same
-        # serialized refresh thread appends to.
+        # next wave's ingest (§2.6, the _q3_drive_waves treatment), and
+        # the TWO LEVELS pipeline with each other (r18): level 2's wave-i
+        # refresh only needs the changelog through wave i — its window is
+        # pinned with an explicit ``until`` bound at the seq captured
+        # right after level 1's wave-i commit — so it runs on its own
+        # single-thread pool CONCURRENTLY with level 1's wave-i+1 refresh
+        # (which appends strictly newer, immutable changelog segments and
+        # rewrites only mv1's own state dir).  Per-wave consumption stays
+        # deterministic; each pool serializes its own level's refreshes.
         from concurrent.futures import ThreadPoolExecutor
 
-        def _both(until: int) -> None:
-            mv1.refresh(until=until); mv2.refresh()
+        with ThreadPoolExecutor(max_workers=1) as rpool, \
+                ThreadPoolExecutor(max_workers=1) as l2pool:
+            l2futs = []
 
-        with ThreadPoolExecutor(max_workers=1) as rpool:
-            # wave 1: even orderkeys; refresh level 1 then level 2
+            def _l1_then_kick_l2(until: int) -> None:
+                mv1.refresh(until=until)
+                l2futs.append(
+                    l2pool.submit(mv2.refresh, mv1.changelog.last_seq())
+                )
+
+            # wave 1: even orderkeys; refresh level 1 then kick level 2
             base.insert(src.filter("l_orderkey % 2 = 0"),
                         assume_distinct=True)
-            fut = rpool.submit(_both, base.last_seq())
+            fut = rpool.submit(_l1_then_kick_l2, base.last_seq())
             # wave 2: odd orderkeys (new groups at level 1 → nsupp moves)
             base.insert(src.filter("l_orderkey % 2 = 1"),
                         assume_distinct=True)
             fut.result()
-            fut = rpool.submit(_both, base.last_seq())
+            fut = rpool.submit(_l1_then_kick_l2, base.last_seq())
             # wave 3: retraction — shrinks most groups, may empty some
             base.delete_where("l_linenumber >= 5")
             fut.result()
-            mv1.refresh(); mv2.refresh()
+            _l1_then_kick_l2(base.last_seq())
+            for f in l2futs:
+                f.result()
         out = (
             mv2.read()
             .select("l_returnflag", "nsupp", "total_items", "total_qty")
@@ -684,9 +695,24 @@ def mv_cascade_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             None, "o_orderpriority",
             f"{root}/mv2_state",
         )
-        _q3_drive_waves(tables,
-                        lambda wave, until: (mv1.refresh(until=until),
-                                             mv2.refresh()))
+        # two-level pipelining (r18, the mv_cascade_incremental shape):
+        # level 2's wave-i refresh is bounded to the changelog seq
+        # captured right after level 1's wave-i commit, so it overlaps
+        # level 1's wave-i+1 refresh on its own serialized pool
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as l2pool:
+            l2futs = []
+
+            def _cascade_wave(wave: int, until: list[int]) -> None:
+                mv1.refresh(until=until)
+                l2futs.append(
+                    l2pool.submit(mv2.refresh, mv1.changelog.last_seq())
+                )
+
+            _q3_drive_waves(tables, _cascade_wave)
+            for f in l2futs:
+                f.result()
         out = (
             mv2.read()
             .select("o_orderpriority", "n_groups", "revenue_e4_total",
