@@ -179,3 +179,44 @@ def test_legacy_compacted_segment_without_min_ts_is_conservative(spark, tmp_path
     with pytest.raises(ValueError, match="compacted segment span"):
         t.scan(as_of_ms=2500).collect()
     assert sorted(r.x for r in t.scan(as_of_ms=3000).collect()) == [1, 2, 3]
+
+
+def test_empty_delete_publishes_no_segment_and_aborted_stage_is_reclaimed(
+    spark,
+):
+    """r18 DELETE fusion: the deleted-instance count rides the segment
+    write as an Observation metric, and a ZERO count must abort the
+    commit — no sequence slot allocated, no segment visible — leaving
+    only an unmarked stage dir that the next write's stale sweep
+    reclaims.  Non-empty deletes still return the exact instance count."""
+    import os
+
+    with tempfile.TemporaryDirectory() as root:
+        t = FreqTable(spark, f"{root}/t")
+        t.create(_SCHEMA)
+        t.insert(spark.createDataFrame([(1, "x"), (2, "y")], _SCHEMA))
+        seq_before = t.last_seq()
+
+        # matches nothing -> 0, and NO new segment (seq unchanged)
+        assert t.delete_where("a = 99") == 0
+        assert t.last_seq() == seq_before
+        assert sorted((r.a, r.b) for r in t.scan().collect()) == [
+            (1, "x"), (2, "y"),
+        ]
+
+        # the aborted write leaves at most an unmarked stage; the next
+        # successful write sweeps it and readers never see it
+        assert t.delete_where("a = 1") == 1
+        assert t.last_seq() == seq_before + 1
+        assert sorted((r.a, r.b) for r in t.scan().collect()) == [(2, "y")]
+        stale = [
+            d for d in os.listdir(f"{root}/t")
+            if d.startswith(".") and "seg-" in d
+        ]
+        # whatever staging layout the backend uses, a second write cycle
+        # must not accumulate unmarked dirs beyond the one in flight
+        assert len(stale) <= 1
+
+        # empty LIMIT path: condition matches nothing -> 0, no segment
+        assert t.delete_where("a = 99", limit=5) == 0
+        assert t.last_seq() == seq_before + 1
