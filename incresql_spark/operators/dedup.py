@@ -968,11 +968,20 @@ def dedup_contamination_bloom(
     per-doc aggregate, as in dedup_contamination — but the broadcast is
     O(m) bits instead of O(|eval shingles|)."""
     docsh = _doc_shingles(spark, sf_dir)
-    ev = (
-        docsh.filter(F.col("doc_id") < EVAL_SET_MAX_DOC)
-        .select(F.explode("shingles").alias("shingle"))
-        .distinct()
+    ev = docsh.filter(F.col("doc_id") < EVAL_SET_MAX_DOC).select(
+        F.explode("shingles").alias("shingle")
     )
+    if verify:
+        # the exact ride-along broadcast-joins the DISTINCT eval shingles
+        # (countDistinct semantics need the set, and the small distinct
+        # frame is what gets broadcast)
+        ev = ev.distinct()
+    # Production mode feeds bloom_bits the RAW exploded shingles: its
+    # trailing distinct already bounds the bit set at <= m rows, so a
+    # pre-distinct only saves md5 work on the tiny eval side while
+    # costing a full exchange in the serial bits-collect job (measured
+    # at sf0.1, interleaved min-of-3: 3.31s -> 3.07s without it,
+    # rows byte-identical).
     if bits is None:
         bits = bloom_bits(ev)
     tr = docsh.filter(F.col("doc_id") >= EVAL_SET_MAX_DOC).select(
