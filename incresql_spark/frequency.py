@@ -692,6 +692,21 @@ class FreqTable:
             .filter(F.col(FREQ) != 0)
         )
 
+    def window_all_nonnegative(self, since_seq: int,
+                               until_seq: int | None = None) -> bool:
+        """True when every segment in (since, until] is insert-only — a
+        pure METADATA check (segment ``has_negative`` flags, no Spark
+        job).  Then any delta of the window, and any sign-preserving
+        (filter/project) transform of it, is uniformly positive: inputs
+        are all > 0 and the in-batch tuple merge sums positives — so a
+        downstream ``_write_segment`` may pass ``has_negative=False``
+        statically instead of paying the merged-frame probe job."""
+        return all(
+            not s["has_negative"]
+            for s in self._segments(as_of_seq=until_seq)
+            if s["seq"] > since_seq
+        )
+
     def last_ts(self) -> int:
         segs = self._segments()
         return max((s["ts_ms"] for s in segs), default=0)

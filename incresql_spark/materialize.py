@@ -40,7 +40,7 @@ import re
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import commit
@@ -686,14 +686,35 @@ class MaterializedView:
         if self.is_aggregate:
             n = self._agg_refresh(delta, cursor={"cursor": now})
         else:
-            n = delta.count()
-            if n:
-                self.state.create(
-                    self._apply_linear(delta).drop(FREQ).schema
-                ) if not self.state.exists() else None
-                self.state._write_segment(
-                    self._apply_linear(delta), extra_meta={"mv_cursor": now}
-                )
+            # r18: the old shape paid a FULL delta pass for the count
+            # before the write (plus, inside _write_segment, a merged-
+            # frame sign probe).  Now a cheap limit-1 job decides
+            # emptiness (preserving the contract that an empty refresh
+            # creates neither state nor segment), the FULL count rides
+            # the segment write as an Observation metric (the
+            # delete_where treatment), and for insert-only delta windows
+            # the sign is derived statically from segment metadata
+            # (window_all_nonnegative) so the probe job disappears too.
+            if delta.limit(1).count() == 0:
+                n = 0
+            else:
+                if not self.state.exists():
+                    self.state.create(
+                        self._apply_linear(delta).drop(FREQ).schema
+                    )
+                obs = Observation()
+                n = int(self.state._write_segment(
+                    self._apply_linear(
+                        delta.observe(obs, F.count(F.lit(1)).alias("__n"))
+                    ),
+                    has_negative=(
+                        False
+                        if self.base.window_all_nonnegative(since, now)
+                        else None
+                    ),
+                    extra_meta={"mv_cursor": now},
+                    abort_observation=(obs, "__n"),
+                ))
         meta["last_refresh_seq"] = now
         self._save_meta(meta)
         return n
