@@ -277,8 +277,10 @@ class FreqTable:
 
         ``has_negative``: callers whose frame's freq SIGN is statically
         known (insert freq>0 → uniformly positive; delete → uniformly
-        negative) pass it to skip the probe job — one fewer Spark action
-        per write on every hot path.  ``None`` probes the merged frame.
+        negative) pass it to skip even the metric.  ``None`` observes
+        min(freq) ON the write action itself (the meta seal happens
+        after the parquet write, so the sign needs no dedicated probe
+        job — r18; previously this was a separate full-merge pass).
 
         ``pre_merged``: callers whose batch provably contains no duplicate
         tuples (state tables keyed by unique ids) skip the in-batch
@@ -316,8 +318,18 @@ class FreqTable:
             merged = (
                 df.groupBy(*cols).agg(F.sum(FREQ).alias(FREQ)).filter(F.col(FREQ) != 0)
             )
+        sign_obs = None
         if has_negative is None:
-            has_negative = merged.filter(F.col(FREQ) < 0).limit(1).count() > 0
+            # The sign probe rides the write (r18): the segment parquet
+            # write is the action that materializes ``merged`` and the
+            # meta seal happens AFTER it, so min(freq) can be observed
+            # on the write itself instead of paying a dedicated probe
+            # job over the full merge.  Callers with a statically known
+            # sign still skip even the metric.
+            sign_obs = Observation()
+            merged = merged.observe(
+                sign_obs, F.min(F.col(FREQ)).alias("__minf")
+            )
         seg = f"seg-{ts_ms}-{uuid.uuid4().hex[:8]}"
         # stage → seal is the backend's atomic publication: rename backend
         # stages in a dot-prefixed dir and renames marker+data into place
@@ -339,6 +351,9 @@ class FreqTable:
                 # (readers skip it; the next write's clean_stale_segments
                 # reclaims it) and never claim a sequence slot
                 return observed
+        if sign_obs is not None:
+            mn = sign_obs.get["__minf"]  # None on an empty frame
+            has_negative = mn is not None and mn < 0
         meta = {"ts_ms": ts_ms, "seq": seq, "has_negative": bool(has_negative)}
         if extra_meta:
             meta.update(extra_meta)
