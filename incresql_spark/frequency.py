@@ -45,6 +45,31 @@ from . import commit
 FREQ = "__freq"
 
 
+def _observed_metric(obs: Observation, key: str, default):
+    """Read one metric off a completed action's ``Observation``,
+    tolerating the zero-task case.
+
+    A CollectMetrics node only registers its metrics row when at least
+    one task executes it; an action whose observed subtree ends up with
+    ZERO tasks — a 0-partition empty-frame delta window, or AQE's
+    runtime empty-relation propagation collapsing the observed stage —
+    completes without ever firing the observation, and the metric read
+    throws an assertion deep in the JVM row conversion.  Zero tasks
+    means zero rows flowed through the node (Catalyst never elides
+    CollectMetrics while its input still runs, and this engine attaches
+    each observation exactly once, directly above the written frame), so
+    the metric's empty-frame value (``default``) is the correct answer.
+    Any OTHER failure re-raises: masking a real error as "empty" could
+    silently skip a commit whose cursors then advance past real data."""
+    try:
+        return obs.get[key]
+    except Exception as exc:
+        msg = str(exc)
+        if "toPyRow" in msg and "assertion failed" in msg:
+            return default
+        raise
+
+
 def _type_from_str(s: str) -> T.DataType:
     return T._parse_datatype_string(s)
 
@@ -345,14 +370,14 @@ class FreqTable:
         observed = None
         if abort_observation is not None:
             obs, key = abort_observation
-            observed = obs.get[key]
+            observed = _observed_metric(obs, key, default=0)
             if not observed:
-                # structurally-empty batch: leave the staged dir unmarked
-                # (readers skip it; the next write's clean_stale_segments
-                # reclaims it) and never claim a sequence slot
+                # empty batch: leave the staged dir unmarked (readers
+                # skip it; the next write's clean_stale_segments reclaims
+                # it) and never claim a sequence slot
                 return observed
         if sign_obs is not None:
-            mn = sign_obs.get["__minf"]  # None on an empty frame
+            mn = _observed_metric(sign_obs, "__minf", default=None)
             has_negative = mn is not None and mn < 0
         meta = {"ts_ms": ts_ms, "seq": seq, "has_negative": bool(has_negative)}
         if extra_meta:

@@ -1100,23 +1100,35 @@ class JoinMaterializedView:
             delta_view = delta_view.unionByName(t)
         if not self.state.exists():
             self.state.create(delta_view.drop(FREQ).schema)
-        # Persisted across the emptiness probe, _write_segment's negative-
-        # freq probe, and the segment write — the join/anti-join terms are
-        # the expensive part of a refresh and must run exactly once.
-        delta_view = delta_view.persist()
-        try:
-            # merged within _write_segment; empty deltas produce no segment;
-            # the cursors ride IN the segment meta (atomic with the state)
-            if delta_view.limit(1).count() > 0:
-                self.state._write_segment(
-                    delta_view,
-                    extra_meta={
-                        "mv_cursor_left": l_new,
-                        "mv_cursor_right": r_new,
-                    },
-                )
-        finally:
-            delta_view.unpersist()
+        # ONE action (r18): the expensive join/anti-join terms run exactly
+        # once, inside the segment write itself — the row count rides as
+        # an Observation metric whose zero value ABORTS the commit (no
+        # segment, no sequence slot: the old probe-then-skip contract),
+        # and the freq sign rides the same write (sign_obs inside
+        # _write_segment).  The r17 shape persisted the frame across an
+        # emptiness probe, a sign probe and the write — three actions and
+        # a cache of a potentially large delta.  The cursors ride IN the
+        # segment meta (atomic with the state), as before.  A delta whose
+        # rows all cancel in the merge still seals an (empty) segment,
+        # exactly like the probed shape: the metric counts pre-merge rows.
+        #
+        # IDLE refreshes (both windows structurally empty — also what
+        # crash recovery hits once the state cursors already advanced
+        # past a stale meta file) must skip the write: Catalyst folds the
+        # whole observed plan to an empty local relation, no job runs,
+        # and the never-fired CollectMetrics would make the metric read
+        # throw.  last_seq()==old ⟺ empty window (seqs are monotonic),
+        # so the check is metadata-only.
+        if not (l_new == l_old and r_new == r_old):
+            obs = Observation()
+            self.state._write_segment(
+                delta_view.observe(obs, F.count(F.lit(1)).alias("__n")),
+                extra_meta={
+                    "mv_cursor_left": l_new,
+                    "mv_cursor_right": r_new,
+                },
+                abort_observation=(obs, "__n"),
+            )
         # Bound state growth: every non-empty refresh appends one segment
         # and read() merges across all of them, so an unbounded refresh
         # history would make reads pay an ever-growing merge.  Compact once

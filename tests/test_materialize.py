@@ -1398,3 +1398,54 @@ def test_join_mv_left_outer_randomized_differential_with_compaction(spark, tmp_p
             spark.conf.unset("incresql.mv.join_state.max_segments")
         else:
             spark.conf.set("incresql.mv.join_state.max_segments", prev)
+
+
+def test_linear_mv_fused_refresh_contract(spark, tmp_path):
+    """r18 linear-refresh fusion: the raw-delta count rides the segment
+    write as an Observation (no separate count pass), the segment sign is
+    derived statically from insert-only window metadata, a mixed window's
+    sign comes from the on-write observation, and an empty refresh still
+    creates neither state nor segment."""
+    from incresql_spark.materialize import MaterializedView
+
+    base = FreqTable(spark, str(tmp_path / "base_fl"))
+    seed = spark.createDataFrame(
+        [("a", 1), ("b", -5), ("c", 3)], "k STRING, v INT"
+    )
+    base.create(seed.schema)
+    mv = MaterializedView(
+        spark, "mv_fl", base, "k, v", "v > 0", None,
+        str(tmp_path / "state_fl"),
+    )
+    # empty refresh before any data: no state dir, no segment, n == 0
+    assert mv.refresh() == 0
+    assert not mv.state.exists()
+
+    # insert-only window: n is the RAW delta count (pre-WHERE — 'b' is
+    # filtered out of the state but still counted), and the segment meta
+    # carries has_negative=False from METADATA (window_all_nonnegative),
+    # not a probe
+    base.insert(seed)
+    assert mv.refresh() == 3
+    segs = mv.state._segments()
+    assert len(segs) == 1 and segs[0]["has_negative"] is False
+    assert sorted(tuple(r) for r in mv.read().collect()) == [
+        ("a", 1), ("c", 3)
+    ]
+
+    # mixed window (insert + delete consumed by ONE refresh): the net
+    # delta carries a retraction, so the observed sign must mark the
+    # segment negative and the view must retract the row
+    base.insert(spark.createDataFrame([("d", 7)], "k STRING, v INT"))
+    base.delete_where("k = 'a'")
+    assert mv.refresh() == 2  # net rows in the merged window: -a, +d
+    segs = sorted(mv.state._segments(), key=lambda s: s["seq"])
+    assert segs[-1]["has_negative"] is True
+    assert sorted(tuple(r) for r in mv.read().collect()) == [
+        ("c", 3), ("d", 7)
+    ]
+
+    # idle refresh: no new segments — no-op, no new state segment
+    n_segs = len(mv.state._segments())
+    assert mv.refresh() == 0
+    assert len(mv.state._segments()) == n_segs
