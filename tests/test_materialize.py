@@ -1449,3 +1449,30 @@ def test_linear_mv_fused_refresh_contract(spark, tmp_path):
     n_segs = len(mv.state._segments())
     assert mv.refresh() == 0
     assert len(mv.state._segments()) == n_segs
+
+
+def test_join_mv_zero_task_observed_write_aborts(spark, tmp_path):
+    """r18 hardening: a non-idle refresh whose whole delta plan collapses
+    to zero tasks (here: INNER join terms against a right table that has
+    never had a segment, so every term folds empty) must abort the fused
+    write through the tolerant metric read — no crash, no segment, and
+    the view catches up normally once the right side gets data."""
+    from pyspark.sql import types as T
+
+    a = FreqTable(spark, str(tmp_path / "za"))
+    b = FreqTable(spark, str(tmp_path / "zb"))
+    a.create(T.StructType([T.StructField("k", T.IntegerType()),
+                           T.StructField("av", T.StringType())]))
+    b.create(T.StructType([T.StructField("k", T.IntegerType()),
+                           T.StructField("bv", T.StringType())]))
+    mv = JoinMaterializedView(
+        spark, "mv_z", a, b, ["k"], ["k", "av", "bv"],
+        str(tmp_path / "mvz"),
+    )
+    a.insert(spark.createDataFrame([(1, "a1")], "k int, av string"))
+    mv.refresh()  # left delta, right empty-forever: zero-task write
+    assert mv.state._segments() == []
+    assert [tuple(r) for r in mv.read().collect()] == []
+    b.insert(spark.createDataFrame([(1, "b1")], "k int, bv string"))
+    mv.refresh()
+    assert sorted(tuple(r) for r in mv.read().collect()) == [(1, "a1", "b1")]
