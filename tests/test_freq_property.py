@@ -220,3 +220,77 @@ def test_empty_delete_publishes_no_segment_and_aborted_stage_is_reclaimed(
         # empty LIMIT path: condition matches nothing -> 0, no segment
         assert t.delete_where("a = 99", limit=5) == 0
         assert t.last_seq() == seq_before + 1
+
+
+def test_signed_scan_additive_consumers_match_merged_scan(spark):
+    """r18 signed_scan contract, pinned directly: the unmerged signed
+    union of segments feeds ADDITIVE consumers — freq-weighted
+    aggregation and equi-joins that multiply frequencies — with results
+    identical to the merged ``scan``, INCLUDING across net-0 tuples
+    (insert-then-delete pairs whose ±rows must cancel downstream) and
+    partially-deleted freq>1 tuples.  This is the invariant every r18
+    call site (MV delta-plan prefixes, inner probe snapshots, JoinMV
+    bilinear terms) relies on; the MV gate rows pin it end-to-end, this
+    pins it at the frequency layer where the contract lives."""
+    from pyspark.sql import functions as F
+
+    from incresql_spark.frequency import FREQ
+
+    with tempfile.TemporaryDirectory() as root:
+        t = FreqTable(spark, f"{root}/t")
+        t.create(_SCHEMA)
+        # segment 0: (1,x)×2, (2,y)×1, (3,y)×1
+        t.insert(spark.createDataFrame(
+            [(1, "x"), (1, "x"), (2, "y"), (3, "y")], _SCHEMA))
+        # segment 1 (retraction): (3,y) fully deleted -> net-0 tuple
+        assert t.delete_where("a = 3") == 1
+        # segment 2 (retraction, LIMIT): (1,x) 2 -> 1
+        assert t.delete_where("a = 1", limit=1) == 1
+
+        signed = t.signed_scan()
+        merged = t.scan(expand=False)
+
+        # really unmerged: ±rows present, more raw rows than merged tuples
+        assert signed.count() > merged.count()
+        assert signed.filter(F.col(FREQ) < 0).count() > 0
+
+        # (a) per-tuple re-merge of the signed union == merged scan
+        remerged = sorted(
+            tuple(r) for r in signed.groupBy("a", "b")
+            .agg(F.sum(FREQ).alias(FREQ))
+            .filter(F.col(FREQ) > 0).collect()
+        )
+        assert remerged == sorted(tuple(r) for r in merged.collect())
+        assert remerged == [(1, "x", 1), (2, "y", 1)]
+
+        # (b) freq-weighted aggregate: sum(a·freq) over signed rows ==
+        # plain sum over the expanded merged scan (net-0 tuple invisible)
+        w_signed = signed.agg(
+            F.sum(F.col("a") * F.col(FREQ)).alias("s")).collect()[0]["s"]
+        w_merged = t.scan().agg(F.sum("a").alias("s")).collect()[0]["s"]
+        assert w_signed == w_merged == 3  # 1·1 + 2·1
+
+        # (c) equi-join with freq multiplication (the _join/_delta_plan
+        # consumer shape): join a signed dim table against signed facts,
+        # multiply freqs, aggregate — equals the fully merged equivalent,
+        # and the net-0 key contributes nothing even though its key
+        # appears in the dim table
+        dim = FreqTable(spark, f"{root}/dim")
+        dim.create(T.StructType([
+            T.StructField("a", T.IntegerType()),
+            T.StructField("w", T.IntegerType()),
+        ]))
+        dim.insert(spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                                         "a INT, w INT"))
+        fa = signed.withColumnRenamed(FREQ, "__fa")
+        fb = dim.signed_scan().withColumnRenamed(FREQ, "__fb")
+        j_signed = (
+            fa.join(fb, "a")
+            .agg(F.sum(F.col("w") * F.col("__fa") * F.col("__fb"))
+                 .alias("s")).collect()[0]["s"]
+        )
+        j_merged = (
+            t.scan().join(dim.scan(), "a")
+            .agg(F.sum("w").alias("s")).collect()[0]["s"]
+        )
+        assert j_signed == j_merged == 30  # (1,x)·10 + (2,y)·20
