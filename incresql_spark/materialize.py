@@ -322,6 +322,7 @@ class AggState:
         keys: list[str],
         touched: list[int],
         extra: dict | None = None,
+        pre_publish=None,
     ) -> None:
         """Commit new versions of exactly the ``touched`` buckets.
 
@@ -331,7 +332,16 @@ class AggState:
         groups is dropped from the manifest.  ``extra`` entries are stored
         in the manifest — committed ATOMICALLY with the state (MV refresh
         cursors ride here so a crash between state merge and cursor save
-        cannot cause the same delta to be re-applied)."""
+        cannot cause the same delta to be re-applied).
+
+        ``pre_publish``: optional barrier invoked AFTER staging/placement
+        but BEFORE the manifest publication — the caller's hook for work
+        that must COMMIT before this state becomes visible (the cascade
+        changelog's ordering contract) while its Spark job OVERLAPS the
+        staging job here.  If it raises, the manifest is never published:
+        the staged/placed artifacts are unreferenced garbage the
+        version-scoped GC reclaims, and the state cursor does not advance
+        — exactly the crash-between-commits recovery path."""
         m = self._load_manifest()
         nxt = (m["version"] + 1) if m else 0
         buckets = dict(m["buckets"]) if m else {}
@@ -411,6 +421,11 @@ class AggState:
             )
         if extra:  # … and overwrite with this commit's
             manifest.update(extra)
+        # Ordering barrier for work that must commit before this state is
+        # visible (see docstring) — runs after the placement loop so its
+        # own Spark job has had the whole staging job to overlap with.
+        if pre_publish is not None:
+            pre_publish()
         # THE transaction point: rename backend os.replace-publishes the
         # version-named file; CAS backend writes a content-unique object
         # and compare-and-swaps the pointer — a racing FENCED writer loses
@@ -827,8 +842,31 @@ class MaterializedView:
                 merged = merged.persist()
             try:
                 if self.changelog is not None:
-                    self._emit_changelog(old, merged, cursor)
-                st.write_buckets(merged, keys, touched, extra=cursor)
+                    # The changelog-segment job OVERLAPS the state staging
+                    # job (guide §2.6: both are bounded touched-bucket
+                    # frames whose tasks back-fill each other's tails) —
+                    # the crash-safety ORDER is kept by the pre_publish
+                    # barrier, which blocks the state-manifest publication
+                    # until the changelog segment has committed.  A
+                    # changelog failure therefore still aborts the state
+                    # commit (barrier re-raises pre-publish), and a state
+                    # failure after a committed changelog recovers exactly
+                    # as the old serial shape did: the cursor did not
+                    # advance, the next refresh recomputes the transition,
+                    # and _emit_changelog's replay guard skips the
+                    # duplicate append.  Both jobs read the persisted
+                    # ``merged``; concurrent first actions may race the
+                    # cache fill, bounded by |touched groups|.
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=1) as ex:
+                        fut = ex.submit(
+                            self._emit_changelog, old, merged, cursor
+                        )
+                        st.write_buckets(merged, keys, touched,
+                                         extra=cursor, pre_publish=fut.result)
+                else:
+                    st.write_buckets(merged, keys, touched, extra=cursor)
             finally:
                 if self.changelog is not None:
                     merged.unpersist()

@@ -618,3 +618,45 @@ def test_changelog_compaction_between_cascade_refreshes(spark, tmp_path):
     base.insert(spark.createDataFrame([("c", 5)], ["g", "v"]))
     mv.refresh(); mv2.refresh()
     assert [tuple(r) for r in mv2.read().collect()] == [(3, 18)]
+
+
+def test_changelog_failure_aborts_state_publish(spark, tmp_path):
+    """r18 overlap lever: the changelog-segment job runs CONCURRENTLY
+    with the state staging job, with the ordering contract (changelog
+    commits BEFORE the state manifest) enforced by write_buckets'
+    pre_publish barrier.  Pin the contract's failure half: a changelog
+    write that FAILS must abort the state commit — no manifest, no
+    cursor advance — and the retry must then complete the SAME
+    transition exactly once on both sides."""
+    import pytest
+
+    base, mv = _tiny_changelog_mv(spark, tmp_path)
+    base.insert(spark.createDataFrame([("a", 1)], ["g", "v"]))
+    mv.refresh()
+    st_cur, log_cur = mv._state_cursor(), mv._changelog_cursor()
+    state_before = {(r.g, r.n, r.s) for r in mv.read().collect()}
+
+    base.insert(spark.createDataFrame([("a", 10), ("b", 2)], ["g", "v"]))
+    real = mv.changelog._write_segment
+
+    def failing(*a, **k):
+        raise RuntimeError("simulated changelog write failure")
+
+    mv.changelog._write_segment = failing
+    try:
+        with pytest.raises(RuntimeError, match="changelog write failure"):
+            mv.refresh()
+    finally:
+        mv.changelog._write_segment = real
+    # neither side committed: cursors and visible state are untouched
+    assert mv._state_cursor() == st_cur
+    assert mv._changelog_cursor() == log_cur
+    assert {(r.g, r.n, r.s) for r in mv.read().collect()} == state_before
+
+    # retry completes the same transition exactly once on BOTH sides
+    mv.refresh()
+    assert mv._state_cursor() == mv._changelog_cursor() > st_cur
+    net = {(r.g, r.n, r.s): r["__freq"]
+           for r in mv.changelog.scan(expand=False).collect()}
+    want = {(r.g, r.n, r.s): 1 for r in mv.read().collect()}
+    assert net == want == {("a", 2, 11): 1, ("b", 1, 2): 1}
