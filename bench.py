@@ -33,7 +33,13 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 #: everything else; skipped silently when the tiled sf1 directory
 #: (tools/scale_testdata.py output) is absent.
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.scaled/sf1")
-SF1_NAMES = ("tpch_q1", "tpch_q6", "dedup_minhash_lsh", "text_stats")
+#: mv_q3_incremental joined the set in round 19 (verdict task 2): the
+#: sf0.1 rows are dominated by Spark's fixed per-job constants, so the
+#: driver's low-core run showed ≈1 ratios everywhere it parsed and the
+#: scaling contract was unfalsifiable — a shuffle-heavy MV cycle at sf1
+#: (~14s at 32 cores) is long enough for core count to show.
+SF1_NAMES = ("tpch_q1", "tpch_q6", "dedup_minhash_lsh", "text_stats",
+             "mv_q3_incremental")
 SF1_RUNS = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "2"))
 
 
@@ -97,6 +103,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # the LIVE parallelism the session actually runs with (r19,
+        # verdict task 2): proves $SPARK_GRAFT_CPUS reached the master
+        # string instead of leaving that inferable only from ratios
+        "cpus": spark.sparkContext.defaultParallelism,
     }
     if sf1_timings:
         out["sf1"] = sf1_timings

@@ -64,6 +64,25 @@ def _observed_metric(obs: Observation, key: str, default):
     try:
         return obs.get[key]
     except Exception as exc:
+        # Detection is structural first (r19 hardening, verdict item 5):
+        # ask the JVM observation for its row without the Python row
+        # conversion.  A zero-task observed subtree completes with an
+        # EMPTY metrics row (size-0; measured ``Some([])`` on 4.1) or no
+        # row at all — either way no value exists to read, which is
+        # precisely the "zero rows flowed" case whose correct answer is
+        # ``default``.  A row that DOES carry values means the failure
+        # was something else — re-raise.  The message match stays as a
+        # fallback for when the private ``_jo`` accessor itself drifts.
+        empty = None  # None: probe unavailable (API drift)
+        try:
+            opt = obs._jo.getRowOrEmpty()
+            empty = bool(opt.isEmpty() or opt.get().size() == 0)
+        except Exception:  # noqa: BLE001 — probe is best-effort
+            empty = None
+        if empty is not None:
+            if empty:
+                return default
+            raise  # metrics row exists — the read failure is real
         msg = str(exc)
         if "toPyRow" in msg and "assertion failed" in msg:
             return default

@@ -1400,7 +1400,7 @@ def op_hll_distinct(
 
         dvals = materialize_bounded(vals.distinct())
         return hll_finalize(
-            hll_registers(dvals, p, assume_distinct=True),
+            hll_registers(dvals, p, pre_dedup=False),
             hll_exact(dvals), p,
         )
     return hll_finalize(hll_registers(vals, p), None, p)
@@ -1430,7 +1430,7 @@ def hll_values(df: DataFrame) -> DataFrame:
 
 def hll_registers(vals: DataFrame, p: int = HLL_P,
                   keys: tuple[str, ...] = ("name",),
-                  assume_distinct: bool = False) -> DataFrame:
+                  pre_dedup: bool = True) -> DataFrame:
     """(*keys, j, mj) register frame — the MERGEABLE sketch state: registers
     of a union of batches are the per-key MAX of the batches' registers
     (max is commutative/associative/idempotent), which is what makes the
@@ -1440,15 +1440,17 @@ def hll_registers(vals: DataFrame, p: int = HLL_P,
     every sketch key is (group, column) — the register exchange then
     ships at most |groups| x |columns| x m rows per task.
 
-    r18: the input is DISTINCTed before hashing (registers are idempotent
-    — duplicates never move a max), so the md5 pipeline runs once per
-    distinct value instead of once per row: measured 2.4s → 1.25s on the
-    sf0.1 production sketch.  The distinct's exchange ships per-task
-    partial-distinct pairs, bounded by task-local cardinality.  Callers
-    holding an already-distinct frame (the pinned verify path) pass
-    ``assume_distinct=True`` to skip the redundant exchange."""
+    ``pre_dedup`` is purely an optimization toggle — registers are
+    idempotent under duplicates (max never moves), so either setting is
+    exact.  True DISTINCTs the input before hashing, so the md5 pipeline
+    runs once per distinct value instead of once per row: right when
+    distinct shrinks the frame a lot (the global lineitem sketch,
+    measured 2.4s → 1.25s at sf0.1, r18).  False skips that exchange:
+    right when the frame is already distinct (the pinned verify path) or
+    near-unique anyway (the grouped sketch, where the pre-dedup cost a
+    full exchange to save almost no hashing — r18 verdict item 1)."""
     x = _hll_spark(p)
-    if not assume_distinct:
+    if pre_dedup:
         vals = vals.distinct()
     return (
         vals.withColumn("h", F.expr(hash60_spark_sql("val")))
@@ -1618,15 +1620,21 @@ def op_hll_grouped(
     vals = hll_grouped_values(o)
     keys = ("g", "name")
     if verify:
-        # one corpus pass shared by registers and exact count — the
-        # op_hll_distinct r18 treatment (max(rho) is idempotent, so
-        # registers over the distinct frame are unchanged)
-        from ..plans.layout import materialize_bounded
-
-        dvals = materialize_bounded(vals.distinct())
+        # No shared pin here (r19, reverting the r18 treatment for THIS
+        # variant): unlike the global sketch — where distinct shrinks
+        # 1.8M lineitem values ~20x and one pinned pass feeds both
+        # branches — the grouped (g, name, val) frame is dominated by
+        # (priority, custkey) pairs that are already near-unique, so the
+        # pinned eager distinct added a job plus an Exchange that saved
+        # almost no md5 work (driver-measured 0.68x, r18 verdict item 1).
+        # Two independent lazy passes are cheaper than sharing one pinned
+        # frame (same-session min-of-4 at sf0.1: 0.85s vs 0.97s pinned vs
+        # 0.94s with the register pre-dedup also dropped — the register
+        # branch's internal distinct DOES still pay for itself here, the
+        # md5 pipeline costs more than the ~2x dedup exchange saves).
         return hll_finalize(
-            hll_registers(dvals, p, keys, assume_distinct=True),
-            hll_exact(dvals, keys), p, keys,
+            hll_registers(vals, p, keys),
+            hll_exact(vals, keys), p, keys,
         )
     return hll_finalize(hll_registers(vals, p, keys), None, p, keys)
 

@@ -294,3 +294,99 @@ def test_signed_scan_additive_consumers_match_merged_scan(spark):
             .agg(F.sum("w").alias("s")).collect()[0]["s"]
         )
         assert j_signed == j_merged == 30  # (1,x)·10 + (2,y)·20
+
+
+# --- _observed_metric hardening (r19 verdict item 5) -------------------------
+# The zero-task detection must not hinge on the exception MESSAGE text (a
+# Spark upgrade rewording it would turn every empty refresh into a crash):
+# the structural probe asks the JVM observation for its row and treats an
+# empty/absent metrics row as "zero rows flowed".  These fakes pin both
+# the tolerated and the re-raised path under arbitrary message shapes.
+
+class _FakeOpt:
+    def __init__(self, empty, size=0):
+        self._empty, self._size = empty, size
+
+    def isEmpty(self):
+        return self._empty
+
+    def get(self):
+        opt = self
+
+        class _Row:
+            def size(self):
+                return opt._size
+
+        return _Row()
+
+
+class _FakeJo:
+    def __init__(self, opt):
+        self._opt = opt
+
+    def getRowOrEmpty(self):
+        return self._opt
+
+
+class _FakeObs:
+    def __init__(self, exc, jo):
+        self._exc, self._jo = exc, jo
+
+    @property
+    def get(self):
+        raise self._exc
+
+
+def test_observed_metric_tolerates_empty_row_under_any_message():
+    from incresql_spark.frequency import _observed_metric
+
+    # future Spark rewords the row-conversion failure entirely: the
+    # structural probe (empty metrics row) still classifies it as the
+    # zero-task case
+    obs = _FakeObs(RuntimeError("SOME_NEW_ERROR_CLASS: cannot convert"),
+                   _FakeJo(_FakeOpt(empty=False, size=0)))
+    assert _observed_metric(obs, "n", default=0) == 0
+    # absent row (option empty) is equally the never-fired signature
+    obs = _FakeObs(RuntimeError("whatever"), _FakeJo(_FakeOpt(empty=True)))
+    assert _observed_metric(obs, "n", default=7) == 7
+
+
+def test_observed_metric_reraises_when_metrics_row_exists():
+    from incresql_spark.frequency import _observed_metric
+
+    # the metrics row EXISTS (size 1) — the read failure is real and must
+    # propagate even though the message contains the legacy signature
+    exc = RuntimeError("toPyRow ... assertion failed")
+    obs = _FakeObs(exc, _FakeJo(_FakeOpt(empty=False, size=1)))
+    try:
+        _observed_metric(obs, "n", default=0)
+    except RuntimeError as got:
+        assert got is exc
+    else:
+        raise AssertionError("expected re-raise")
+
+
+def test_observed_metric_message_fallback_when_probe_unavailable():
+    from incresql_spark.frequency import _observed_metric
+
+    class _NoJo:
+        @property
+        def get(self):
+            raise RuntimeError("calling toPyRow: assertion failed deep in JVM")
+
+    # probe unavailable (no _jo at all): the legacy message match still
+    # tolerates the known signature...
+    assert _observed_metric(_NoJo(), "n", default=3) == 3
+
+    class _NoJoOther:
+        @property
+        def get(self):
+            raise RuntimeError("connection reset")
+
+    # ...and any other message re-raises
+    try:
+        _observed_metric(_NoJoOther(), "n", default=3)
+    except RuntimeError as got:
+        assert "connection reset" in str(got)
+    else:
+        raise AssertionError("expected re-raise")
