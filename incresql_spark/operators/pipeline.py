@@ -889,16 +889,47 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..plans import layout
     from ..streaming.minhash_incremental import IncrementalMinHashDedup
 
     root = tempfile.mkdtemp(prefix="incr_minhash_")
     try:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         dd = IncrementalMinHashDedup(spark, f"{root}/state")
-        waves = [
-            dd.add_batch(docs.filter(f"doc_id % 3 = {w}")) for w in range(3)
-        ]
+        # r19 drive shape (guide §2.6 applied twice over):
+        # 1. Wave i+1's signature computation (prepare_batch — shingles +
+        #    minhash bands, state-independent by construction) overlaps
+        #    wave i's state appends on a worker thread, the lever that won
+        #    1.8x on the cascade in r18.
+        # 2. Each wave's candidate-join/verify job runs ASYNCHRONOUSLY:
+        #    add_batch(defer=True) commits the wave's state appends and
+        #    returns the pair plan unevaluated — the plan pinned its own
+        #    wave's PRE-batch segment list at construction and segments
+        #    are immutable, so evaluating it while later waves ingest
+        #    reads exactly the same history.  The three verify jobs then
+        #    back-fill each other's straggler tails and the next waves'
+        #    prep/ingest instead of running as three serial fences.
+        # Per-wave outputs, and hence the union, stay byte-identical to
+        # the serial drive; only job scheduling changes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..plans import layout
+        from ..plans.layout import materialize
+
+        futs = []
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            prep = dd.prepare_batch(docs.filter("doc_id % 3 = 0"))
+            for w in range(3):
+                nxt = (
+                    pool.submit(dd.prepare_batch,
+                                docs.filter(f"doc_id % 3 = {w + 1}"))
+                    if w < 2 else None
+                )
+                lazy = dd.add_batch(None, prepared=prep, defer=True)
+                futs.append(pool.submit(materialize, lazy))
+                if nxt is not None:
+                    prep = nxt.result()
+            waves = [f.result() for f in futs]
+        dd.release_deferred()  # every deferred plan is materialized above
         out = waves[0]
         for w in waves[1:]:
             out = out.unionByName(w)

@@ -82,6 +82,7 @@ class IncrementalMinHashDedup:
         self.state_dir = state_dir
         self.bands = FreqTable(spark, f"{state_dir}/bands")
         self.shingles = FreqTable(spark, f"{state_dir}/shingles")
+        self._deferred_pins: list[DataFrame] = []
         if fence:
             # long-lived maintainers are the natural single-writer owners
             # of their state dirs: claim the writer fence so a second
@@ -113,18 +114,59 @@ class IncrementalMinHashDedup:
         if not self.shingles.exists():
             self.shingles.create(_SHINGLES_SCHEMA)
 
-    def add_batch(self, docs: DataFrame) -> DataFrame:
+    def prepare_batch(
+        self, docs: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """Compute (and eagerly pin) the delta's shingle and band frames —
+        the per-wave signature arithmetic, which depends on ``docs`` alone
+        and never on the maintained state.  That independence is the §2.6
+        overlap lever for cycle drivers (r19): wave i+1's prepare runs on
+        a worker thread concurrently with wave i's candidate-join/verify
+        stage, whose tail otherwise leaves most cores idle.  The count
+        materializes both caches (bands read through shingles), so the
+        signature jobs genuinely run HERE, not lazily inside add_batch.
+        Pass the result to ``add_batch(prepared=...)``; both frames are
+        unpersisted there."""
+        delta_sh = doc_shingles_df(docs).persist()
+        delta_bands = minhash_bands_long(delta_sh).persist()
+        delta_bands.count()
+        return delta_sh, delta_bands
+
+    def add_batch(
+        self,
+        docs: DataFrame | None,
+        prepared: tuple[DataFrame, DataFrame] | None = None,
+        defer: bool = False,
+    ) -> DataFrame:
         """Ingest a delta of ``documents``-shaped rows (doc_id, text);
         return the verified near-dup pairs involving at least one delta doc.
 
         Signatures are computed from ``docs`` alone — history participates
-        only through the materialized band/shingle state.
+        only through the materialized band/shingle state.  ``prepared``
+        takes the pre-pinned (delta_sh, delta_bands) pair from
+        ``prepare_batch`` (the same code path, so results are identical);
+        ``docs`` is unused then.
+
+        ``defer=True`` (r19) returns the pair plan UNevaluated (and
+        unordered): the state scans inside it pinned the PRE-batch
+        segment list at plan construction and segments are immutable, so
+        evaluating it after further batches still reads exactly this
+        batch's history — identical rows to the eager path.  A cycle
+        driver can then evaluate every wave's pair plan in ONE job at the
+        end (guide §1.2 / §2.6: three small straggler-tailed verify jobs
+        become one well-packed job).  The state appends still commit
+        before returning; the delta pins stay alive until
+        ``release_deferred()`` — call it after consuming the result.
         """
         self._ensure_state()
-        # Persist: the delta shingle table feeds the signature build, the
-        # verify join, and the state append — one computation, three reads.
-        delta_sh = doc_shingles_df(docs).persist()
-        delta_bands = minhash_bands_long(delta_sh).persist()
+        if prepared is not None:
+            delta_sh, delta_bands = prepared
+        else:
+            # Persist: the delta shingle table feeds the signature build,
+            # the verify join, and the state append — one computation,
+            # three reads.
+            delta_sh = doc_shingles_df(docs).persist()
+            delta_bands = minhash_bands_long(delta_sh).persist()
 
         # Unmerged scans: band/shingle state is append-only with
         # batch-unique doc_ids, so the cross-segment freq merge is a no-op
@@ -162,9 +204,19 @@ class IncrementalMinHashDedup:
         all_sh = delta_sh.unionByName(
             self.shingles.scan(expand=False, merged=False).drop(FREQ)
         )
-        pairs = verify_jaccard_pairs(candidates, all_sh, all_sh).orderBy(
-            "doc_a", "doc_b"
-        )
+        pairs = verify_jaccard_pairs(candidates, all_sh, all_sh)
+        from concurrent.futures import ThreadPoolExecutor
+
+        if defer:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fa = pool.submit(self.bands.insert, delta_bands,
+                                 assume_distinct=True)
+                fb = pool.submit(self.shingles.insert, delta_sh,
+                                 assume_distinct=True)
+                fa.result(); fb.result()
+            self._deferred_pins += [delta_sh, delta_bands]
+            return pairs
+        pairs = pairs.orderBy("doc_a", "doc_b")
         # Materialize results BEFORE appending state (the pairs plan reads
         # the pre-batch state scan; FreqTable segments are immutable, so a
         # lazy read after insert would still see only the old segments — the
@@ -185,8 +237,6 @@ class IncrementalMinHashDedup:
         # back-fills with the segment writes instead of paying them
         # serially afterwards (r18).  All three read the persisted delta
         # frames, so no recomputation races exist.
-        from concurrent.futures import ThreadPoolExecutor
-
         with ThreadPoolExecutor(max_workers=2) as pool:
             fa = pool.submit(self.bands.insert, delta_bands,
                              assume_distinct=True)
@@ -197,6 +247,13 @@ class IncrementalMinHashDedup:
         delta_sh.unpersist()
         delta_bands.unpersist()
         return out
+
+    def release_deferred(self) -> None:
+        """Unpersist the delta pins accumulated by ``add_batch(defer=True)``
+        calls — safe once the caller has evaluated the returned plans."""
+        for df in self._deferred_pins:
+            df.unpersist()
+        self._deferred_pins.clear()
 
     def drop(self) -> None:
         self.bands.drop()

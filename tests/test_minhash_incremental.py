@@ -114,3 +114,25 @@ def test_minhash_geometry_pinned_with_state(spark, tmp_path):
         IncrementalMinHashDedup(spark, str(tmp_path / "mh_state"))
     inc.drop()
     IncrementalMinHashDedup(spark, str(tmp_path / "mh_state"))
+
+
+def test_deferred_prepared_drive_equals_eager(spark, tmp_path):
+    """r19 cycle-drive contract: prepare_batch + add_batch(defer=True),
+    with every deferred plan evaluated only AFTER all waves have appended
+    state, must produce exactly the eager per-wave pair sets — the state
+    scans pin each wave's pre-batch segment list at plan construction, so
+    later appends cannot leak in."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    waves_src = [docs.filter(f"doc_id % 3 = {w}") for w in range(3)]
+
+    eager = IncrementalMinHashDedup(spark, str(tmp_path / "eager"))
+    expected = [_rows(eager.add_batch(w)) for w in waves_src]
+
+    lazy = IncrementalMinHashDedup(spark, str(tmp_path / "lazy"))
+    plans = []
+    for w in waves_src:
+        prep = lazy.prepare_batch(w)
+        plans.append(lazy.add_batch(None, prepared=prep, defer=True))
+    got = [_rows(p) for p in plans]  # evaluated after ALL appends
+    lazy.release_deferred()
+    assert got == expected
