@@ -367,3 +367,25 @@ def test_explain_composes_with_sketch_expansion(spark, tmp_path):
         "SELECT name, estimate FROM hll_distinct('pts', 'k')"
     )
     assert got.rows[0][0] == "k" and round(got.rows[0][1]) == 2
+
+
+def test_bloom_test_word_packing_equals_naive(spark):
+    """r19: _bloom_test packs the bit set via a BIT_OR aggregate and one
+    list literal; the words must equal the naive per-idx driver loop over
+    the distinct positions (two's-complement fold included — seed a high
+    bit 63 word on purpose)."""
+    from pyspark.sql import functions as F
+
+    from incresql_spark.operators.dedup import BLOOM_M, _bloom_test
+
+    idxs = [0, 1, 63, 64, 127, 4095, BLOOM_M - 1, BLOOM_M - 1, 63]  # dupes
+    bits = spark.createDataFrame([(i,) for i in idxs], "idx BIGINT")
+    arr, _pred = _bloom_test(bits)
+
+    naive = [0] * (BLOOM_M // 64)
+    for i in set(idxs):
+        naive[i >> 6] |= 1 << (i & 63)
+    naive = [w - (1 << 64) if w >= (1 << 63) else w for w in naive]
+
+    got = spark.range(1).select(arr.alias("w")).collect()[0]["w"]
+    assert list(got) == naive
