@@ -508,6 +508,9 @@ class MaterializedView:
         self.changelog: FreqTable | None = None
         if changelog and self.is_aggregate:
             self.changelog = FreqTable(spark, os.path.join(state_dir, "log"))
+        # lazily-derived stable read schema (False = not derived yet; None
+        # = decimal state, keep inferred reads) — see _state_read_schema
+        self._read_schema_cache: object = False
 
     # -- metadata ------------------------------------------------------------
     def _load_meta(self) -> dict:
@@ -918,16 +921,34 @@ class MaterializedView:
         )
 
     # -- read ----------------------------------------------------------------
+    def _state_read_schema(self):
+        """The on-disk state schema when it is re-aggregation-stable, else
+        None — the ``read_buckets`` footer-skip treatment (r15 task 7)
+        extended to the full-state read (r19): reader and writer share the
+        delta-aggregation code, so names/types/order match by
+        construction; decimal states keep inferred-schema reads because
+        Spark widens decimal precision on every re-aggregation (see
+        ``_merge_agg``).  Derived once per view instance — the
+        ``_empty_delta`` plan build is itself a few ms of py4j."""
+        if self._read_schema_cache is False:  # unresolved marker
+            from pyspark.sql.types import DecimalType
+
+            schema = self._empty_delta().schema
+            stable = not any(isinstance(f.dataType, DecimalType)
+                             for f in schema.fields)
+            self._read_schema_cache = schema if stable else None
+        return self._read_schema_cache
+
     def read(self) -> DataFrame:
         """The materialized result (finalizing avg = sum/count)."""
         if not self.is_aggregate:
             if not self.state.exists():
                 self.refresh()
             return self.state.scan()
-        st = self.state.read()
+        st = self.state.read(schema=self._state_read_schema())
         if st is None:
             self.refresh()
-            st = self.state.read()
+            st = self.state.read(schema=self._state_read_schema())
         if st is None:
             # base table(s) empty so far: empty state with the delta-agg schema
             st = self.spark.createDataFrame([], self._empty_delta().schema)
