@@ -862,12 +862,40 @@ class MaterializedView:
                     # cache fill, bounded by |touched groups|.
                     from concurrent.futures import ThreadPoolExecutor
 
+                    # The worker thread inherits this thread's JVM-local
+                    # properties (job group, description), so an engine
+                    # KILL of the refresh cancels the changelog job too
+                    # and session accounting sees it tagged (r19 advice).
+                    # Properties are cloned/set by hand — two py4j calls —
+                    # because pyspark.inheritable_thread_target's per-call
+                    # pinned-connection churn measured ~0.9s per cascade
+                    # cycle.
+                    jsc = self.spark.sparkContext._jsc.sc()
+                    props = jsc.getLocalProperties().clone()
+
+                    def _emit_with_props(old=old, merged=merged,
+                                          cursor=cursor):
+                        jsc.setLocalProperties(props)
+                        return self._emit_changelog(old, merged, cursor)
+
                     with ThreadPoolExecutor(max_workers=1) as ex:
-                        fut = ex.submit(
-                            self._emit_changelog, old, merged, cursor
-                        )
-                        st.write_buckets(merged, keys, touched,
-                                         extra=cursor, pre_publish=fut.result)
+                        fut = ex.submit(_emit_with_props)
+                        try:
+                            st.write_buckets(merged, keys, touched,
+                                             extra=cursor,
+                                             pre_publish=fut.result)
+                        except BaseException as staging_exc:
+                            # staging failed BEFORE the pre_publish
+                            # barrier consumed the future: cancel it if
+                            # unstarted, else retrieve its exception and
+                            # chain it so a concurrent changelog failure
+                            # is surfaced instead of discarded by the
+                            # pool exit (r19 advice)
+                            if not fut.cancel():
+                                log_exc = fut.exception()
+                                if log_exc is not None:
+                                    raise staging_exc from log_exc
+                            raise
                 else:
                     st.write_buckets(merged, keys, touched, extra=cursor)
             finally:

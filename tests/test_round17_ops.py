@@ -660,3 +660,34 @@ def test_changelog_failure_aborts_state_publish(spark, tmp_path):
            for r in mv.changelog.scan(expand=False).collect()}
     want = {(r.g, r.n, r.s): 1 for r in mv.read().collect()}
     assert net == want == {("a", 2, 11): 1, ("b", 1, 2): 1}
+
+
+def test_staging_failure_surfaces_concurrent_changelog_error(
+    spark, tmp_path, monkeypatch
+):
+    """r19 advice: when write_buckets fails during staging (before the
+    pre_publish barrier consumes the changelog future), a concurrent
+    changelog failure must surface CHAINED on the staging error rather
+    than being discarded by the pool exit."""
+    base, mv = _tiny_changelog_mv(spark, tmp_path)
+    base.insert(spark.createDataFrame([("a", 1), ("b", 2)], "g string, v long"))
+    mv.refresh()
+    base.insert(spark.createDataFrame([("a", 5)], "g string, v long"))
+
+    def boom_changelog(old, new, cursor):
+        raise RuntimeError("changelog exploded")
+
+    def boom_staging(*a, **k):
+        import time
+
+        time.sleep(0.2)  # let the changelog thread start (not cancellable)
+        raise RuntimeError("staging exploded")
+
+    monkeypatch.setattr(mv, "_emit_changelog", boom_changelog)
+    monkeypatch.setattr(mv.state, "write_buckets", boom_staging)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="staging exploded") as exc_info:
+        mv.refresh()
+    assert exc_info.value.__cause__ is not None
+    assert "changelog exploded" in str(exc_info.value.__cause__)
