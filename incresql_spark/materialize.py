@@ -1439,6 +1439,8 @@ class AggregateJoinMaterializedView(MaterializedView):
         Returns (delta frame with freq column ``__f``, persisted subplans
         the caller must unpersist after evaluation)."""
 
+        _snap_memo: dict[tuple[int, int, bool], DataFrame] = {}
+
         def snap(i: int, seq: int, merged: bool = True) -> DataFrame:
             """Point-in-time side i.  ``merged=False`` (r18) uses the
             signed unmerged scan — sound for every INNER probe and for
@@ -1448,12 +1450,25 @@ class AggregateJoinMaterializedView(MaterializedView):
             multi-segment scan otherwise pays before the join.  Pad
             anti-join snapshots and left-outer chain steps keep
             ``merged=True``: row PRESENCE decides matchedness there,
-            which is not linear in the frequency."""
-            if merged:
-                df = self.tables[i].scan(as_of_seq=seq, expand=False)
-            else:
-                df = self.tables[i].signed_scan(as_of_seq=seq)
-            return self._side(i, df)
+            which is not linear in the frequency.
+
+            Memoized per (i, seq, merged) within this plan build (r19):
+            the inner-step term and the chain step ask for the same
+            snapshot, and each construction is real py4j latency
+            (measured ~0.4s of pure plan building per warm q3 refresh).
+            Sharing the plan OBJECT across union branches is already this
+            function's convention (``di``/``delta``/``flip``); no two
+            sides of one join ever receive the same snapshot object (old
+            vs new cursors, and pad probes build their own restricted
+            scans via _snap_live_keys)."""
+            key = (i, seq, merged)
+            if key not in _snap_memo:
+                if merged:
+                    df = self.tables[i].scan(as_of_seq=seq, expand=False)
+                else:
+                    df = self.tables[i].signed_scan(as_of_seq=seq)
+                _snap_memo[key] = self._side(i, df)
+            return _snap_memo[key]
 
         def dlt(i: int) -> DataFrame | None:
             if news[i] <= olds[i]:
