@@ -1618,20 +1618,78 @@ class AggregateJoinMaterializedView(MaterializedView):
         apart from the base class's scalar ``_refresh_window(since, now,
         meta)`` on purpose: the signatures are incompatible, and a
         silent override would hand an int cursor to vector code."""
+        return self.commit_refresh(self.prepare_refresh(olds, news))
+
+    def prepare_refresh(self, olds: list[int], news: list[int]) -> dict:
+        """Evaluate the fused delta job for an EXPLICIT window olds → news
+        and return an opaque handle for ``commit_refresh`` — the read half
+        of a refresh (r19; guide §2.6).
+
+        The delta plan and its evaluation read TABLE segments only, never
+        this view's own state (``_delta_plan`` probes ``self.tables`` at
+        pinned seqs; the state appears first in the merge), so a cycle
+        driver may run wave i+1's prepare CONCURRENTLY with wave i's
+        ``commit_refresh`` — the delta join back-fills the merge/write
+        job's straggler tail.  Commits must stay serialized in window
+        order (each merge reads the state the previous one committed).
+        ``refresh`` remains the crash-recovering entry point — the
+        torn-transition replay needs its cursor bookkeeping — so explicit
+        windows are for drivers continuing from a known-clean state.
+
+        The fused shape is unchanged (r15 task 7 + r18): the N-way join
+        delta, the per-group aggregation, the delta row count AND the
+        touched-bucket list all come out of this ONE job — the count
+        rides as ``__nrows`` and the bucket id is grouped into the same
+        ≤ num_buckets-row collect."""
         delta, pinned = self._delta_plan(olds, news)
+        handle = {"news": news, "pinned": pinned,
+                  "delta_state": None, "per_bkt": []}
+        if delta is None:
+            return handle
+        st = self.state
+        # pin the bucket count from the manifest BEFORE bucketing (the
+        # _agg_refresh rule); the count is fixed at state creation, so a
+        # still-running previous commit cannot change what this reads
+        st._load_manifest()
         try:
-            if delta is None:
-                self._save_meta({"seqs": news})
-                return 0
-            # fused materialization (r15 verdict task 7 + r18): the N-way
-            # join delta — the expensive part of a refresh — the per-group
-            # aggregation, the delta row count AND the touched-bucket list
-            # all come out of ONE job (_agg_refresh): the count rides as
-            # __nrows and the bucket id is grouped in the same collect.
-            n = self._agg_refresh(delta.withColumnRenamed("__f", FREQ),
-                                  cursor={"cursor": news})
-        finally:
+            ds = self._delta_agg(
+                delta.withColumnRenamed("__f", FREQ), with_rows=True
+            )
+            keys = [c for c in ds.columns if not c.startswith("__")]
+            ds = ds.withColumn("__bkt", st.bucket_expr(keys, ds)).persist()
+            handle["per_bkt"] = (
+                ds.groupBy("__bkt").agg(F.sum("__nrows").alias("__n"))
+                .collect()
+            )
+            handle["delta_state"] = ds
+        except BaseException:
             for p in pinned:
+                p.unpersist()
+            raise
+        return handle
+
+    def commit_refresh(self, handle: dict) -> int:
+        """Merge a ``prepare_refresh`` handle into the state and advance
+        the cursor — the write half of a refresh.  Must run AFTER the
+        previous window's commit (the caller serializes); returns the
+        signed delta row count, exactly as ``refresh`` does."""
+        news = handle["news"]
+        ds = handle["delta_state"]
+        n = 0
+        try:
+            if ds is not None:
+                n = int(sum(r["__n"] for r in handle["per_bkt"]))
+                if n:
+                    self._merge_agg(
+                        ds.drop("__nrows"), cursor={"cursor": news},
+                        touched=sorted(
+                            r["__bkt"] for r in handle["per_bkt"]
+                        ),
+                    )
+        finally:
+            if ds is not None:
+                ds.unpersist()
+            for p in handle["pinned"]:
                 p.unpersist()
         self._save_meta({"seqs": news})
         return n

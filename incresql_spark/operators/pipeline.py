@@ -420,6 +420,32 @@ def _q3_drive_waves(tables, after_wave) -> None:
         after_wave(3, _snap())
 
 
+def _drive_waves_pipelined(tables, mv) -> None:
+    """_q3_drive_waves with the refresh itself split (r19; guide §2.6,
+    third overlap): wave i's MERGE COMMIT (touched-bucket read + merge +
+    state write) runs on its own single-worker pool while wave i+1's
+    DELTA JOIN (``prepare_refresh`` — reads table segments only, never
+    the view's state) evaluates concurrently on the refresh thread.
+    Window order is exact: each wave's ``olds`` is the previous wave's
+    ``until`` snapshot, and the single worker serializes commits so
+    every merge reads the state the previous one committed — per-wave
+    results identical to serial ``refresh(until)`` calls (the contract
+    test pins this)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    state = {"olds": [-1] * len(mv.tables), "fut": None}
+    with ThreadPoolExecutor(max_workers=1) as mpool:
+        def _wave(wave, until):
+            handle = mv.prepare_refresh(state["olds"], until)
+            if state["fut"] is not None:
+                state["fut"].result()  # fail fast on a lost commit
+            state["fut"] = mpool.submit(mv.commit_refresh, handle)
+            state["olds"] = until
+
+        _q3_drive_waves(tables, _wave)
+        state["fut"].result()
+
+
 def mv_q3_incremental(spark: SparkSession, sf_dir: str,
                       batch_refresh: bool = False) -> DataFrame:
     """TPC-H Q3-shaped materialized view (aggregate over customer ⋈ orders
@@ -473,11 +499,18 @@ def mv_q3_incremental(spark: SparkSession, sf_dir: str,
         # Per-wave refresh unless batched; the final wave always
         # refreshes (in the batched cycle it is the ONLY refresh — all
         # three delta windows fuse into one delta job + one merge).
-        _q3_drive_waves(
-            tables,
-            lambda wave, until: mv.refresh(until=until)
-            if (wave == 3 or not batch_refresh) else None,
-        )
+        if batch_refresh:
+            _q3_drive_waves(
+                tables,
+                lambda wave, until: mv.refresh(until=until)
+                if wave == 3 else None,
+            )
+        else:
+            # r19: wave i's merge commit overlaps wave i+1's delta join
+            # (prepare_refresh reads table segments only; commits stay
+            # serialized on their own single-worker pool) — see
+            # _drive_waves_pipelined.
+            _drive_waves_pipelined(tables, mv)
         out = (
             mv.read()
             # The maintained sum is exact decimal internally; the GATE
@@ -821,22 +854,34 @@ def mv_q13_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             return [cust.last_seq(), ords.last_seq()]
 
         # refreshes pipeline with the next wave's ingest (§2.6, the
-        # _q3_drive_waves treatment): each refresh is bounded to the seq
-        # snapshot of its own wave, so consumption stays deterministic
-        # while the next ingest back-fills the refresh's stage tails
-        with ThreadPoolExecutor(max_workers=1) as rpool:
+        # _q3_drive_waves treatment) AND (r19) each wave's merge commit
+        # overlaps the next wave's delta join: prepare_refresh reads
+        # table segments only, commits serialize on their own
+        # single-worker pool (the _drive_waves_pipelined shape)
+        pipe = {"olds": [-1, -1], "fut": None}
+
+        def _refresh_wave(until: list[int]) -> None:
+            handle = mv.prepare_refresh(pipe["olds"], until)
+            if pipe["fut"] is not None:
+                pipe["fut"].result()
+            pipe["fut"] = mpool.submit(mv.commit_refresh, handle)
+            pipe["olds"] = until
+
+        with ThreadPoolExecutor(max_workers=1) as rpool, \
+                ThreadPoolExecutor(max_workers=1) as mpool:
             # refresh 1: many customers still NULL-padded (∥ wave-2 ingest)
-            fut = rpool.submit(mv.refresh, _snap())
+            fut = rpool.submit(_refresh_wave, _snap())
             ords.insert(ord_src.filter("o_orderkey % 2 = 1"),
                         assume_distinct=True)
             fut.result()
             # refresh 2: most pads retract as matches arrive (∥ the
             # retraction wave: one customer class loses ALL its orders —
             # their rows must flip BACK to pads (c_count 0), not vanish)
-            fut = rpool.submit(mv.refresh, _snap())
+            fut = rpool.submit(_refresh_wave, _snap())
             ords.delete_where("o_custkey % 10 = 3")
             fut.result()
-            mv.refresh()  # refresh 3
+            _refresh_wave(_snap())  # refresh 3
+            pipe["fut"].result()
         out = (
             mv.read()
             .groupBy("c_count")

@@ -1476,3 +1476,63 @@ def test_join_mv_zero_task_observed_write_aborts(spark, tmp_path):
     b.insert(spark.createDataFrame([(1, "b1")], "k int, bv string"))
     mv.refresh()
     assert sorted(tuple(r) for r in mv.read().collect()) == [(1, "a1", "b1")]
+
+
+def test_pipelined_prepare_commit_equals_serial_refresh(spark, tmp_path):
+    """r19 contract: driving an agg-join MV with prepare_refresh /
+    commit_refresh — wave i+1's prepare evaluated while wave i's commit
+    is outstanding — must land the exact state the serial refresh(until)
+    cadence produces, including the left-outer pad flips of a retraction
+    wave."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import types as T
+
+    from incresql_spark.materialize import AggregateJoinMaterializedView
+
+    def build(tag):
+        a = FreqTable(spark, str(tmp_path / f"{tag}_a"))
+        b = FreqTable(spark, str(tmp_path / f"{tag}_b"))
+        a.create(T.StructType([T.StructField("k", T.IntegerType())]))
+        b.create(T.StructType([T.StructField("bk", T.IntegerType()),
+                               T.StructField("bv", T.LongType())]))
+        mv = AggregateJoinMaterializedView(
+            spark, f"mv_{tag}", [a, b], ["k = bk"],
+            "k, count(bv) AS n, sum(bv) AS s", None, "k",
+            str(tmp_path / f"{tag}_state"),
+            table_filters=[None, None], hows=["left_outer"],
+        )
+        return a, b, mv
+
+    def waves(a, b):
+        a.insert(spark.createDataFrame([(1,), (2,), (3,)], "k int"))
+        b.insert(spark.createDataFrame([(1, 10), (1, 20)],
+                                       "bk int, bv long"))
+        yield
+        b.insert(spark.createDataFrame([(2, 5)], "bk int, bv long"))
+        yield
+        b.delete_where("bv = 20")
+        yield
+
+    # serial reference
+    a1, b1, mv1 = build("ser")
+    w = waves(a1, b1)
+    for _ in w:
+        mv1.refresh()
+    want = sorted(tuple(r) for r in mv1.read().collect())
+
+    # pipelined drive
+    a2, b2, mv2 = build("pipe")
+    olds = [-1, -1]
+    fut = None
+    with ThreadPoolExecutor(max_workers=1) as mpool:
+        for _ in waves(a2, b2):
+            news = [a2.last_seq(), b2.last_seq()]
+            h = mv2.prepare_refresh(olds, news)  # ∥ outstanding commit
+            if fut is not None:
+                fut.result()
+            fut = mpool.submit(mv2.commit_refresh, h)
+            olds = news
+        fut.result()
+    got = sorted(tuple(r) for r in mv2.read().collect())
+    assert got == want and len(got) == 3
