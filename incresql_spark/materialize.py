@@ -746,18 +746,27 @@ class MaterializedView:
         """Aggregate-view refresh body shared by the single-base and
         join subclasses: aggregate the signed delta, learn the delta row
         count AND the touched-bucket list from ONE fused job, and merge.
+        Split into the prepare/commit halves below (r19) so pipelined
+        cycle drivers can overlap a window's merge with the next
+        window's delta job; calling them back to back is this."""
+        return self._commit_agg_window(self._prepare_agg_window(delta, cursor))
 
-        Fusions (r15 verdict task 7 + r18): the delta scan/join and the
+    def _prepare_agg_window(self, delta: DataFrame, cursor: dict) -> dict:
+        """The READ half of an aggregate refresh — the fused delta job
+        (r15 verdict task 7 + r18): the delta scan/join and the
         per-group aggregation run in one job with the row count riding
         along as ``__nrows``; the bucket id is computed on the SAME
         cached frame so one ``groupBy(__bkt)`` collect yields both the
         total (was a separate agg job) and the touched buckets (was a
-        separate distinct job) — one driver action per refresh instead
-        of two, ≤ num_buckets rows collected."""
+        separate distinct job) — one driver action, ≤ num_buckets rows
+        collected.  Reads base segments and never this view's state, so
+        it may run concurrently with the PREVIOUS window's commit."""
         st = self.state
         # pin the bucket count from the manifest BEFORE bucketing the
         # delta — a session whose conf differs from an existing state's
-        # layout must hash the delta with the layout's count, not its own
+        # layout must hash the delta with the layout's count, not its
+        # own (the count is fixed at state creation, so a still-running
+        # previous commit cannot change what this reads)
         st._load_manifest()
         delta_state = self._delta_agg(delta, with_rows=True)
         keys = [c for c in delta_state.columns if not c.startswith("__")]
@@ -770,14 +779,55 @@ class MaterializedView:
                 .agg(F.sum("__nrows").alias("__n"))
                 .collect()
             )
+        except BaseException:
+            delta_state.unpersist()
+            raise
+        return {"cursor": cursor, "delta_state": delta_state,
+                "per_bkt": per_bkt}
+
+    def _commit_agg_window(self, handle: dict) -> int:
+        """The WRITE half: merge the prepared delta into the touched
+        buckets and (when enabled) emit the changelog — must run after
+        the previous window's commit."""
+        delta_state = handle["delta_state"]
+        per_bkt = handle["per_bkt"]
+        try:
             n = int(sum(r["__n"] for r in per_bkt))
             if n:
                 self._merge_agg(
-                    delta_state.drop("__nrows"), cursor=cursor,
+                    delta_state.drop("__nrows"), cursor=handle["cursor"],
                     touched=sorted(r["__bkt"] for r in per_bkt),
                 )
         finally:
             delta_state.unpersist()
+        return n
+
+    def prepare_refresh_window(self, since: int, now: int) -> dict:
+        """Public explicit-window read half for AGGREGATE single-base
+        views (the scalar-cursor sibling of the join subclass's
+        ``prepare_refresh``; linear views write one observed segment —
+        there is nothing to split).  Same contract: a cycle driver may
+        run this concurrently with the previous window's
+        ``commit_refresh_window``; commits serialize in window order,
+        and ``refresh`` stays the crash-recovering entry point."""
+        if not self.is_aggregate:
+            raise ValueError("prepare_refresh_window is aggregate-only")
+        handle = {"now": now, "delta_state": None, "per_bkt": []}
+        if now > since:
+            handle.update(self._prepare_agg_window(
+                self.base.delta(since, now), {"cursor": now}
+            ))
+        return handle
+
+    def commit_refresh_window(self, handle: dict) -> int:
+        """Write half for ``prepare_refresh_window`` handles: merge (a
+        no-op for an empty window) and advance the refresh cursor."""
+        n = 0
+        if handle["delta_state"] is not None:
+            n = self._commit_agg_window(handle)
+        meta = self._load_meta()
+        meta["last_refresh_seq"] = handle["now"]
+        self._save_meta(meta)
         return n
 
     def _merge_agg(self, delta_state: DataFrame, cursor: dict | None = None,
@@ -1646,22 +1696,10 @@ class AggregateJoinMaterializedView(MaterializedView):
                   "delta_state": None, "per_bkt": []}
         if delta is None:
             return handle
-        st = self.state
-        # pin the bucket count from the manifest BEFORE bucketing (the
-        # _agg_refresh rule); the count is fixed at state creation, so a
-        # still-running previous commit cannot change what this reads
-        st._load_manifest()
         try:
-            ds = self._delta_agg(
-                delta.withColumnRenamed("__f", FREQ), with_rows=True
-            )
-            keys = [c for c in ds.columns if not c.startswith("__")]
-            ds = ds.withColumn("__bkt", st.bucket_expr(keys, ds)).persist()
-            handle["per_bkt"] = (
-                ds.groupBy("__bkt").agg(F.sum("__nrows").alias("__n"))
-                .collect()
-            )
-            handle["delta_state"] = ds
+            handle.update(self._prepare_agg_window(
+                delta.withColumnRenamed("__f", FREQ), {"cursor": news}
+            ))
         except BaseException:
             for p in pinned:
                 p.unpersist()
@@ -1673,23 +1711,12 @@ class AggregateJoinMaterializedView(MaterializedView):
         the cursor — the write half of a refresh.  Must run AFTER the
         previous window's commit (the caller serializes); returns the
         signed delta row count, exactly as ``refresh`` does."""
-        news = handle["news"]
-        ds = handle["delta_state"]
         n = 0
         try:
-            if ds is not None:
-                n = int(sum(r["__n"] for r in handle["per_bkt"]))
-                if n:
-                    self._merge_agg(
-                        ds.drop("__nrows"), cursor={"cursor": news},
-                        touched=sorted(
-                            r["__bkt"] for r in handle["per_bkt"]
-                        ),
-                    )
+            if handle["delta_state"] is not None:
+                n = self._commit_agg_window(handle)
         finally:
-            if ds is not None:
-                ds.unpersist()
             for p in handle["pinned"]:
                 p.unpersist()
-        self._save_meta({"seqs": news})
+        self._save_meta({"seqs": handle["news"]})
         return n

@@ -633,14 +633,28 @@ def mv_cascade_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=1) as rpool, \
+                ThreadPoolExecutor(max_workers=1) as mpool, \
                 ThreadPoolExecutor(max_workers=1) as l2pool:
             l2futs = []
+            pipe = {"since": -1, "fut": None}
 
             def _l1_then_kick_l2(until: int) -> None:
-                mv1.refresh(until=until)
-                l2futs.append(
-                    l2pool.submit(mv2.refresh, mv1.changelog.last_seq())
-                )
+                # r19: level 1's delta job (prepare — reads base
+                # segments only) overlaps the PREVIOUS wave's merge
+                # commit on mpool; the level-2 kick stays chained after
+                # the commit, whose changelog segment it consumes
+                handle = mv1.prepare_refresh_window(pipe["since"], until)
+                if pipe["fut"] is not None:
+                    pipe["fut"].result()
+
+                def _commit_then_l2(handle=handle):
+                    mv1.commit_refresh_window(handle)
+                    l2futs.append(
+                        l2pool.submit(mv2.refresh, mv1.changelog.last_seq())
+                    )
+
+                pipe["fut"] = mpool.submit(_commit_then_l2)
+                pipe["since"] = until
 
             # wave 1: even orderkeys; refresh level 1 then kick level 2
             base.insert(src.filter("l_orderkey % 2 = 0"),
@@ -655,6 +669,7 @@ def mv_cascade_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             base.delete_where("l_linenumber >= 5")
             fut.result()
             _l1_then_kick_l2(base.last_seq())
+            pipe["fut"].result()
             for f in l2futs:
                 f.result()
         out = (
@@ -731,19 +746,34 @@ def mv_cascade_q3_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # two-level pipelining (r18, the mv_cascade_incremental shape):
         # level 2's wave-i refresh is bounded to the changelog seq
         # captured right after level 1's wave-i commit, so it overlaps
-        # level 1's wave-i+1 refresh on its own serialized pool
+        # level 1's wave-i+1 refresh on its own serialized pool; r19
+        # additionally overlaps level 1's wave-i+1 DELTA JOIN with its
+        # wave-i merge commit (prepare_refresh reads table segments
+        # only) — the level-2 kick stays chained after the commit whose
+        # changelog segment it consumes
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=1) as l2pool:
+        with ThreadPoolExecutor(max_workers=1) as mpool, \
+                ThreadPoolExecutor(max_workers=1) as l2pool:
             l2futs = []
+            pipe = {"olds": [-1] * len(mv1.tables), "fut": None}
 
             def _cascade_wave(wave: int, until: list[int]) -> None:
-                mv1.refresh(until=until)
-                l2futs.append(
-                    l2pool.submit(mv2.refresh, mv1.changelog.last_seq())
-                )
+                handle = mv1.prepare_refresh(pipe["olds"], until)
+                if pipe["fut"] is not None:
+                    pipe["fut"].result()
+
+                def _commit_then_l2(handle=handle):
+                    mv1.commit_refresh(handle)
+                    l2futs.append(
+                        l2pool.submit(mv2.refresh, mv1.changelog.last_seq())
+                    )
+
+                pipe["fut"] = mpool.submit(_commit_then_l2)
+                pipe["olds"] = until
 
             _q3_drive_waves(tables, _cascade_wave)
+            pipe["fut"].result()
             for f in l2futs:
                 f.result()
         out = (
